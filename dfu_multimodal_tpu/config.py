@@ -1,0 +1,170 @@
+"""Typed configuration for every entry point.
+
+The reference has no config system: each script hard-codes module-level
+constants ("CHANGE THESE" comments are the config UX — see
+reference notebooks/train_rgb_only.py:32-46).  Here every entry point takes a
+small frozen dataclass whose defaults equal the reference constants, plus
+argparse glue so data/checkpoint directories are flags instead of
+``Path.home()``-anchored constants.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional, Tuple
+
+IMAGE_SIZE = 224
+NUM_CLASSES = 2
+CLASS_NAMES = ("healthy", "ulcer")
+
+# Normalization constants (reference scripts/dataloader.py:157-159, 180-183).
+RGB_MEAN = (0.485, 0.456, 0.406)
+RGB_STD = (0.229, 0.224, 0.225)
+THERMAL_MEAN = (0.5, 0.5, 0.5)
+THERMAL_STD = (0.5, 0.5, 0.5)
+
+
+@dataclass(frozen=True)
+class AugmentConfig:
+    """Device-side augmentation pipeline parameters.
+
+    Defaults mirror the reference training transforms
+    (train_rgb_only.py:102-111 / train_thermal_only.py:103-112 /
+    train_multimodal_fusion.py:173-199): hflip/vflip p=0.5, rotation ±30°,
+    then with probability ``aug_prob`` a color jitter and/or an affine
+    (±20°, translate 0.1, scale 0.8–1.2), and for thermal a Gaussian blur.
+    All of it runs inside the jitted train step on uint8 batches.
+    """
+
+    horizontal_flip_prob: float = 0.5
+    vertical_flip_prob: float = 0.5
+    rotation_degrees: float = 30.0
+    aug_prob: float = 0.6                 # AUG_PROB in the reference
+    # Color jitter (RGB only in the reference trainers)
+    color_jitter: bool = True
+    brightness: float = 0.3
+    contrast: float = 0.3
+    saturation: float = 0.3
+    # Random affine applied with probability aug_prob
+    affine: bool = True
+    affine_degrees: float = 20.0
+    affine_translate: float = 0.1
+    affine_scale: Tuple[float, float] = (0.8, 1.2)
+    # Gaussian blur (thermal trainer only: train_thermal_only.py:109)
+    gaussian_blur: bool = False
+    blur_kernel_size: int = 3
+    blur_sigma: Tuple[float, float] = (0.1, 0.5)
+
+
+def rgb_augment() -> AugmentConfig:
+    return AugmentConfig(color_jitter=True, gaussian_blur=False)
+
+
+def thermal_augment(blur: bool = True) -> AugmentConfig:
+    # train_thermal_only.py uses blur; the multimodal trainer's thermal
+    # pipeline uses affine only (train_multimodal_fusion.py:191-199).
+    return AugmentConfig(color_jitter=False, gaussian_blur=blur)
+
+
+@dataclass(frozen=True)
+class ModalityConfig:
+    name: str = "rgb"
+    mean: Tuple[float, float, float] = RGB_MEAN
+    std: Tuple[float, float, float] = RGB_STD
+    augment: AugmentConfig = field(default_factory=rgb_augment)
+
+
+def rgb_modality() -> ModalityConfig:
+    return ModalityConfig("rgb", RGB_MEAN, RGB_STD, rgb_augment())
+
+
+def thermal_modality(blur: bool = True) -> ModalityConfig:
+    return ModalityConfig("thermal", THERMAL_MEAN, THERMAL_STD, thermal_augment(blur))
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh shape. ``data`` is the batch-sharded DP axis over ICI;
+    ``model`` is reserved for tensor-parallel experiments (defaults to 1 —
+    the 25M–110M-param models here do not need TP, SURVEY.md §2.3)."""
+
+    data: int = -1          # -1: use all available devices
+    model: int = 1
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Reference constants: train_rgb_only.py:33-40 (batch 32),
+    train_thermal_only.py:34-41 (batch 16), train_multimodal_fusion.py:36-43
+    (batch 6)."""
+
+    batch_size: int = 32
+    num_epochs: int = 10
+    learning_rate: float = 1e-4
+    weight_decay: float = 1e-4
+    drop_rate: float = 0.5
+    save_best_after_epoch: int = 3
+    seed: int = 42
+    # TPU-native knobs (no reference equivalent)
+    compute_dtype: str = "bfloat16"       # conv/matmul compute precision
+    eval_batch_size: Optional[int] = None  # defaults to batch_size
+    weighted_sampling: bool = True         # WeightedRandomSampler equivalent
+    class_weighted_loss: bool = True       # class-weighted CE equivalent
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    @property
+    def eval_bs(self) -> int:
+        return self.eval_batch_size or self.batch_size
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    data_dir: Path = Path.home() / "CompVis" / "Dataset" / "data"
+    checkpoint_root: Path = Path("logs")
+    image_size: int = IMAGE_SIZE
+    cache_images: bool = True      # decode+resize once, keep uint8 in RAM
+    prefetch: int = 2              # device prefetch depth (double buffering)
+
+
+def add_common_args(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--data-dir", type=Path, default=None,
+                        help="Root containing rgb/ and thermal/ split dirs")
+    parser.add_argument("--checkpoint-root", type=Path, default=Path("logs"),
+                        help="Directory for checkpoints and result artifacts")
+    parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--lr", type=float, default=None)
+    parser.add_argument("--weight-decay", type=float, default=None)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--compute-dtype", choices=["bfloat16", "float32"],
+                        default="bfloat16")
+    parser.add_argument("--mesh-data", type=int, default=-1,
+                        help="DP axis size (-1 = all devices)")
+
+
+def train_config_from_args(args: argparse.Namespace,
+                           defaults: TrainConfig) -> TrainConfig:
+    updates = {}
+    if args.batch_size is not None:
+        updates["batch_size"] = args.batch_size
+    if args.epochs is not None:
+        updates["num_epochs"] = args.epochs
+    if args.lr is not None:
+        updates["learning_rate"] = args.lr
+    if args.weight_decay is not None:
+        updates["weight_decay"] = args.weight_decay
+    updates["seed"] = args.seed
+    updates["compute_dtype"] = args.compute_dtype
+    updates["mesh"] = MeshConfig(data=args.mesh_data)
+    return dataclasses.replace(defaults, **updates)
+
+
+def data_config_from_args(args: argparse.Namespace) -> DataConfig:
+    kwargs = {}
+    if args.data_dir is not None:
+        kwargs["data_dir"] = args.data_dir
+    kwargs["checkpoint_root"] = args.checkpoint_root
+    return DataConfig(**kwargs)

@@ -1,0 +1,127 @@
+"""Fusion models: the current late-fusion classifier plus legacy variants.
+
+Current lineage (reference notebooks/train_multimodal_fusion.py:285-326):
+ResNet50(RGB) ⊕ ViT-B/16(thermal) -> concat (2816) -> MLP 512 -> 256 -> 2
+with ReLU + Dropout(0.5) between layers.
+
+Legacy lineage (reference models/{models,fusion,classifier}.py):
+- ``LegacyConcatFusion``: concat -> 512 -> 1 sigmoid head, Dropout 0.3
+- ``GatedFusion``: sigmoid gate g·rgb + (1-g)·thermal over 1280-d features
+- ``LegacyClassifier``: 1280 -> 256 -> 1 sigmoid head
+
+The fusion MLP can optionally run as one fused Pallas kernel
+(:mod:`dfu_multimodal_tpu.ops.fused_mlp`) — at (B, 2816)x(2816, 512) sizes the
+XLA path is already MXU-bound, so the kernel mainly removes inter-op HBM
+round-trips for small batches.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from dfu_multimodal_tpu.models.common import Taps
+from dfu_multimodal_tpu.models.resnet import ResNet50
+from dfu_multimodal_tpu.models.vit import ViTBase16
+
+
+class FusionMLP(nn.Module):
+    """concat(2048+768) -> 512 -> 256 -> num_classes with ReLU+Dropout."""
+
+    num_classes: int = 2
+    drop_rate: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, fused: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        deterministic = not train
+        x = nn.Dense(512, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="fc1")(fused)
+        x = nn.relu(x)
+        x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
+        x = nn.Dense(256, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="fc2")(x)
+        x = nn.relu(x)
+        x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
+        return nn.Dense(self.num_classes, dtype=jnp.float32,
+                        param_dtype=jnp.float32, name="fc3")(x)
+
+
+class MultimodalFusionClassifier(nn.Module):
+    """Late fusion of ResNet50 (RGB) and ViT-B/16 (thermal)."""
+
+    num_classes: int = 2
+    drop_rate: float = 0.5
+    dtype: Any = jnp.float32
+    attention_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, rgb: jnp.ndarray, thermal: jnp.ndarray, *,
+                 train: bool = False, taps: Taps = None) -> jnp.ndarray:
+        rgb_feats = ResNet50(dtype=self.dtype, name="rgb_branch")(
+            rgb, train=train, taps=taps)                       # (B, 2048)
+        thermal_feats = ViTBase16(self.dtype, self.attention_impl,
+                                  name="thermal_branch")(
+            thermal, train=train, taps=taps)                   # (B, 768)
+        fused = jnp.concatenate([rgb_feats, thermal_feats], axis=-1)
+        return FusionMLP(self.num_classes, self.drop_rate, self.dtype,
+                         name="fusion")(fused, train=train)
+
+
+class LegacyConcatFusion(nn.Module):
+    """Legacy head: concat -> hidden -> 1 sigmoid (models/models.py:24-40)."""
+
+    rgb_dim: int = 2048
+    thermal_dim: int = 768
+    hidden_dim: int = 512
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, rgb_feat: jnp.ndarray, thermal_feat: jnp.ndarray, *,
+                 train: bool = False) -> jnp.ndarray:
+        x = jnp.concatenate([rgb_feat, thermal_feat], axis=-1)
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="fc1")(x)
+        x = nn.relu(x)
+        x = nn.Dropout(0.3, deterministic=not train)(x)
+        x = nn.Dense(1, dtype=jnp.float32, param_dtype=jnp.float32,
+                     name="fc2")(x)
+        return nn.sigmoid(x)
+
+
+class GatedFusion(nn.Module):
+    """Legacy gated fusion: g = sigmoid(MLP(concat)); g·rgb + (1-g)·thermal
+    (models/fusion.py:4-18)."""
+
+    feat_dim: int = 1280
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, rgb_feat: jnp.ndarray, th_feat: jnp.ndarray) -> jnp.ndarray:
+        combined = jnp.concatenate([rgb_feat, th_feat], axis=-1)
+        g = nn.Dense(self.feat_dim, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="gate_fc1")(combined)
+        g = nn.relu(g)
+        g = nn.Dense(self.feat_dim, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="gate_fc2")(g)
+        g = nn.sigmoid(g.astype(jnp.float32))
+        return g * rgb_feat + (1.0 - g) * th_feat
+
+
+class LegacyClassifier(nn.Module):
+    """Legacy 1280 -> 256 -> 1 sigmoid head (models/classifier.py:4-16)."""
+
+    feat_dim: int = 1280
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        x = nn.Dense(256, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="fc1")(x)
+        x = nn.relu(x)
+        x = nn.Dropout(0.3, deterministic=not train)(x)
+        x = nn.Dense(1, dtype=jnp.float32, param_dtype=jnp.float32,
+                     name="fc2")(x)
+        return nn.sigmoid(x)

@@ -1,0 +1,169 @@
+"""ViT-B/16 in Flax, TPU-first.
+
+Behavioral counterpart of the reference thermal backbone (timm
+``vit_base_patch16_224``, reference notebooks/train_thermal_only.py:188-205):
+224x224 -> 14x14 patches + CLS token = 197 tokens, 12 pre-LN encoder blocks,
+12 heads, MLP ratio 4, GELU, CLS-token classification.
+
+TPU-first choices:
+- patch embedding is a single reshaped matmul (B*196, 768) @ (768, 768) —
+  one big MXU op instead of a conv;
+- attention is pluggable: ``attention_impl='pallas'`` uses the fused
+  flash-attention kernel in :mod:`dfu_multimodal_tpu.ops.attention`
+  (197 tokens padded to 256 inside the kernel with masking), ``'xla'``
+  uses a plain einsum-softmax that XLA fuses well at this size;
+- qkv is computed as one fused (B, N, 3*768) projection;
+- compute dtype configurable (bfloat16 default for training), params fp32.
+
+Grad-CAM: the reference hooks ``blocks`` whose (B, N, C) output is not 4-D,
+so it falls back to input-gradient saliency (grad_cam_visualization.py:401-413).
+We tap both ``blocks`` (final encoder output) and rely on the same
+input-saliency fallback in eval/gradcam.py for behavioral parity.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from dfu_multimodal_tpu.models.common import Taps, canonical_dtype, tap
+
+AttentionFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+def xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Plain softmax attention. q,k,v: (B, H, N, D) -> (B, H, N, D)."""
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+                        preferred_element_type=jnp.float32)
+    probs = nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def resolve_attention(impl: str) -> AttentionFn:
+    if impl == "xla":
+        return xla_attention
+    if impl == "pallas":
+        from dfu_multimodal_tpu.ops.attention import flash_attention
+        return flash_attention
+    if impl == "auto":
+        import jax
+        platform = jax.devices()[0].platform
+        return resolve_attention("pallas" if platform == "tpu" else "xla")
+    raise ValueError(f"unknown attention impl: {impl!r}")
+
+
+class MultiHeadAttention(nn.Module):
+    num_heads: int = 12
+    dtype: Any = jnp.float32
+    attention_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, n, c = x.shape
+        head_dim = c // self.num_heads
+        qkv = nn.Dense(3 * c, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+
+        attn_fn = resolve_attention(self.attention_impl)
+        out = attn_fn(q, k, v)                       # (B, H, N, D)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        return nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32,
+                        name="proj")(out)
+
+
+class EncoderBlock(nn.Module):
+    num_heads: int = 12
+    mlp_ratio: int = 4
+    dtype: Any = jnp.float32
+    attention_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="norm1")(x)
+        x = x + MultiHeadAttention(self.num_heads, self.dtype,
+                                   self.attention_impl, name="attn")(y)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="norm2")(x)
+        y = nn.Dense(self.mlp_ratio * c, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="mlp_fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="mlp_fc2")(y)
+        return x + y
+
+
+class ViT(nn.Module):
+    """ViT trunk returning CLS features (B, hidden)."""
+
+    patch_size: int = 16
+    hidden_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: int = 4
+    dtype: Any = jnp.float32
+    attention_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False,
+                 taps: Taps = None) -> jnp.ndarray:
+        dtype = canonical_dtype(self.dtype)
+        b, h, w, c = x.shape
+        p = self.patch_size
+        gh, gw = h // p, w // p
+
+        # Patch embedding as one matmul: (B, gh, gw, p*p*c) @ (p*p*c, hidden)
+        x = x.astype(dtype)
+        x = x.reshape(b, gh, p, gw, p, c).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(b, gh * gw, p * p * c)
+        x = nn.Dense(self.hidden_dim, dtype=dtype, param_dtype=jnp.float32,
+                     name="patch_embed")(x)
+
+        cls_token = self.param("cls_token", nn.initializers.zeros,
+                               (1, 1, self.hidden_dim), jnp.float32)
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls_token, (b, 1, self.hidden_dim)).astype(dtype), x],
+            axis=1)
+        pos_embed = self.param(
+            "pos_embed", nn.initializers.normal(stddev=0.02),
+            (1, gh * gw + 1, self.hidden_dim), jnp.float32)
+        x = x + pos_embed.astype(dtype)
+
+        for i in range(self.depth):
+            x = EncoderBlock(self.num_heads, self.mlp_ratio, dtype,
+                             self.attention_impl, name=f"block{i}")(x)
+        x = tap(self, "blocks", x, taps)
+
+        x = nn.LayerNorm(epsilon=1e-6, dtype=dtype, param_dtype=jnp.float32,
+                         name="norm")(x)
+        return x[:, 0].astype(jnp.float32)   # CLS token features
+
+
+def ViTBase16(dtype: Any = jnp.float32, attention_impl: str = "auto",
+              **kwargs) -> ViT:
+    return ViT(dtype=dtype, attention_impl=attention_impl, **kwargs)
+
+
+class ViTClassifier(nn.Module):
+    """ViT-B/16 trunk + Dropout + Linear(768 -> num_classes) head — the
+    reference's ``ThermalOnlyModel`` contract (train_thermal_only.py:188-205)."""
+
+    num_classes: int = 2
+    drop_rate: float = 0.5
+    dtype: Any = jnp.float32
+    attention_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False,
+                 taps: Taps = None) -> jnp.ndarray:
+        feats = ViTBase16(self.dtype, self.attention_impl)(
+            x, train=train, taps=taps)
+        feats = nn.Dropout(self.drop_rate, deterministic=not train)(feats)
+        return nn.Dense(self.num_classes, dtype=jnp.float32,
+                        param_dtype=jnp.float32, name="head")(feats)

@@ -1,0 +1,95 @@
+"""Model registry: a uniform handle the training/eval engines use.
+
+Each entry couples a Flax module factory with the modalities it consumes so a
+single jitted engine can drive every model family (the reference instead
+re-defines each model class inside every script — train_rgb_only.py:200,
+extended_metrics.py:307-367, ablation_study.py:116-157, etc.).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dfu_multimodal_tpu.models.efficientnet import EfficientNetClassifier
+from dfu_multimodal_tpu.models.fusion import MultimodalFusionClassifier
+from dfu_multimodal_tpu.models.resnet import ResNetClassifier
+from dfu_multimodal_tpu.models.vit import ViTClassifier
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    name: str
+    make: Callable[..., nn.Module]
+    inputs: Tuple[str, ...]           # keys of the batch dict it consumes
+    feature_dim: int
+
+
+_REGISTRY: Dict[str, ModelSpec] = {}
+
+
+def register(spec: ModelSpec) -> ModelSpec:
+    _REGISTRY[spec.name] = spec
+    return spec
+
+
+register(ModelSpec("rgb_only", ResNetClassifier, ("rgb",), 2048))
+register(ModelSpec("thermal_only", ViTClassifier, ("thermal",), 768))
+register(ModelSpec("multimodal", MultimodalFusionClassifier,
+                   ("rgb", "thermal"), 2816))
+register(ModelSpec("efficientnet_rgb", EfficientNetClassifier, ("rgb",), 1280))
+register(ModelSpec("efficientnet_thermal", EfficientNetClassifier,
+                   ("thermal",), 1280))
+
+
+def get(name: str) -> ModelSpec:
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise KeyError(f"unknown model {name!r}; have {sorted(_REGISTRY)}")
+
+
+def available() -> Tuple[str, ...]:
+    return tuple(sorted(_REGISTRY))
+
+
+def build(name: str, *, num_classes: int = 2, drop_rate: float = 0.5,
+          dtype: Any = jnp.float32, **kwargs) -> Tuple[nn.Module, ModelSpec]:
+    spec = get(name)
+    module = spec.make(num_classes=num_classes, drop_rate=drop_rate,
+                       dtype=dtype, **kwargs)
+    return module, spec
+
+
+def apply_model(module: nn.Module, spec: ModelSpec, variables: Dict[str, Any],
+                batch: Dict[str, jnp.ndarray], **apply_kwargs) -> Any:
+    """Apply ``module`` to the modalities named by ``spec.inputs``."""
+    inputs = tuple(batch[k] for k in spec.inputs)
+    return module.apply(variables, *inputs, **apply_kwargs)
+
+
+def init_model(module: nn.Module, spec: ModelSpec, rng: jax.Array,
+               image_size: int = 224) -> Dict[str, Any]:
+    dummy = tuple(
+        jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+        for _ in spec.inputs)
+    return module.init({"params": rng}, *dummy, train=False)
+
+
+def init_shapes(module: nn.Module, spec: ModelSpec,
+                image_size: int = 224) -> Dict[str, Any]:
+    """Abstract init: variable shapes/dtypes without any compute."""
+    dummy = tuple(
+        jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+        for _ in spec.inputs)
+    return jax.eval_shape(
+        lambda *a: module.init({"params": jax.random.PRNGKey(0)}, *a,
+                               train=False), *dummy)
+
+
+def param_count(variables: Dict[str, Any]) -> int:
+    return sum(x.size for x in jax.tree.leaves(variables.get("params", {})))

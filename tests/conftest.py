@@ -1,0 +1,40 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI, so the sharding/pjit paths are
+exercised on XLA's host platform with 8 virtual devices (SURVEY.md §4).
+These env vars must be set before jax initializes its backends, hence the
+top-of-conftest placement.
+"""
+
+import os
+import sys
+from pathlib import Path
+
+# The axon TPU tunnel registers itself from sitecustomize when this var is
+# set; tests must run on the virtual CPU mesh instead.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+# Persist compiled executables across test runs — compilation dominates
+# test wall-clock on the single-core CI host.
+import jax  # noqa: E402
+
+_CACHE_DIR = REPO_ROOT / ".jax_cache"
+jax.config.update("jax_compilation_cache_dir", str(_CACHE_DIR))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
