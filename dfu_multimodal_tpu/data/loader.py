@@ -1,0 +1,180 @@
+"""Host-side data loading: decode once, then feed HBM asynchronously.
+
+The reference re-decodes and re-augments every JPEG in 4 DataLoader worker
+processes every epoch (reference notebooks/train_rgb_only.py:191-195).  The
+datasets here are small (≈10³ images, ≈300 MB at 224² uint8), so the
+TPU-native design decodes + resizes each image exactly once into a pinned
+uint8 numpy cache, samples index batches on host, and streams slices to the
+device with a depth-``prefetch`` async queue (``jax.device_put`` is
+asynchronous, so transfer overlaps the previous step's compute).
+Augmentation happens on device (:mod:`dfu_multimodal_tpu.data.transforms`).
+
+Multi-host ready: batches can be sharded by ``jax.process_index`` — each
+process loads only its shard of every batch and ``device_put`` with a
+``NamedSharding`` forms the global array (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import collections
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from dfu_multimodal_tpu.data import pairing as pairing_mod
+from dfu_multimodal_tpu.data.layout import SplitIndex, scan_split
+
+
+def load_image(path: Path, image_size: int) -> np.ndarray:
+    """Decode -> RGB -> bilinear resize to (image_size, image_size), uint8.
+    Matches torchvision ``Resize((S, S))`` + ``Image.convert('RGB')``
+    (reference train_rgb_only.py:91, 102-103)."""
+    from PIL import Image
+
+    with Image.open(path) as img:
+        img = img.convert("RGB")
+        if img.size != (image_size, image_size):
+            img = img.resize((image_size, image_size), Image.BILINEAR)
+        return np.asarray(img, dtype=np.uint8)
+
+
+@dataclass
+class ArrayDataset:
+    """Fully-decoded in-memory dataset: ``arrays[modality]`` is
+    (N, S, S, 3) uint8; one shared label vector."""
+
+    arrays: Dict[str, np.ndarray]
+    labels: np.ndarray
+    paths: Dict[str, List[Optional[Path]]] = field(default_factory=dict)
+
+    def __len__(self) -> int:
+        return len(self.labels)
+
+    @property
+    def modalities(self) -> List[str]:
+        return list(self.arrays)
+
+    @property
+    def class_counts(self) -> np.ndarray:
+        return np.bincount(self.labels, minlength=2)
+
+
+def _decode_all(paths: Sequence[Optional[Path]], image_size: int) -> np.ndarray:
+    out = np.zeros((len(paths), image_size, image_size, 3), np.uint8)
+    for i, p in enumerate(paths):
+        if p is not None:       # None = missing-modality black placeholder
+            out[i] = load_image(p, image_size)
+    return out
+
+
+def load_single_modality(modality_dir: Path, split: str,
+                         image_size: int = 224,
+                         modality: str = "rgb") -> ArrayDataset:
+    """Single-modality dataset (RGBDataset/ThermalDataset contract,
+    train_rgb_only.py:55-97)."""
+    index: SplitIndex = scan_split(Path(modality_dir), split)
+    return ArrayDataset(
+        arrays={modality: _decode_all(index.paths, image_size)},
+        labels=np.asarray(index.labels, np.int32),
+        paths={modality: list(index.paths)},
+    )
+
+
+def load_paired(data_dir: Path, split: str, image_size: int = 224,
+                strategy: str = "aligned",
+                seed: Optional[int] = None) -> ArrayDataset:
+    """Paired dataset. ``strategy='aligned'`` = DFUPairedDataset semantics
+    (truncate-to-min); ``'pseudo'`` = MultimodalDataset modulo cycling."""
+    data_dir = Path(data_dir)
+    rgb_by_class = scan_split(data_dir / "rgb", split).by_class()
+    th_by_class = scan_split(data_dir / "thermal", split).by_class()
+    rgb_counts = [len(rgb_by_class[c]) for c in (0, 1)]
+    th_counts = [len(th_by_class[c]) for c in (0, 1)]
+
+    if strategy == "aligned":
+        pairs = pairing_mod.aligned_pairs(rgb_counts, th_counts)
+    elif strategy == "pseudo":
+        pairs = pairing_mod.pseudo_pairs(rgb_counts, th_counts, seed=seed)
+    else:
+        raise ValueError(f"unknown pairing strategy {strategy!r}")
+
+    rgb_paths = [rgb_by_class[p.label][p.rgb] if p.rgb is not None else None
+                 for p in pairs]
+    th_paths = [th_by_class[p.label][p.thermal] if p.thermal is not None
+                else None for p in pairs]
+    labels = np.asarray([p.label for p in pairs], np.int32)
+
+    return ArrayDataset(
+        arrays={"rgb": _decode_all(rgb_paths, image_size),
+                "thermal": _decode_all(th_paths, image_size)},
+        labels=labels,
+        paths={"rgb": rgb_paths, "thermal": th_paths},
+    )
+
+
+def sample_weights(labels: np.ndarray) -> np.ndarray:
+    """Per-sample inverse-class-frequency weights — the reference's
+    WeightedRandomSampler input (train_rgb_only.py:181-190)."""
+    counts = np.bincount(labels, minlength=2).astype(np.float64)
+    w = np.zeros(len(labels), np.float64)
+    for c, n in enumerate(counts):
+        if n > 0:
+            w[labels == c] = 1.0 / n
+    return w
+
+
+def epoch_indices(labels: np.ndarray, rng: np.random.Generator,
+                  weighted: bool = True) -> np.ndarray:
+    """One epoch's sample order: weighted-with-replacement (reference
+    sampler semantics, num_samples=len) or a plain shuffle."""
+    n = len(labels)
+    if weighted:
+        w = sample_weights(labels)
+        return rng.choice(n, size=n, replace=True, p=w / w.sum())
+    return rng.permutation(n)
+
+
+def batch_slices(dataset: ArrayDataset, order: np.ndarray, batch_size: int,
+                 pad_to_batch: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+    """Yield fixed-shape batch dicts with a ``valid`` mask.
+
+    Fixed shapes keep the jitted step from recompiling on ragged final
+    batches; invalid rows are masked out of loss and metrics.
+    """
+    n = len(order)
+    for start in range(0, n, batch_size):
+        idx = order[start:start + batch_size]
+        valid_n = len(idx)
+        if valid_n < batch_size and pad_to_batch:
+            idx = np.concatenate([idx, np.zeros(batch_size - valid_n,
+                                                idx.dtype)])
+        batch = {m: arr[idx] for m, arr in dataset.arrays.items()}
+        batch["label"] = dataset.labels[idx].astype(np.int32)
+        valid = np.zeros(len(idx), np.float32)
+        valid[:valid_n] = 1.0
+        batch["valid"] = valid
+        yield batch
+
+
+def device_prefetch(batches: Iterator[Dict[str, np.ndarray]],
+                    sharding=None, depth: int = 2
+                    ) -> Iterator[Dict[str, "np.ndarray"]]:
+    """Double-buffered host->device transfer: keep ``depth`` batches in
+    flight so the H2D DMA overlaps the previous step's compute."""
+    import jax
+
+    queue: collections.deque = collections.deque()
+
+    def put(batch):
+        if sharding is not None:
+            return jax.device_put(batch, sharding)
+        return jax.device_put(batch)
+
+    for batch in batches:
+        queue.append(put(batch))
+        if len(queue) > depth:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

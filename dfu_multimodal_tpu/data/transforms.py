@@ -1,0 +1,206 @@
+"""Device-side image transform pipeline (pure jit-able functions).
+
+The reference augments on the host with torchvision PIL ops inside DataLoader
+worker processes (reference notebooks/train_rgb_only.py:102-111,
+train_thermal_only.py:103-112, scripts/dataloader.py:136-196).  Here the host
+only decodes and resizes once; augmentation runs *on device inside the jitted
+train step* on uint8 batches:
+
+- all geometric ops (h/v flip, rotation ±30°, random affine ±20° /
+  translate 0.1 / scale 0.8-1.2) compose into a SINGLE 3x3 matrix per sample
+  and execute as one bilinear resample — one gather pass instead of
+  torchvision's four sequential PIL warps;
+- photometric ops (brightness/contrast/saturation jitter, Gaussian blur) are
+  vectorized elementwise/conv ops XLA fuses into the surrounding step;
+- normalization maps uint8 -> (x/255 - mean)/std in the model compute dtype.
+
+Randomness is JAX PRNG: one key per batch, split per sample, fully
+reproducible and mesh-shardable (each data-parallel shard consumes its own
+fold of the key).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dfu_multimodal_tpu.config import AugmentConfig, ModalityConfig
+
+
+def normalize(images: jnp.ndarray, mean: Tuple[float, ...],
+              std: Tuple[float, ...], dtype=jnp.float32) -> jnp.ndarray:
+    """uint8/float [0,255] NHWC -> normalized float NHWC."""
+    x = images.astype(jnp.float32) / 255.0
+    m = jnp.asarray(mean, jnp.float32)
+    s = jnp.asarray(std, jnp.float32)
+    return ((x - m) / s).astype(dtype)
+
+
+def _rot_mat(theta: jnp.ndarray) -> jnp.ndarray:
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    return jnp.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+
+
+def _scale_mat(sx: jnp.ndarray, sy: jnp.ndarray) -> jnp.ndarray:
+    return jnp.array([[sx, 0.0, 0.0], [0.0, sy, 0.0], [0.0, 0.0, 1.0]])
+
+
+def _translate_mat(tx: jnp.ndarray, ty: jnp.ndarray) -> jnp.ndarray:
+    return jnp.array([[1.0, 0.0, tx], [0.0, 1.0, ty], [0.0, 0.0, 1.0]])
+
+
+def sample_inverse_affine(key: jax.Array, cfg: AugmentConfig,
+                          height: int, width: int) -> jnp.ndarray:
+    """Draw one random geometric transform; return the INVERSE 3x3 matrix
+    mapping output pixel coords (centered) to input coords."""
+    k = jax.random.split(key, 8)
+    deg = math.pi / 180.0
+
+    hflip = jax.random.bernoulli(k[0], cfg.horizontal_flip_prob)
+    vflip = jax.random.bernoulli(k[1], cfg.vertical_flip_prob)
+    theta1 = jax.random.uniform(
+        k[2], minval=-cfg.rotation_degrees, maxval=cfg.rotation_degrees) * deg
+
+    apply_affine = jnp.logical_and(
+        jnp.asarray(cfg.affine), jax.random.bernoulli(k[3], cfg.aug_prob))
+    theta2 = jnp.where(
+        apply_affine,
+        jax.random.uniform(k[4], minval=-cfg.affine_degrees,
+                           maxval=cfg.affine_degrees) * deg, 0.0)
+    tx = jnp.where(
+        apply_affine,
+        jax.random.uniform(k[5], minval=-cfg.affine_translate,
+                           maxval=cfg.affine_translate) * width, 0.0)
+    ty = jnp.where(
+        apply_affine,
+        jax.random.uniform(k[6], minval=-cfg.affine_translate,
+                           maxval=cfg.affine_translate) * height, 0.0)
+    lo, hi = cfg.affine_scale
+    scale = jnp.where(apply_affine,
+                      jax.random.uniform(k[7], minval=lo, maxval=hi), 1.0)
+
+    # Forward: flip -> rotate(theta1) -> affine(rotate theta2, scale,
+    # translate).  Inverse composes in reverse with each op inverted.
+    inv_flip = _scale_mat(jnp.where(hflip, -1.0, 1.0),
+                          jnp.where(vflip, -1.0, 1.0))     # self-inverse
+    inv_rot1 = _rot_mat(-theta1)
+    inv_aff = (_scale_mat(1.0 / scale, 1.0 / scale)
+               @ _rot_mat(-theta2) @ _translate_mat(-tx, -ty))
+    return inv_flip @ inv_rot1 @ inv_aff
+
+
+def affine_warp(image: jnp.ndarray, inv_matrix: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear warp of one (H, W, C) float image about its center.
+    Out-of-bounds samples fill with 0 (torchvision's default fill)."""
+    h, w, c = image.shape
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) - cy
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) - cx
+    src_x = inv_matrix[0, 0] * xx + inv_matrix[0, 1] * yy + inv_matrix[0, 2] + cx
+    src_y = inv_matrix[1, 0] * xx + inv_matrix[1, 1] * yy + inv_matrix[1, 2] + cy
+
+    x0 = jnp.floor(src_x)
+    y0 = jnp.floor(src_y)
+    wx = src_x - x0
+    wy = src_y - y0
+
+    def gather(yi, xi):
+        valid = ((yi >= 0) & (yi <= h - 1) & (xi >= 0) & (xi <= w - 1))
+        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        flat = image.reshape(h * w, c)
+        vals = jnp.take(flat, yc * w + xc, axis=0)
+        return jnp.where(valid.reshape(h, w, 1), vals.reshape(h, w, c), 0.0)
+
+    p00 = gather(y0, x0)
+    p01 = gather(y0, x0 + 1)
+    p10 = gather(y0 + 1, x0)
+    p11 = gather(y0 + 1, x0 + 1)
+    wx = wx[..., None]
+    wy = wy[..., None]
+    top = p00 * (1 - wx) + p01 * wx
+    bot = p10 * (1 - wx) + p11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def _color_jitter(key: jax.Array, image: jnp.ndarray,
+                  cfg: AugmentConfig) -> jnp.ndarray:
+    """Brightness/contrast/saturation jitter on a [0,255] float image,
+    gated per-sample with probability ``aug_prob``."""
+    k_apply, kb, kc, ks = jax.random.split(key, 4)
+    apply = jax.random.bernoulli(k_apply, cfg.aug_prob)
+
+    b = jnp.where(apply, jax.random.uniform(
+        kb, minval=1 - cfg.brightness, maxval=1 + cfg.brightness), 1.0)
+    c = jnp.where(apply, jax.random.uniform(
+        kc, minval=1 - cfg.contrast, maxval=1 + cfg.contrast), 1.0)
+    s = jnp.where(apply, jax.random.uniform(
+        ks, minval=1 - cfg.saturation, maxval=1 + cfg.saturation), 1.0)
+
+    x = image * b
+    gray = (0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2])
+    x = gray.mean() * (1 - c) + x * c
+    x = gray[..., None] * (1 - s) + x * s
+    return jnp.clip(x, 0.0, 255.0)
+
+
+def _gaussian_blur(key: jax.Array, image: jnp.ndarray,
+                   cfg: AugmentConfig) -> jnp.ndarray:
+    """3-tap separable Gaussian blur with per-sample sigma, gated with
+    probability ``aug_prob`` (thermal pipeline, train_thermal_only.py:109)."""
+    k_apply, k_sigma = jax.random.split(key)
+    apply = jax.random.bernoulli(k_apply, cfg.aug_prob)
+    lo, hi = cfg.blur_sigma
+    sigma = jax.random.uniform(k_sigma, minval=lo, maxval=hi)
+
+    t = jnp.exp(-0.5 / (sigma * sigma))
+    kern = jnp.stack([t, 1.0, t])
+    kern = kern / jnp.sum(kern)
+
+    # Separable blur as two 1-D convs over H then W (C vectorized).
+    padded = jnp.pad(image, ((1, 1), (0, 0), (0, 0)), mode="edge")
+    blurred = (padded[:-2] * kern[0] + padded[1:-1] * kern[1]
+               + padded[2:] * kern[2])
+    padded = jnp.pad(blurred, ((0, 0), (1, 1), (0, 0)), mode="edge")
+    blurred = (padded[:, :-2] * kern[0] + padded[:, 1:-1] * kern[1]
+               + padded[:, 2:] * kern[2])
+    return jnp.where(apply, blurred, image)
+
+
+def _augment_one(key: jax.Array, image: jnp.ndarray,
+                 cfg: AugmentConfig) -> jnp.ndarray:
+    """Augment a single (H, W, C) uint8 image -> [0,255] float32."""
+    h, w, _ = image.shape
+    k_geom, k_color, k_blur = jax.random.split(key, 3)
+    x = image.astype(jnp.float32)
+    if cfg.color_jitter:
+        x = _color_jitter(k_color, x, cfg)
+    inv = sample_inverse_affine(k_geom, cfg, h, w)
+    x = affine_warp(x, inv)
+    if cfg.gaussian_blur:
+        x = _gaussian_blur(k_blur, x, cfg)
+    return x
+
+
+@partial(jax.jit, static_argnames=("modality", "dtype"))
+def augment_and_normalize(key: jax.Array, images: jnp.ndarray,
+                          modality: ModalityConfig,
+                          dtype=jnp.float32) -> jnp.ndarray:
+    """Train-time transform: per-sample random augment + normalize.
+    ``images``: uint8 (B, H, W, C) -> normalized (B, H, W, C) ``dtype``."""
+    keys = jax.random.split(key, images.shape[0])
+    out = jax.vmap(lambda k, im: _augment_one(k, im, modality.augment))(
+        keys, images)
+    return normalize(out, modality.mean, modality.std, dtype)
+
+
+@partial(jax.jit, static_argnames=("modality", "dtype"))
+def eval_normalize(images: jnp.ndarray, modality: ModalityConfig,
+                   dtype=jnp.float32) -> jnp.ndarray:
+    """Eval-time transform: normalize only (resize happened at load)."""
+    return normalize(images, modality.mean, modality.std, dtype)

@@ -1,0 +1,149 @@
+"""Data layer: pairing semantics, transforms, loader, leakage gate."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dfu_multimodal_tpu import config
+from dfu_multimodal_tpu.data import (
+    LeakageError, affine_warp, aligned_pairs, augment_and_normalize,
+    batch_slices, check_split_leakage, epoch_indices, eval_normalize,
+    load_paired, load_single_modality, make_synthetic_dataset, normalize,
+    pseudo_pairs, sample_weights)
+
+
+# ---------- pairing (pure index-space) ----------
+
+def test_aligned_pairs_truncates_to_min():
+    pairs = aligned_pairs([5, 3], [2, 7])
+    healthy = [p for p in pairs if p.label == 0]
+    ulcer = [p for p in pairs if p.label == 1]
+    assert len(healthy) == 2 and len(ulcer) == 3
+    assert all(p.rgb == p.thermal for p in pairs)
+
+
+def test_aligned_pairs_missing_modality_uses_placeholder():
+    pairs = aligned_pairs([4, 0], [0, 6])
+    healthy = [p for p in pairs if p.label == 0]
+    ulcer = [p for p in pairs if p.label == 1]
+    assert all(p.thermal is None for p in healthy) and len(healthy) == 4
+    assert all(p.rgb is None for p in ulcer) and len(ulcer) == 6
+
+
+def test_pseudo_pairs_modulo_cycling():
+    pairs = pseudo_pairs([3, 2], [5, 4], seed=0)
+    healthy = sorted((p.rgb, p.thermal) for p in pairs if p.label == 0)
+    # max(3,5)=5 pairs cycling rgb mod 3, thermal mod 5
+    assert healthy == sorted((i % 3, i % 5) for i in range(5))
+    ulcer = [p for p in pairs if p.label == 1]
+    assert len(ulcer) == 4
+    # class with one empty modality contributes nothing
+    assert set(pseudo_pairs([3, 0], [5, 7])) == set(pseudo_pairs([3, 0], [5, 0]))
+
+
+def test_pseudo_pairs_shuffle_is_seeded():
+    assert pseudo_pairs([10, 10], [10, 10], seed=1) == \
+        pseudo_pairs([10, 10], [10, 10], seed=1)
+
+
+# ---------- transforms ----------
+
+def test_normalize_matches_torchvision_formula():
+    img = np.full((1, 4, 4, 3), 128, np.uint8)
+    out = np.asarray(normalize(jnp.asarray(img), config.RGB_MEAN,
+                               config.RGB_STD))
+    expected = (128 / 255.0 - np.asarray(config.RGB_MEAN)) / \
+        np.asarray(config.RGB_STD)
+    np.testing.assert_allclose(out[0, 0, 0], expected, rtol=1e-5)
+
+
+def test_affine_warp_identity():
+    img = jnp.arange(4 * 4 * 3, dtype=jnp.float32).reshape(4, 4, 3)
+    out = affine_warp(img, jnp.eye(3))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-4)
+
+
+def test_affine_warp_hflip():
+    img = jnp.arange(4 * 4 * 3, dtype=jnp.float32).reshape(4, 4, 3)
+    flip = jnp.asarray(np.diag([-1.0, 1.0, 1.0]))
+    out = affine_warp(img, flip)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img[:, ::-1]),
+                               atol=1e-4)
+
+
+def test_augment_shapes_dtype_and_determinism():
+    imgs = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (4, 32, 32, 3), np.uint8))
+    mod = config.rgb_modality()
+    key = jax.random.PRNGKey(7)
+    a = augment_and_normalize(key, imgs, mod)
+    b = augment_and_normalize(key, imgs, mod)
+    assert a.shape == (4, 32, 32, 3) and a.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = augment_and_normalize(jax.random.PRNGKey(8), imgs, mod)
+    assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+def test_thermal_augment_has_blur_no_jitter():
+    mod = config.thermal_modality()
+    assert mod.augment.gaussian_blur and not mod.augment.color_jitter
+    imgs = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (2, 16, 16, 3), np.uint8))
+    out = augment_and_normalize(jax.random.PRNGKey(0), imgs, mod)
+    assert out.shape == (2, 16, 16, 3)
+
+
+# ---------- loader over synthetic data ----------
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    return make_synthetic_dataset(root, images_per_class=5, size=32)
+
+
+def test_load_single_modality(synth_root):
+    ds = load_single_modality(synth_root / "rgb", "train", image_size=32)
+    assert ds.arrays["rgb"].shape == (6, 32, 32, 3)   # 3 per class
+    assert ds.class_counts.tolist() == [3, 3]
+
+
+def test_load_paired_aligned_and_pseudo(synth_root):
+    aligned = load_paired(synth_root, "test", image_size=32,
+                          strategy="aligned")
+    assert set(aligned.arrays) == {"rgb", "thermal"}
+    assert len(aligned) == 2    # 1 per class (min pairing)
+    pseudo = load_paired(synth_root, "test", image_size=32,
+                         strategy="pseudo", seed=0)
+    assert len(pseudo) == 2
+
+
+def test_weighted_sampling_balances_classes():
+    labels = np.array([0] * 90 + [1] * 10)
+    w = sample_weights(labels)
+    assert w[:90].sum() == pytest.approx(w[90:].sum())
+    rng = np.random.default_rng(0)
+    order = epoch_indices(labels, rng, weighted=True)
+    frac_minority = (labels[order] == 1).mean()
+    assert 0.35 < frac_minority < 0.65
+
+
+def test_batch_slices_pads_and_masks(synth_root):
+    ds = load_single_modality(synth_root / "rgb", "train", image_size=32)
+    batches = list(batch_slices(ds, np.arange(len(ds)), batch_size=4))
+    assert len(batches) == 2
+    assert batches[0]["rgb"].shape == (4, 32, 32, 3)
+    assert batches[1]["valid"].sum() == len(ds) - 4
+    assert batches[1]["rgb"].shape == (4, 32, 32, 3)   # fixed shape
+
+
+# ---------- leakage gate ----------
+
+def test_leakage_gate(tmp_path):
+    a = tmp_path / "a.jpg"; a.write_bytes(b"imagedata1")
+    b = tmp_path / "b.jpg"; b.write_bytes(b"imagedata2")
+    dup = tmp_path / "dup.jpg"; dup.write_bytes(b"imagedata1")
+    check_split_leakage({"train": [a], "val": [b]}, verbose=False)  # clean
+    with pytest.raises(LeakageError):
+        check_split_leakage({"train": [a], "test": [dup]}, verbose=False)
