@@ -1,0 +1,82 @@
+"""Golden tests: our numpy metrics engine vs scikit-learn."""
+
+import numpy as np
+import pytest
+import sklearn.metrics as skm
+
+from dfu_multimodal_tpu.eval import metrics as M
+
+
+def cases():
+    rng = np.random.default_rng(42)
+    out = []
+    for n in (10, 131, 276):
+        y_true = rng.integers(0, 2, n)
+        y_score = rng.random(n)
+        y_pred = (y_score > 0.5).astype(int)
+        out.append((y_true, y_pred, y_score))
+    # with ties in scores
+    y_true = rng.integers(0, 2, 64)
+    y_score = np.round(rng.random(64), 1)
+    out.append((y_true, (y_score > 0.5).astype(int), y_score))
+    # degenerate: all one class predicted (the multimodal collapse case,
+    # BASELINE.md: sens=1.0 spec=0.0)
+    y_true = rng.integers(0, 2, 40)
+    out.append((y_true, np.ones(40, int), rng.random(40)))
+    return out
+
+
+@pytest.mark.parametrize("case_idx", range(len(cases())))
+def test_metrics_match_sklearn(case_idx):
+    y_true, y_pred, y_score = cases()[case_idx]
+    m = M.compute_all_metrics(y_true, y_pred, y_score)
+
+    np.testing.assert_array_equal(
+        m["confusion_matrix"], skm.confusion_matrix(y_true, y_pred))
+    assert m["accuracy"] == pytest.approx(skm.accuracy_score(y_true, y_pred))
+    assert m["precision"] == pytest.approx(
+        skm.precision_score(y_true, y_pred, zero_division=0))
+    assert m["recall"] == pytest.approx(
+        skm.recall_score(y_true, y_pred, zero_division=0))
+    assert m["f1"] == pytest.approx(
+        skm.f1_score(y_true, y_pred, zero_division=0))
+    assert m["mcc"] == pytest.approx(
+        skm.matthews_corrcoef(y_true, y_pred), abs=1e-12)
+    assert m["kappa"] == pytest.approx(
+        skm.cohen_kappa_score(y_true, y_pred), abs=1e-12)
+    assert m["auc_roc"] == pytest.approx(
+        skm.roc_auc_score(y_true, y_score), abs=1e-12)
+    prec, rec, _ = skm.precision_recall_curve(y_true, y_score)
+    assert m["auc_pr"] == pytest.approx(skm.auc(rec, prec), abs=1e-12)
+    assert m["balanced_accuracy"] == pytest.approx(
+        skm.balanced_accuracy_score(y_true, y_pred))
+
+
+@pytest.mark.parametrize("case_idx", range(len(cases())))
+def test_curves_match_sklearn(case_idx):
+    y_true, _, y_score = cases()[case_idx]
+    fpr, tpr, thr = M.roc_curve(y_true, y_score)
+    sk_fpr, sk_tpr, sk_thr = skm.roc_curve(y_true, y_score,
+                                           drop_intermediate=False)
+    np.testing.assert_allclose(fpr, sk_fpr)
+    np.testing.assert_allclose(tpr, sk_tpr)
+
+    prec, rec, _ = M.precision_recall_curve(y_true, y_score)
+    sk_prec, sk_rec, _ = skm.precision_recall_curve(y_true, y_score)
+    np.testing.assert_allclose(prec, sk_prec)
+    np.testing.assert_allclose(rec, sk_rec)
+
+
+def test_device_confusion_counts():
+    import jax.numpy as jnp
+    preds = jnp.asarray([1, 0, 1, 0, 1])
+    labels = jnp.asarray([1, 0, 0, 1, 1])
+    valid = jnp.asarray([1.0, 1.0, 1.0, 1.0, 0.0])   # last masked out
+    counts = np.asarray(M.confusion_counts(preds, labels, valid))
+    assert counts.tolist() == [1.0, 1.0, 1.0, 1.0]   # tn fp fn tp
+    assert M.f1_from_counts(counts) == pytest.approx(0.5)
+    assert M.accuracy_from_counts(counts) == pytest.approx(0.5)
+
+
+def test_f1_zero_division():
+    assert M.f1_from_counts(np.array([5.0, 0, 0, 0])) == 0.0
