@@ -37,6 +37,35 @@ def register(spec: ModelSpec) -> ModelSpec:
     return spec
 
 
+class TinyCNN(nn.Module):
+    """Small conv net for tests/smoke runs (not in the reference; exists so
+    engine/CLI paths can be exercised in seconds on CPU)."""
+
+    num_classes: int = 2
+    drop_rate: float = 0.2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False, taps=None):
+        x = x.astype(self.dtype)
+        for i, feats in enumerate((16, 32)):
+            x = nn.Conv(feats, (3, 3), strides=(2, 2), dtype=self.dtype,
+                        name=f"conv{i}")(x)
+            # fast-converging running stats: smoke runs are only ~20 steps
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.5,
+                             dtype=self.dtype, name=f"bn{i}")(x)
+            x = nn.relu(x)
+        if taps is not None and "features" in taps:
+            x = x + taps["features"]
+        self.sow("intermediates", "features", x)
+        x = jnp.mean(x, axis=(1, 2))
+        x = nn.Dropout(self.drop_rate, deterministic=not train)(x)
+        return nn.Dense(self.num_classes, dtype=jnp.float32,
+                        name="head")(x.astype(jnp.float32))
+
+
+register(ModelSpec("tiny_rgb", TinyCNN, ("rgb",), 32))
+register(ModelSpec("tiny_thermal", TinyCNN, ("thermal",), 32))
 register(ModelSpec("rgb_only", ResNetClassifier, ("rgb",), 2048))
 register(ModelSpec("thermal_only", ViTClassifier, ("thermal",), 768))
 register(ModelSpec("multimodal", MultimodalFusionClassifier,

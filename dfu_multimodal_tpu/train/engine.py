@@ -1,0 +1,340 @@
+"""The jitted training engine — one engine drives every model family.
+
+The reference repeats a near-identical module-level training script per model
+(reference notebooks/train_rgb_only.py:241-328, train_thermal_only.py:233-320,
+train_multimodal_fusion.py:360-451).  Here a single :class:`Trainer`
+parameterized by a model-zoo spec runs them all, with the reference's exact
+training semantics:
+
+- AdamW (torch defaults: b1=0.9 b2=0.999 eps=1e-8, decoupled weight decay
+  applied to every parameter), lr/wd from config (train_rgb_only.py:227-228);
+- class-weighted cross entropy with torch's weighted-mean reduction
+  Σ wᵢ·ceᵢ / Σ wᵢ where wᵢ = class_weight[yᵢ] (train_rgb_only.py:170-177);
+- weighted-with-replacement sampling per epoch (train_rgb_only.py:181-190);
+- best-by-val-F1 checkpointing from epoch ≥ save_best_after_epoch
+  (train_rgb_only.py:319-328); history dict of per-epoch loss/acc/F1.
+
+TPU-native differences:
+- augmentation + normalization run INSIDE the jitted train step on uint8
+  batches (data/transforms.py), so the host only slices an index array;
+- loss/accuracy/F1 accumulate as device-side confusion counts — one scalar
+  transfer per epoch instead of per-batch ``.cpu().numpy()``
+  (train_rgb_only.py:263-265);
+- the step is jitted over a (data, model) mesh: batch sharded over ``data``,
+  params replicated; XLA inserts the DP gradient all-reduce over ICI;
+- donated state + fixed batch shapes -> zero per-step retracing/realloc.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import freeze, unfreeze
+
+from dfu_multimodal_tpu.config import ModalityConfig, TrainConfig
+from dfu_multimodal_tpu.data import loader as data_loader
+from dfu_multimodal_tpu.data.loader import ArrayDataset
+from dfu_multimodal_tpu.data.transforms import (augment_and_normalize,
+                                                eval_normalize)
+from dfu_multimodal_tpu.eval import metrics as metrics_mod
+from dfu_multimodal_tpu.models import zoo
+from dfu_multimodal_tpu.parallel import mesh as mesh_mod
+from dfu_multimodal_tpu.utils import checkpoint as ckpt_mod
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def class_weights_from_labels(labels: np.ndarray) -> np.ndarray:
+    """total/count_c per class, 0 for empty classes
+    (train_rgb_only.py:170-175)."""
+    counts = np.bincount(labels, minlength=2).astype(np.float64)
+    total = counts.sum() if counts.sum() > 0 else 1.0
+    return np.where(counts > 0, total / np.maximum(counts, 1), 0.0).astype(
+        np.float32)
+
+
+def weighted_ce(logits: jnp.ndarray, labels: jnp.ndarray,
+                weights: jnp.ndarray) -> jnp.ndarray:
+    """torch ``CrossEntropyLoss(weight=w)`` semantics: Σ wᵢ·ceᵢ / Σ wᵢ."""
+    ce = optax.softmax_cross_entropy_with_integer_labels(
+        logits.astype(jnp.float32), labels)
+    wsum = jnp.sum(weights)
+    return jnp.sum(weights * ce) / jnp.maximum(wsum, 1e-12)
+
+
+@dataclass
+class EpochMetrics:
+    loss: float
+    accuracy: float
+    f1: float
+
+
+class Trainer:
+    """Train/eval engine for one model-zoo entry."""
+
+    def __init__(self, model_name: str, cfg: TrainConfig,
+                 modalities: Dict[str, ModalityConfig],
+                 class_weights: Optional[np.ndarray] = None,
+                 mesh=None, attention_impl: str = "auto"):
+        self.cfg = cfg
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        self.compute_dtype = dtype
+        kwargs = {}
+        spec_probe = zoo.get(model_name)
+        if "thermal" in spec_probe.inputs and spec_probe.name in (
+                "thermal_only", "multimodal"):
+            kwargs["attention_impl"] = attention_impl
+        self.module, self.spec = zoo.build(
+            model_name, drop_rate=cfg.drop_rate, dtype=dtype, **kwargs)
+        self.modalities = modalities
+        self.class_weights = (np.asarray(class_weights, np.float32)
+                              if class_weights is not None else None)
+        self.mesh = mesh if mesh is not None else mesh_mod.make_mesh(cfg.mesh)
+        self.batch_sharding = mesh_mod.batch_sharding(self.mesh)
+        self.replicated = mesh_mod.replicated(self.mesh)
+
+        self.tx = optax.adamw(cfg.learning_rate, b1=0.9, b2=0.999, eps=1e-8,
+                              weight_decay=cfg.weight_decay)
+        self._train_step = None
+        self._eval_step = None
+
+    # ------------------------------------------------------------- state
+
+    def init_state(self, rng: jax.Array, image_size: int = 224) -> TrainState:
+        variables = zoo.init_model(self.module, self.spec, rng, image_size)
+        variables = unfreeze(variables)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           batch_stats=batch_stats,
+                           opt_state=self.tx.init(params))
+        return jax.device_put(state, self.replicated)
+
+    def variables(self, state: TrainState) -> Dict:
+        v = {"params": state.params}
+        if state.batch_stats:
+            v["batch_stats"] = state.batch_stats
+        return v
+
+    # ------------------------------------------------------------- steps
+
+    def _preprocess_train(self, rng: jax.Array,
+                          batch: Dict[str, jnp.ndarray]) -> Tuple:
+        inputs = []
+        for i, m in enumerate(self.spec.inputs):
+            key = jax.random.fold_in(rng, i)
+            inputs.append(augment_and_normalize(
+                key, batch[m], self.modalities[m], self.compute_dtype))
+        return tuple(inputs)
+
+    def _preprocess_eval(self, batch: Dict[str, jnp.ndarray]) -> Tuple:
+        return tuple(
+            eval_normalize(batch[m], self.modalities[m], self.compute_dtype)
+            for m in self.spec.inputs)
+
+    def _sample_weights(self, labels: jnp.ndarray,
+                        valid: jnp.ndarray) -> jnp.ndarray:
+        if self.class_weights is not None and self.cfg.class_weighted_loss:
+            return jnp.asarray(self.class_weights)[labels] * valid
+        return valid
+
+    def build_train_step(self) -> Callable:
+        module, spec, tx = self.module, self.spec, self.tx
+
+        def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                       rng: jax.Array):
+            aug_rng, drop_rng = jax.random.split(jax.random.fold_in(
+                rng, state.step))
+            inputs = self._preprocess_train(aug_rng, batch)
+            labels = batch["label"]
+            weights = self._sample_weights(labels, batch["valid"])
+
+            def loss_fn(params):
+                variables = {"params": params}
+                mutable = []
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                    mutable = ["batch_stats"]
+                out = module.apply(variables, *inputs, train=True,
+                                   rngs={"dropout": drop_rng},
+                                   mutable=mutable)
+                logits, new_state = out if mutable else (out, {})
+                loss = weighted_ce(logits, labels, weights)
+                return loss, (logits, new_state.get("batch_stats",
+                                                    state.batch_stats))
+
+            (loss, (logits, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(step=state.step + 1, params=new_params,
+                                      batch_stats=new_bs, opt_state=new_opt)
+            preds = jnp.argmax(logits, axis=-1)
+            counts = metrics_mod.confusion_counts(preds, labels,
+                                                  batch["valid"])
+            return new_state, {"loss": loss, "counts": counts}
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def build_eval_step(self) -> Callable:
+        module, spec = self.module, self.spec
+
+        def eval_step(variables: Dict, batch: Dict[str, jnp.ndarray]):
+            inputs = self._preprocess_eval(batch)
+            labels = batch["label"]
+            logits = module.apply(variables, *inputs, train=False)
+            logits = logits.astype(jnp.float32)
+            weights = self._sample_weights(labels, batch["valid"])
+            loss = weighted_ce(logits, labels, weights)
+            probs = jax.nn.softmax(logits, axis=-1)[:, 1]
+            preds = jnp.argmax(logits, axis=-1)
+            counts = metrics_mod.confusion_counts(preds, labels,
+                                                  batch["valid"])
+            return {"loss": loss, "counts": counts, "probs": probs,
+                    "preds": preds}
+
+        return jax.jit(eval_step)
+
+    @property
+    def train_step(self) -> Callable:
+        if self._train_step is None:
+            self._train_step = self.build_train_step()
+        return self._train_step
+
+    @property
+    def eval_step(self) -> Callable:
+        if self._eval_step is None:
+            self._eval_step = self.build_eval_step()
+        return self._eval_step
+
+    # ------------------------------------------------------------- loops
+
+    def run_train_epoch(self, state: TrainState, dataset: ArrayDataset,
+                        np_rng: np.random.Generator, rng: jax.Array
+                        ) -> Tuple[TrainState, EpochMetrics]:
+        order = data_loader.epoch_indices(
+            dataset.labels, np_rng, weighted=self.cfg.weighted_sampling)
+        bs = mesh_mod.pad_batch_to_mesh(self.cfg.batch_size, self.mesh)
+        step_metrics = []
+        for batch in data_loader.device_prefetch(
+                data_loader.batch_slices(dataset, order, bs),
+                self.batch_sharding):
+            state, m = self.train_step(state, batch, rng)
+            step_metrics.append(m)
+        return state, self._reduce_epoch(step_metrics)
+
+    def run_eval_epoch(self, state: TrainState, dataset: ArrayDataset
+                       ) -> Tuple[EpochMetrics, Dict[str, np.ndarray]]:
+        """Returns (metrics, {'y_true','y_pred','y_probs'}) with padding
+        rows stripped."""
+        bs = mesh_mod.pad_batch_to_mesh(self.cfg.eval_bs, self.mesh)
+        variables = self.variables(state)
+        outs, losses, counts = [], [], []
+        for batch in data_loader.device_prefetch(
+                data_loader.batch_slices(
+                    dataset, np.arange(len(dataset)), bs),
+                self.batch_sharding):
+            out = self.eval_step(variables, batch)
+            losses.append(out["loss"])
+            counts.append(out["counts"])
+            outs.append((out["preds"], out["probs"]))
+
+        n = len(dataset)
+        preds = np.concatenate([np.asarray(p) for p, _ in outs])[:n]
+        probs = np.concatenate([np.asarray(pr) for _, pr in outs])[:n]
+        total_counts = np.sum(np.asarray(jnp.stack(counts)), axis=0)
+        metrics = EpochMetrics(
+            loss=float(np.mean(np.asarray(jnp.stack(losses)))),
+            accuracy=metrics_mod.accuracy_from_counts(total_counts),
+            f1=metrics_mod.f1_from_counts(total_counts))
+        arrays = {"y_true": np.asarray(dataset.labels), "y_pred": preds,
+                  "y_probs": probs}
+        return metrics, arrays
+
+    def _reduce_epoch(self, step_metrics: List[Dict]) -> EpochMetrics:
+        losses = np.asarray(jnp.stack([m["loss"] for m in step_metrics]))
+        counts = np.sum(
+            np.asarray(jnp.stack([m["counts"] for m in step_metrics])),
+            axis=0)
+        return EpochMetrics(loss=float(losses.mean()),
+                            accuracy=metrics_mod.accuracy_from_counts(counts),
+                            f1=metrics_mod.f1_from_counts(counts))
+
+    # --------------------------------------------------------------- fit
+
+    def fit(self, train_ds: ArrayDataset, val_ds: ArrayDataset,
+            checkpoint_dir: Optional[Path] = None,
+            image_size: int = 224, log: Callable[[str], None] = print
+            ) -> Tuple[TrainState, Dict[str, List[float]], float]:
+        """Full training run with the reference's epoch loop contract.
+        Returns (final_state, history, best_val_f1)."""
+        cfg = self.cfg
+        rng = jax.random.PRNGKey(cfg.seed)
+        np_rng = np.random.default_rng(cfg.seed)
+        state = self.init_state(rng, image_size)
+
+        history: Dict[str, List[float]] = {
+            "train_loss": [], "train_acc": [], "train_f1": [],
+            "val_loss": [], "val_acc": [], "val_f1": []}
+        best_val_f1 = 0.0
+
+        for epoch in range(1, cfg.num_epochs + 1):
+            t0 = time.perf_counter()
+            state, train_m = self.run_train_epoch(
+                state, train_ds, np_rng, jax.random.fold_in(rng, epoch))
+            val_m, _ = self.run_eval_epoch(state, val_ds)
+            dt = time.perf_counter() - t0
+
+            history["train_loss"].append(train_m.loss)
+            history["train_acc"].append(train_m.accuracy)
+            history["train_f1"].append(train_m.f1)
+            history["val_loss"].append(val_m.loss)
+            history["val_acc"].append(val_m.accuracy)
+            history["val_f1"].append(val_m.f1)
+
+            log(f"[Epoch {epoch}/{cfg.num_epochs}] "
+                f"Train Loss: {train_m.loss:.4f}, Acc: {train_m.accuracy:.4f},"
+                f" F1: {train_m.f1:.4f} | "
+                f"Val Loss: {val_m.loss:.4f}, Acc: {val_m.accuracy:.4f}, "
+                f"F1: {val_m.f1:.4f} ({dt:.1f}s)")
+
+            if (checkpoint_dir is not None
+                    and epoch >= cfg.save_best_after_epoch
+                    and val_m.f1 > best_val_f1):
+                best_val_f1 = val_m.f1
+                ckpt_mod.save_checkpoint(
+                    checkpoint_dir, epoch=epoch,
+                    model_state=self.variables(state),
+                    opt_state=state.opt_state, val_f1=val_m.f1,
+                    history=history,
+                    extra_meta={"model": self.spec.name})
+                log(f"  Saved BEST model (Val F1: {val_m.f1:.4f})")
+
+        return state, history, best_val_f1
+
+    # ------------------------------------------------------------- load
+
+    def restore(self, checkpoint_dir: Path, state: Optional[TrainState] = None,
+                image_size: int = 224) -> TrainState:
+        """Flexible restore into a fresh (or given) state."""
+        if state is None:
+            state = self.init_state(jax.random.PRNGKey(0), image_size)
+        payload, _ = ckpt_mod.load_checkpoint(checkpoint_dir)
+        target = self.variables(state)
+        merged, _, _ = ckpt_mod.load_flexible(target, payload["model_state"])
+        return state.replace(
+            params=merged["params"],
+            batch_stats=merged.get("batch_stats", state.batch_stats))

@@ -37,9 +37,11 @@ def save_checkpoint(directory: Path, *, epoch: int, model_state: Dict,
     """Write the best-model checkpoint, replacing any previous one."""
     directory = Path(directory)
     directory.mkdir(parents=True, exist_ok=True)
+    # to_state_dict converts optax namedtuple chains into plain nested
+    # dicts that msgpack can serialize.
     payload = {
-        "model_state": _to_numpy(model_state),
-        "opt_state": _to_numpy(opt_state),
+        "model_state": serialization.to_state_dict(_to_numpy(model_state)),
+        "opt_state": serialization.to_state_dict(_to_numpy(opt_state)),
     }
     path = directory / CKPT_NAME
     if path.exists():
@@ -87,6 +89,14 @@ def load_flexible(target: Dict, saved: Dict, verbose: bool = True
         print(f"  Loaded {loaded} arrays from checkpoint"
               + (f"; skipped {skipped}" if skipped else ""))
     return traverse_util.unflatten_dict(merged), loaded, skipped
+
+
+def restore_opt_state(target_opt_state: Any, saved_opt_state: Dict) -> Any:
+    """Rebuild a live optax state (namedtuple chain) from its saved
+    state-dict form — enables true mid-train resume (a capability the
+    reference lacks entirely: it saves optimizer state but never reads it,
+    SURVEY.md §5 checkpoint row)."""
+    return serialization.from_state_dict(target_opt_state, saved_opt_state)
 
 
 def best_checkpoint_exists(directory: Path) -> bool:
