@@ -1,0 +1,140 @@
+"""Shared implementation of the three training entry points.
+
+The reference scripts share an identical skeleton with per-model edits
+(SURVEY.md §3.1); here the skeleton lives once and each CLI supplies a small
+recipe: model name, modalities, defaults, dataset loading.  Output contracts
+match the reference: ``<ckpt-root>/checkpoints_<name>/best_model.*`` and
+``test_results.pt`` with keys test_preds/test_labels/test_probs/test_acc/
+test_f1/test_loss (reference notebooks/train_rgb_only.py:372-379).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+from dfu_multimodal_tpu import config as cfg_mod
+from dfu_multimodal_tpu.config import DataConfig, ModalityConfig, TrainConfig
+from dfu_multimodal_tpu.data import check_split_leakage
+from dfu_multimodal_tpu.data.loader import ArrayDataset
+from dfu_multimodal_tpu.eval import metrics as metrics_mod
+from dfu_multimodal_tpu.train.engine import (Trainer,
+                                             class_weights_from_labels)
+from dfu_multimodal_tpu.utils.artifacts import save_pt
+
+
+@dataclass(frozen=True)
+class TrainRecipe:
+    name: str                       # checkpoint dir suffix, e.g. "rgb_only"
+    model: str                      # model-zoo name
+    title: str                      # banner text
+    modalities: Dict[str, ModalityConfig]
+    defaults: TrainConfig
+    load_datasets: Callable[[DataConfig, argparse.Namespace],
+                            Dict[str, ArrayDataset]]
+    leakage_name: str = ""
+
+
+def build_parser(recipe: TrainRecipe) -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=recipe.title)
+    cfg_mod.add_common_args(parser)
+    parser.add_argument("--model", default=recipe.model,
+                        help="model-zoo name override (e.g. tiny_rgb for "
+                             "smoke runs)")
+    parser.add_argument("--image-size", type=int, default=224)
+    parser.add_argument("--attention-impl", default="auto",
+                        choices=["auto", "xla", "pallas"])
+    parser.add_argument("--no-leakage-check", action="store_true")
+    parser.add_argument("--skip-test-eval", action="store_true")
+    return parser
+
+
+def run_training(recipe: TrainRecipe,
+                 argv: Optional[list] = None) -> Dict[str, float]:
+    parser = build_parser(recipe)
+    args = parser.parse_args(argv)
+    train_cfg = cfg_mod.train_config_from_args(args, recipe.defaults)
+    data_cfg = cfg_mod.data_config_from_args(args)
+
+    import jax
+    ckpt_dir = Path(data_cfg.checkpoint_root) / f"checkpoints_{recipe.name}"
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+
+    print(f"Device: {jax.devices()[0].platform} x{jax.device_count()}")
+    print(f"Data Directory: {data_cfg.data_dir}")
+    print(f"Checkpoint Directory: {ckpt_dir}\n")
+
+    print("Loading datasets...")
+    datasets = recipe.load_datasets(
+        dataclasses.replace(data_cfg, image_size=args.image_size), args)
+    for split in ("train", "val", "test"):
+        ds = datasets[split]
+        counts = ds.class_counts
+        print(f"  {split.upper()}: {len(ds)} samples "
+              f"({counts[0]} healthy, {counts[1]} ulcer)")
+
+    if not args.no_leakage_check:
+        for modality in datasets["train"].modalities:
+            check_split_leakage(
+                {split: datasets[split].paths.get(modality, [])
+                 for split in ("train", "val", "test")},
+                name=f"{recipe.leakage_name or recipe.name}/{modality}")
+
+    labels = datasets["train"].labels
+    class_weights = class_weights_from_labels(labels)
+    counts = np.bincount(labels, minlength=2)
+    print(f"\nTraining class counts: healthy={counts[0]}, ulcer={counts[1]}")
+    print(f"Using class weights for loss: {class_weights.tolist()}")
+
+    print("\nBuilding model...")
+    trainer = Trainer(args.model, train_cfg, recipe.modalities,
+                      class_weights=class_weights,
+                      attention_impl=args.attention_impl)
+    print(f"Model: {args.model} "
+          f"(compute dtype {train_cfg.compute_dtype}, "
+          f"mesh data={trainer.mesh.shape['data']})")
+
+    print("\n" + "=" * 70)
+    print(recipe.title.upper())
+    print("=" * 70)
+    state, history, best_val_f1 = trainer.fit(
+        datasets["train"], datasets["val"], checkpoint_dir=ckpt_dir,
+        image_size=args.image_size)
+
+    print("\n" + "=" * 70)
+    print(f"TRAINING COMPLETE - Best Val F1: {best_val_f1:.4f}")
+    print("=" * 70)
+
+    results = {"best_val_f1": best_val_f1}
+    if not args.skip_test_eval:
+        print("\nEvaluating on test set...")
+        test_m, arrays = trainer.run_eval_epoch(state, datasets["test"])
+        test_acc = metrics_mod.compute_all_metrics(
+            arrays["y_true"], arrays["y_pred"])["accuracy"]
+        print("\n" + "=" * 70)
+        print(f"TEST RESULTS ({recipe.name.upper()})")
+        print("=" * 70)
+        print(f"Test Loss: {test_m.loss:.4f}")
+        print(f"Test Acc:  {test_m.accuracy:.4f}")
+        print(f"Test F1:   {test_m.f1:.4f}")
+        print("=" * 70)
+
+        save_pt({
+            "test_preds": arrays["y_pred"],
+            "test_labels": arrays["y_true"],
+            "test_probs": arrays["y_probs"],
+            "test_acc": test_m.accuracy,
+            "test_f1": test_m.f1,
+            "test_loss": test_m.loss,
+        }, ckpt_dir / "test_results.pt")
+        results.update(test_acc=test_acc, test_f1=test_m.f1,
+                       test_loss=test_m.loss)
+        print(f"\nTraining complete!")
+        print(f"Best model saved to: {ckpt_dir / 'best_model.msgpack'}")
+        print(f"Test results saved to: {ckpt_dir / 'test_results.pt'}")
+    return results

@@ -1,0 +1,156 @@
+"""Extended medical-metrics evaluation over all three checkpoints.
+
+TPU-native counterpart of reference notebooks/extended_metrics.py: for each
+of {rgb_only, thermal_only, multimodal} load the best checkpoint (flexible,
+shape-mismatch-skipping, :40-92), evaluate the test split in one jitted
+sweep, compute the full medical metric set, emit ``results.pt`` +
+confusion/ROC/PR PNGs into ``<out>/extended_metrics/<model>/``
+(:715-734), and print the cross-model summary comparison (:848-863).
+
+    python -m dfu_multimodal_tpu.cli.extended_metrics --data-dir <root>
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+from dfu_multimodal_tpu import config as cfg_mod
+from dfu_multimodal_tpu.config import DataConfig, TrainConfig
+from dfu_multimodal_tpu.data.loader import (load_paired,
+                                            load_single_modality)
+from dfu_multimodal_tpu.eval import metrics as metrics_mod
+from dfu_multimodal_tpu.eval import plots
+from dfu_multimodal_tpu.train.engine import Trainer
+from dfu_multimodal_tpu.utils import checkpoint as ckpt_mod
+from dfu_multimodal_tpu.utils.artifacts import save_pt
+
+# (checkpoint dir, display name, output subdir, model zoo name)
+MODELS = (
+    ("checkpoints_rgb_only", "RGB-Only", "rgb_only", "rgb_only"),
+    ("checkpoints_thermal_only", "Thermal-Only", "thermal_only",
+     "thermal_only"),
+    ("checkpoints_multimodal", "Multimodal", "multimodal", "multimodal"),
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Extended medical metrics evaluation")
+    cfg_mod.add_common_args(parser)
+    parser.add_argument("--output-dir", type=Path, default=None,
+                        help="default: <checkpoint-root>/extended_metrics")
+    parser.add_argument("--image-size", type=int, default=224)
+    parser.add_argument("--attention-impl", default="auto",
+                        choices=["auto", "xla", "pallas"])
+    parser.add_argument("--models", nargs="*", default=None,
+                        help="subset of rgb_only/thermal_only/multimodal")
+    parser.add_argument("--model-overrides", nargs="*", default=[],
+                        metavar="NAME=ZOO",
+                        help="e.g. rgb_only=tiny_rgb for smoke runs")
+    return parser
+
+
+def _make_trainer(zoo_name: str, args, image_size: int) -> Trainer:
+    cfg = TrainConfig(batch_size=8, compute_dtype=args.compute_dtype,
+                      mesh=cfg_mod.MeshConfig(data=args.mesh_data))
+    modalities = {"rgb": cfg_mod.rgb_modality(),
+                  "thermal": cfg_mod.thermal_modality()}
+    return Trainer(zoo_name, cfg, modalities,
+                   attention_impl=args.attention_impl)
+
+
+def evaluate_model(trainer: Trainer, ckpt_dir: Path, dataset,
+                   image_size: int) -> Optional[Dict[str, np.ndarray]]:
+    if not ckpt_mod.best_checkpoint_exists(ckpt_dir):
+        print(f"  Checkpoint not found: {ckpt_dir}")
+        return None
+    print(f"Loading: {ckpt_dir}")
+    state = trainer.restore(ckpt_dir, image_size=image_size)
+    _, arrays = trainer.run_eval_epoch(state, dataset)
+    return arrays
+
+
+def main(argv=None) -> Dict[str, Dict]:
+    args = build_parser().parse_args(argv)
+    data_cfg = cfg_mod.data_config_from_args(args)
+    out_root = args.output_dir or (Path(data_cfg.checkpoint_root)
+                                   / "extended_metrics")
+    overrides = dict(kv.split("=", 1) for kv in args.model_overrides)
+    selected = set(args.models) if args.models else None
+
+    print("=" * 70)
+    print("EXTENDED MEDICAL METRICS EVALUATION")
+    print("=" * 70)
+
+    print("\nLoading test datasets...")
+    size = args.image_size
+    datasets = {
+        "rgb_only": load_single_modality(
+            data_cfg.data_dir / "rgb", "test", size, "rgb"),
+        "thermal_only": load_single_modality(
+            data_cfg.data_dir / "thermal", "test", size, "thermal"),
+        "multimodal": load_paired(
+            data_cfg.data_dir, "test", size, strategy="pseudo",
+            seed=args.seed),
+    }
+
+    all_results: Dict[str, Dict] = {}
+    for ckpt_name, display, subdir, zoo_default in MODELS:
+        if selected is not None and subdir not in selected:
+            continue
+        print(f"\n{'=' * 70}\nEVALUATING {display.upper()} MODEL\n{'=' * 70}")
+        # model name resolution: explicit override > checkpoint metadata >
+        # the canonical default for this slot
+        ckpt_dir = Path(data_cfg.checkpoint_root) / ckpt_name
+        meta_model = ckpt_mod.load_meta(ckpt_dir).get("model")
+        zoo_name = overrides.get(subdir, meta_model or zoo_default)
+        trainer = _make_trainer(zoo_name, args, size)
+        arrays = evaluate_model(
+            trainer, Path(data_cfg.checkpoint_root) / ckpt_name,
+            datasets[subdir], size)
+        if arrays is None:
+            continue
+
+        metrics = metrics_mod.compute_all_metrics(
+            arrays["y_true"], arrays["y_pred"], arrays["y_probs"])
+        metrics_mod.print_report(metrics, display)
+
+        out_dir = out_root / subdir
+        out_dir.mkdir(parents=True, exist_ok=True)
+        plots.plot_confusion_matrix(arrays["y_true"], arrays["y_pred"],
+                                    display, out_dir)
+        plots.plot_roc_curve(arrays["y_true"], arrays["y_probs"], display,
+                             out_dir)
+        plots.plot_precision_recall_curve(arrays["y_true"],
+                                          arrays["y_probs"], display, out_dir)
+        save_pt({"y_true": arrays["y_true"], "y_pred": arrays["y_pred"],
+                 "y_probs": arrays["y_probs"], "metrics": metrics},
+                out_dir / "results.pt")
+        print(f"\nResults saved to {subdir}/results.pt")
+        all_results[display] = metrics
+
+    print("\n" + "=" * 70)
+    print("SUMMARY COMPARISON")
+    print("=" * 70)
+    if all_results:
+        print("\nF1-Scores:")
+        for name, m in all_results.items():
+            print(f"  {name:20s}: {m['f1']:.4f}")
+        print("\nSensitivity (Detect Ulcers):")
+        for name, m in all_results.items():
+            print(f"  {name:20s}: {m['sensitivity']:.4f}")
+        print("\nSpecificity (Identify Healthy):")
+        for name, m in all_results.items():
+            print(f"  {name:20s}: {m['specificity']:.4f}")
+    print("\n" + "=" * 70)
+    print(f"METRICS SAVED TO: {out_root}")
+    print("=" * 70)
+    return all_results
+
+
+if __name__ == "__main__":
+    main()

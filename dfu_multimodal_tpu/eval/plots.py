@@ -1,0 +1,90 @@
+"""Evaluation plot artifacts (confusion matrix, ROC, PR curves).
+
+File names, figure sizes, dpi and styling match the reference outputs so the
+artifact contract is preserved: ``confusion_matrix_<name>.png``,
+``roc_curve_<name>.png``, ``pr_curve_<name>.png`` at dpi=300
+(reference notebooks/extended_metrics.py:497-574).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from dfu_multimodal_tpu.eval import metrics as M
+
+
+def _plt():
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    return plt
+
+
+def plot_confusion_matrix(y_true, y_pred, model_name: str,
+                          output_dir: Path) -> Path:
+    plt = _plt()
+    cm = M.binary_confusion(y_true, y_pred)
+    fig, ax = plt.subplots(figsize=(8, 6))
+    im = ax.imshow(cm, cmap="Blues", interpolation="nearest")
+    plt.colorbar(im)
+    ax.set_xticks([0, 1]); ax.set_yticks([0, 1])
+    ax.set_xticklabels(["Healthy", "Ulcer"])
+    ax.set_yticklabels(["Healthy", "Ulcer"])
+    for i in range(2):
+        for j in range(2):
+            ax.text(j, i, cm[i, j], ha="center", va="center",
+                    color="white" if cm[i, j] > cm.max() / 2 else "black",
+                    fontsize=14, fontweight="bold")
+    ax.set_ylabel("True Label")
+    ax.set_xlabel("Predicted Label")
+    ax.set_title(f"Confusion Matrix: {model_name}")
+    plt.tight_layout()
+    out = Path(output_dir) / f"confusion_matrix_{model_name}.png"
+    plt.savefig(out, dpi=300, bbox_inches="tight")
+    plt.close(fig)
+    return out
+
+
+def plot_roc_curve(y_true, y_probs, model_name: str, output_dir: Path) -> Path:
+    plt = _plt()
+    fpr, tpr, _ = M.roc_curve(y_true, y_probs)
+    roc_auc = M.trapezoid_auc(fpr, tpr)
+    fig, ax = plt.subplots(figsize=(8, 6))
+    ax.plot(fpr, tpr, color="darkorange", lw=2,
+            label=f"ROC (AUC={roc_auc:.4f})")
+    ax.plot([0, 1], [0, 1], color="navy", lw=2, linestyle="--",
+            label="Random")
+    ax.set_xlim([0.0, 1.0]); ax.set_ylim([0.0, 1.05])
+    ax.set_xlabel("False Positive Rate")
+    ax.set_ylabel("True Positive Rate")
+    ax.set_title(f"ROC Curve: {model_name}")
+    ax.legend(loc="lower right")
+    ax.grid(alpha=0.3)
+    plt.tight_layout()
+    out = Path(output_dir) / f"roc_curve_{model_name}.png"
+    plt.savefig(out, dpi=300, bbox_inches="tight")
+    plt.close(fig)
+    return out
+
+
+def plot_precision_recall_curve(y_true, y_probs, model_name: str,
+                                output_dir: Path) -> Path:
+    plt = _plt()
+    precision, recall, _ = M.precision_recall_curve(y_true, y_probs)
+    pr_auc = M.trapezoid_auc(recall, precision)
+    fig, ax = plt.subplots(figsize=(8, 6))
+    ax.plot(recall, precision, color="green", lw=2,
+            label=f"PR (AUC={pr_auc:.4f})")
+    ax.set_xlabel("Recall")
+    ax.set_ylabel("Precision")
+    ax.set_title(f"Precision-Recall Curve: {model_name}")
+    ax.legend(loc="lower left")
+    ax.grid(alpha=0.3)
+    ax.set_xlim([0.0, 1.0]); ax.set_ylim([0.0, 1.05])
+    plt.tight_layout()
+    out = Path(output_dir) / f"pr_curve_{model_name}.png"
+    plt.savefig(out, dpi=300, bbox_inches="tight")
+    plt.close(fig)
+    return out

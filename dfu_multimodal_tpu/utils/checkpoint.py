@@ -91,6 +91,11 @@ def load_flexible(target: Dict, saved: Dict, verbose: bool = True
     return traverse_util.unflatten_dict(merged), loaded, skipped
 
 
+def load_meta(directory: Path) -> Dict:
+    meta_path = Path(directory) / META_NAME
+    return json.loads(meta_path.read_text()) if meta_path.exists() else {}
+
+
 def restore_opt_state(target_opt_state: Any, saved_opt_state: Dict) -> Any:
     """Rebuild a live optax state (namedtuple chain) from its saved
     state-dict form — enables true mid-train resume (a capability the

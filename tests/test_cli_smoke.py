@@ -1,0 +1,75 @@
+"""End-to-end CLI smoke: train all three entry points on synthetic data with
+tiny models, then run extended_metrics over the checkpoints and verify the
+full artifact contract."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dfu_multimodal_tpu.data.synthetic import make_synthetic_dataset
+from dfu_multimodal_tpu.utils.artifacts import load_pt
+
+SMOKE = ["--image-size", "32", "--batch-size", "8", "--epochs", "3",
+         "--lr", "3e-3", "--compute-dtype", "float32"]
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    data = root / "data"
+    make_synthetic_dataset(data, images_per_class=10, size=32)
+    logs = root / "logs"
+    return data, logs
+
+
+def test_train_rgb_cli(workdir):
+    data, logs = workdir
+    from dfu_multimodal_tpu.cli.train_rgb_only import main
+    res = main(["--data-dir", str(data), "--checkpoint-root", str(logs),
+                "--model", "tiny_rgb"] + SMOKE)
+    assert "test_f1" in res
+    out = logs / "checkpoints_rgb_only"
+    assert (out / "best_model.msgpack").exists()
+    saved = load_pt(out / "test_results.pt")
+    assert set(saved) >= {"test_preds", "test_labels", "test_probs",
+                          "test_acc", "test_f1", "test_loss"}
+    assert len(saved["test_preds"]) == len(saved["test_labels"])
+
+
+def test_train_thermal_cli(workdir):
+    data, logs = workdir
+    from dfu_multimodal_tpu.cli.train_thermal_only import main
+    res = main(["--data-dir", str(data), "--checkpoint-root", str(logs),
+                "--model", "tiny_thermal"] + SMOKE)
+    assert (logs / "checkpoints_thermal_only" / "test_results.pt").exists()
+
+
+def test_train_multimodal_cli(workdir):
+    data, logs = workdir
+    from dfu_multimodal_tpu.cli.train_multimodal_fusion import main
+    # tiny_rgb consumes only the rgb modality of the paired batch
+    res = main(["--data-dir", str(data), "--checkpoint-root", str(logs),
+                "--model", "tiny_rgb"] + SMOKE)
+    assert (logs / "checkpoints_multimodal" / "best_model.msgpack").exists()
+
+
+def test_extended_metrics_cli(workdir):
+    data, logs = workdir
+    from dfu_multimodal_tpu.cli.extended_metrics import main
+    results = main(["--data-dir", str(data), "--checkpoint-root", str(logs),
+                    "--image-size", "32", "--compute-dtype", "float32"])
+    assert set(results) == {"RGB-Only", "Thermal-Only", "Multimodal"}
+    for display, subdir in [("RGB-Only", "rgb_only"),
+                            ("Thermal-Only", "thermal_only"),
+                            ("Multimodal", "multimodal")]:
+        out = logs / "extended_metrics" / subdir
+        assert (out / "results.pt").exists()
+        assert (out / f"confusion_matrix_{display}.png").exists()
+        assert (out / f"roc_curve_{display}.png").exists()
+        assert (out / f"pr_curve_{display}.png").exists()
+        saved = load_pt(out / "results.pt")
+        assert {"y_true", "y_pred", "y_probs", "metrics"} <= set(saved)
+        m = saved["metrics"]
+        assert 0.0 <= m["accuracy"] <= 1.0
+        assert m["tn"] + m["fp"] + m["fn"] + m["tp"] == len(saved["y_true"])
