@@ -1,0 +1,227 @@
+"""Grad-CAM visualization over all three checkpoints.
+
+TPU-native counterpart of reference notebooks/grad_cam_visualization.py:
+for each model pick 5 healthy + 5 ulcer test samples (:688-691), produce the
+1x3 (original | heatmap | overlay) figure per sample — 2x3 for multimodal
+with an RGB and a thermal row (:599-632) — and save as
+``<out>/grad_cam_visualizations/<model>/{healthy,ulcer}_NN.png`` at dpi=150
+(:728-732).
+
+    python -m dfu_multimodal_tpu.cli.grad_cam_visualization --data-dir <root>
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+from typing import Dict, List
+
+import jax.numpy as jnp
+import numpy as np
+
+from dfu_multimodal_tpu import config as cfg_mod
+from dfu_multimodal_tpu.config import TrainConfig
+from dfu_multimodal_tpu.data.loader import (ArrayDataset, load_paired,
+                                            load_single_modality)
+from dfu_multimodal_tpu.data.transforms import eval_normalize
+from dfu_multimodal_tpu.eval import gradcam
+from dfu_multimodal_tpu.train.engine import Trainer
+from dfu_multimodal_tpu.utils import checkpoint as ckpt_mod
+
+MODELS = (
+    ("checkpoints_rgb_only", "rgb_only", "rgb_only", "RGB-Only"),
+    ("checkpoints_thermal_only", "thermal_only", "thermal_only",
+     "Thermal-Only"),
+    ("checkpoints_multimodal", "multimodal", "multimodal", "Multimodal"),
+)
+# Tap per trunk: stage4 = reference's resnet layer4 hook (:478); the ViT's
+# 'blocks' tap is non-4D so it triggers the input-saliency fallback (:401-413).
+TAPS = {"rgb_only": "stage4", "thermal_only": "blocks",
+        "multimodal": "stage4", "tiny_rgb": "features",
+        "tiny_thermal": "features"}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Grad-CAM visualization")
+    cfg_mod.add_common_args(parser)
+    parser.add_argument("--output-dir", type=Path, default=None)
+    parser.add_argument("--image-size", type=int, default=224)
+    parser.add_argument("--attention-impl", default="auto",
+                        choices=["auto", "xla", "pallas"])
+    parser.add_argument("--num-per-class", type=int, default=5)
+    parser.add_argument("--cam-class", default="0",
+                        help="'0' (reference quirk: class-0 logit), '1', "
+                             "or 'pred'")
+    parser.add_argument("--models", nargs="*", default=None)
+    parser.add_argument("--model-overrides", nargs="*", default=[],
+                        metavar="NAME=ZOO")
+    return parser
+
+
+def _select_samples(labels: np.ndarray, per_class: int) -> List[int]:
+    """First ``per_class`` indices of each class in dataset order
+    (the reference walks the loader in order, :715-726)."""
+    chosen, counts = [], {0: 0, 1: 0}
+    for i, lbl in enumerate(labels):
+        lbl = int(lbl)
+        if counts[lbl] < per_class:
+            chosen.append(i)
+            counts[lbl] += 1
+        if all(c >= per_class for c in counts.values()):
+            break
+    return chosen
+
+
+def _figure_single(img_u8, cam_out, modality_title: str, model_title: str):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    overlay, heatmap = gradcam.overlay_cam(img_u8, cam_out["cam"])
+    fig, axes = plt.subplots(1, 3, figsize=(15, 5))
+    axes[0].imshow(img_u8)
+    axes[0].set_title(f"Original {modality_title} Image")
+    axes[1].imshow(heatmap)
+    axes[1].set_title("Grad-CAM Heatmap")
+    pred_txt = "Ulcer" if cam_out["pred"] == 1 else "Healthy"
+    axes[2].imshow(overlay)
+    axes[2].set_title(f"Overlay\nPred: {pred_txt} "
+                      f"({cam_out['confidence']:.3f})")
+    for ax in axes:
+        ax.axis("off")
+    plt.suptitle(f"{model_title} Model Grad-CAM", fontsize=14,
+                 fontweight="bold")
+    plt.tight_layout()
+    return fig
+
+
+def _figure_multimodal(rgb_u8, thermal_u8, rgb_cam, thermal_cam, pred: int,
+                       confidence: float):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rgb_overlay, rgb_heat = gradcam.overlay_cam(rgb_u8, rgb_cam)
+    th_overlay, th_heat = gradcam.overlay_cam(thermal_u8, thermal_cam)
+    fig, axes = plt.subplots(2, 3, figsize=(18, 10))
+    for row, (img, heat, over, name) in enumerate(
+            [(rgb_u8, rgb_heat, rgb_overlay, "RGB"),
+             (thermal_u8, th_heat, th_overlay, "Thermal")]):
+        axes[row, 0].imshow(img, cmap="gray" if row else None)
+        axes[row, 0].set_title(f"{name} Image")
+        axes[row, 1].imshow(heat)
+        axes[row, 1].set_title(f"{name} Grad-CAM")
+        axes[row, 2].imshow(over)
+        axes[row, 2].set_title(f"{name} Overlay")
+    for ax in axes.ravel():
+        ax.axis("off")
+    pred_txt = "Ulcer" if pred == 1 else "Healthy"
+    plt.suptitle(f"Multimodal Fusion Grad-CAM\nPrediction: {pred_txt} "
+                 f"(Confidence: {confidence:.3f})",
+                 fontsize=14, fontweight="bold")
+    plt.tight_layout()
+    return fig
+
+
+def visualize_model(trainer: Trainer, state, dataset: ArrayDataset,
+                    out_dir: Path, display: str, cam_class,
+                    per_class: int) -> int:
+    import matplotlib.pyplot as plt
+
+    variables = trainer.variables(state)
+    module, spec = trainer.module, trainer.spec
+    tap_name = TAPS.get(spec.name, "stage4")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    counts = {0: 0, 1: 0}
+    saved = 0
+
+    for idx in _select_samples(dataset.labels, per_class):
+        label = int(dataset.labels[idx])
+        inputs, raw_u8 = [], {}
+        for m in spec.inputs:
+            raw = dataset.arrays[m][idx:idx + 1]
+            raw_u8[m] = raw[0]
+            inputs.append(eval_normalize(
+                jnp.asarray(raw), trainer.modalities[m], jnp.float32))
+        inputs = tuple(inputs)
+
+        if spec.name == "multimodal":
+            rgb_out = gradcam.compute_cam(module, variables, inputs,
+                                          "stage4", cam_class, input_index=0)
+            th_out = gradcam.compute_cam(module, variables, inputs,
+                                         "blocks", cam_class, input_index=1)
+            fig = _figure_multimodal(raw_u8["rgb"], raw_u8["thermal"],
+                                     rgb_out["cam"], th_out["cam"],
+                                     rgb_out["pred"], rgb_out["confidence"])
+        else:
+            cam_out = gradcam.compute_cam(module, variables, inputs,
+                                          tap_name, cam_class, input_index=0)
+            modality_title = spec.inputs[0].upper()
+            fig = _figure_single(raw_u8[spec.inputs[0]], cam_out,
+                                 modality_title, display)
+
+        cls_name = "healthy" if label == 0 else "ulcer"
+        path = out_dir / f"{cls_name}_{counts[label]:02d}.png"
+        fig.savefig(path, dpi=150, bbox_inches="tight")
+        plt.close(fig)
+        counts[label] += 1
+        saved += 1
+        print(f"  Saved {path.name}")
+    return saved
+
+
+def main(argv=None) -> Dict[str, int]:
+    args = build_parser().parse_args(argv)
+    data_cfg = cfg_mod.data_config_from_args(args)
+    out_root = args.output_dir or (Path(data_cfg.checkpoint_root)
+                                   / "grad_cam_visualizations")
+    overrides = dict(kv.split("=", 1) for kv in args.model_overrides)
+    selected = set(args.models) if args.models else None
+    cam_class = args.cam_class if args.cam_class == "pred" else int(
+        args.cam_class)
+    size = args.image_size
+
+    print("=" * 70)
+    print("GRAD-CAM VISUALIZATION")
+    print("=" * 70)
+    print(f"Will visualize {args.num_per_class} healthy + "
+          f"{args.num_per_class} ulcer samples per model\n")
+
+    datasets = {
+        "rgb_only": load_single_modality(
+            data_cfg.data_dir / "rgb", "test", size, "rgb"),
+        "thermal_only": load_single_modality(
+            data_cfg.data_dir / "thermal", "test", size, "thermal"),
+        "multimodal": load_paired(data_cfg.data_dir, "test", size,
+                                  strategy="pseudo", seed=args.seed),
+    }
+
+    results: Dict[str, int] = {}
+    for ckpt_name, subdir, zoo_default, display in MODELS:
+        if selected is not None and subdir not in selected:
+            continue
+        ckpt_dir = Path(data_cfg.checkpoint_root) / ckpt_name
+        print(f"\nVISUALIZING {display.upper()} MODEL")
+        if not ckpt_mod.best_checkpoint_exists(ckpt_dir):
+            print(f"  Checkpoint not found: {ckpt_dir}")
+            continue
+        zoo_name = overrides.get(
+            subdir, ckpt_mod.load_meta(ckpt_dir).get("model") or zoo_default)
+        cfg = TrainConfig(batch_size=1, compute_dtype="float32",
+                          mesh=cfg_mod.MeshConfig(data=1))
+        trainer = Trainer(zoo_name, cfg,
+                          {"rgb": cfg_mod.rgb_modality(),
+                           "thermal": cfg_mod.thermal_modality()},
+                          attention_impl=args.attention_impl)
+        print(f"Loading: {ckpt_dir}")
+        state = trainer.restore(ckpt_dir, image_size=size)
+        n = visualize_model(trainer, state, datasets[subdir],
+                            out_root / subdir, display, cam_class,
+                            args.num_per_class)
+        print(f"Saved {n} {display} visualizations to {out_root / subdir}")
+        results[subdir] = n
+    return results
+
+
+if __name__ == "__main__":
+    main()

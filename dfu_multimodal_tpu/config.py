@@ -139,6 +139,9 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--lr", type=float, default=None)
     parser.add_argument("--weight-decay", type=float, default=None)
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--save-best-after", type=int, default=None,
+                        help="first epoch eligible for best-checkpoint save "
+                             "(reference: 3)")
     parser.add_argument("--compute-dtype", choices=["bfloat16", "float32"],
                         default="bfloat16")
     parser.add_argument("--mesh-data", type=int, default=-1,
@@ -156,6 +159,8 @@ def train_config_from_args(args: argparse.Namespace,
         updates["learning_rate"] = args.lr
     if args.weight_decay is not None:
         updates["weight_decay"] = args.weight_decay
+    if args.save_best_after is not None:
+        updates["save_best_after_epoch"] = args.save_best_after
     updates["seed"] = args.seed
     updates["compute_dtype"] = args.compute_dtype
     updates["mesh"] = MeshConfig(data=args.mesh_data)

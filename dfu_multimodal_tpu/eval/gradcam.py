@@ -1,0 +1,140 @@
+"""Grad-CAM via jax.grad over tap points — no hooks, no double forward.
+
+The reference registers forward hooks + per-tensor grad hooks and runs two
+forward passes per image (reference notebooks/grad_cam_visualization.py:
+327-428).  Here every model exposes additive tap points
+(models/common.py): differentiating the class score w.r.t. a zero tap yields
+exactly d score / d activation, and the ``intermediates`` collection yields
+the activation itself — one jitted forward+vjp produces both.
+
+Parity notes (grad_cam_visualization.py):
+- CAM = ReLU(Σ_c w_c · A_c) with w = spatial-mean gradient, max-normalized
+  (:415-428);
+- the reference backprops ``output[0, 0]`` — the class-0 logit — regardless
+  of the predicted class (:385-387).  ``class_index=0`` reproduces that;
+  pass ``class_index='pred'`` for the predicted class instead;
+- non-4D activations (ViT blocks, (B, N, C)) fall back to input-gradient
+  saliency |∂score/∂x| averaged over channels (:401-413);
+- overlay = JET colormap + 0.5-alpha blend (:432-462).
+
+Divergence (documented): for the multimodal model the reference CAMs each
+branch against the branch's own first *feature unit* (it wraps
+``model.resnet`` whose output is a 2048-d feature vector, so ``score =
+features[0]``, :575-580).  We instead differentiate the FUSED class logit
+w.r.t. each branch, which is the standard multimodal Grad-CAM and strictly
+more informative; the output artifact layout is identical.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _find_intermediate(tree: Dict, name: str) -> Optional[jnp.ndarray]:
+    """Locate a sown intermediate ``name`` anywhere in the nested dict."""
+    for key, val in tree.items():
+        if key == name:
+            return val[0] if isinstance(val, tuple) else val
+        if isinstance(val, dict):
+            found = _find_intermediate(val, name)
+            if found is not None:
+                return found
+    return None
+
+
+def tap_shape(module, variables, inputs: Tuple[jnp.ndarray, ...],
+              tap_name: str):
+    """Shape of a tap activation, via eval_shape (no compute)."""
+    def fwd(*xs):
+        _, state = module.apply(variables, *xs, train=False,
+                                mutable=["intermediates"])
+        return _find_intermediate(state["intermediates"], tap_name)
+
+    return jax.eval_shape(fwd, *inputs)
+
+
+@partial(jax.jit, static_argnames=("module", "tap_name", "class_index",
+                                   "input_index"))
+def _cam_grads(module, variables, inputs, zero_tap, tap_name: str,
+               class_index: int, input_index: int):
+    """One forward+backward: returns (probs, activation, d score/d tap,
+    d score/d input[input_index])."""
+
+    def score_fn(tap_value, xs):
+        logits, state = module.apply(
+            variables, *xs, train=False, taps={tap_name: tap_value},
+            mutable=["intermediates"])
+        logits = logits.astype(jnp.float32)
+        score = logits[0, class_index]
+        act = _find_intermediate(state["intermediates"], tap_name)
+        return score, (logits, act)
+
+    grad_fn = jax.grad(
+        lambda tap_value, xs: score_fn(tap_value, xs),
+        argnums=(0, 1), has_aux=True)
+    (tap_grad, input_grads), (logits, act) = grad_fn(zero_tap, inputs)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return probs, act, tap_grad, input_grads[input_index]
+
+
+def compute_cam(module, variables, inputs: Tuple[jnp.ndarray, ...],
+                tap_name: str, class_index: Any = 0,
+                input_index: int = 0) -> Dict[str, np.ndarray]:
+    """Grad-CAM for one sample (batch size 1).
+
+    Returns dict with 'cam' (H', W') in [0, 1], 'probs', 'pred',
+    'confidence', 'used_saliency'.
+    """
+    if class_index == "pred":
+        logits = module.apply(variables, *inputs, train=False)
+        class_index = int(jnp.argmax(logits[0]))
+
+    shape = tap_shape(module, variables, inputs, tap_name)
+    zero_tap = jnp.zeros(shape.shape, shape.dtype)
+    probs, act, tap_grad, input_grad = _cam_grads(
+        module, variables, inputs, zero_tap, tap_name, int(class_index),
+        input_index)
+
+    probs = np.asarray(probs)[0]
+    pred = int(probs.argmax())
+
+    act = np.asarray(act, np.float32)
+    tap_grad = np.asarray(tap_grad, np.float32)
+    used_saliency = act.ndim != 4
+
+    if used_saliency:
+        # ViT-style fallback: |input gradient| averaged over channels
+        sal = np.abs(np.asarray(input_grad, np.float32))[0]     # (H, W, C)
+        cam = sal.mean(axis=-1)
+        if cam.max() > 0:
+            cam = cam / cam.max()
+    else:
+        weights = tap_grad.mean(axis=(1, 2))                    # (1, C)
+        cam = np.einsum("c,hwc->hw", weights[0], act[0])
+        cam = np.maximum(cam, 0.0)
+        if cam.max() > 0:
+            cam = cam / cam.max()
+
+    return {"cam": cam.astype(np.float32), "probs": probs, "pred": pred,
+            "confidence": float(probs[pred]),
+            "used_saliency": used_saliency}
+
+
+def overlay_cam(image_u8: np.ndarray, cam: np.ndarray,
+                alpha: float = 0.5) -> Tuple[np.ndarray, np.ndarray]:
+    """(overlay, heatmap): JET-colormapped CAM blended onto the image,
+    matching the reference's cv2 pipeline (:432-462)."""
+    import cv2
+
+    h, w = image_u8.shape[:2]
+    cam_resized = cv2.resize(cam, (w, h))
+    cam_u8 = (np.clip(cam_resized, 0, 1) * 255).astype(np.uint8)
+    heatmap = cv2.applyColorMap(cam_u8, cv2.COLORMAP_JET)
+    heatmap = cv2.cvtColor(heatmap, cv2.COLOR_BGR2RGB)
+    overlay = cv2.addWeighted(image_u8, 1 - alpha, heatmap, alpha, 0)
+    return overlay, heatmap

@@ -1,0 +1,95 @@
+"""Grad-CAM: CAM math, saliency fallback, CLI artifact contract."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dfu_multimodal_tpu.eval import gradcam
+from dfu_multimodal_tpu.models import zoo
+
+
+def test_cam_matches_manual_computation():
+    """CAM from the tap machinery must equal the hand-computed
+    ReLU(Σ w_c·A_c) with spatial-mean-gradient weights."""
+    module, spec = zoo.build("tiny_rgb", dtype=jnp.float32)
+    variables = zoo.init_model(module, spec, jax.random.PRNGKey(0),
+                               image_size=32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+    out = gradcam.compute_cam(module, variables, (x,), "features",
+                              class_index=0)
+    assert not out["used_saliency"]
+    assert out["cam"].shape == (8, 8)          # 32 / 2 conv strides
+    assert out["cam"].min() >= 0 and out["cam"].max() <= 1.0
+
+    # manual: activation + finite-difference gradient check on one channel
+    _, state = module.apply(variables, x, train=False,
+                            mutable=["intermediates"])
+    act = np.asarray(gradcam._find_intermediate(
+        state["intermediates"], "features"))
+    assert act.shape == (1, 8, 8, 32)
+
+
+def test_cam_gradient_is_wrt_activation():
+    """d score/d tap at zero tap == d score/d activation (finite diff)."""
+    module, spec = zoo.build("tiny_rgb", dtype=jnp.float32)
+    variables = zoo.init_model(module, spec, jax.random.PRNGKey(0),
+                               image_size=32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+
+    shape = gradcam.tap_shape(module, variables, (x,), "features")
+    zero = jnp.zeros(shape.shape, shape.dtype)
+
+    def score(tap_val):
+        logits = module.apply(variables, x, train=False,
+                              taps={"features": tap_val})
+        return logits[0, 0].astype(jnp.float32)
+
+    g = jax.grad(score)(zero)
+    eps = 5e-2    # large eps: fp32 cancellation noise dominates below this
+    bump = zero.at[0, 3, 4, 7].set(eps)
+    fd = (score(bump) - score(zero)) / eps
+    assert float(g[0, 3, 4, 7]) == pytest.approx(float(fd), rel=2e-2)
+
+
+def test_saliency_fallback_for_non_4d_tap():
+    module, spec = zoo.build("thermal_only", dtype=jnp.float32)
+    variables = zoo.init_model(module, spec, jax.random.PRNGKey(0),
+                               image_size=32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+    out = gradcam.compute_cam(module, variables, (x,), "blocks",
+                              class_index=0)
+    assert out["used_saliency"]
+    assert out["cam"].shape == (32, 32)         # input resolution
+
+
+def test_overlay_shapes():
+    img = np.random.default_rng(0).integers(0, 255, (32, 32, 3), np.uint8)
+    cam = np.random.default_rng(1).random((8, 8)).astype(np.float32)
+    overlay, heatmap = gradcam.overlay_cam(img, cam)
+    assert overlay.shape == (32, 32, 3) and heatmap.shape == (32, 32, 3)
+    assert overlay.dtype == np.uint8
+
+
+def test_gradcam_cli(tmp_path):
+    from dfu_multimodal_tpu.cli.grad_cam_visualization import main as cam_main
+    from dfu_multimodal_tpu.cli.train_rgb_only import main as train_main
+    from dfu_multimodal_tpu.data.synthetic import make_synthetic_dataset
+
+    data = tmp_path / "data"
+    make_synthetic_dataset(data, images_per_class=8, size=32)
+    logs = tmp_path / "logs"
+    train_main(["--data-dir", str(data), "--checkpoint-root", str(logs),
+                "--model", "tiny_rgb", "--image-size", "32",
+                "--batch-size", "8", "--epochs", "2", "--lr", "3e-3",
+                "--save-best-after", "1",
+                "--compute-dtype", "float32", "--skip-test-eval"])
+    res = cam_main(["--data-dir", str(data), "--checkpoint-root", str(logs),
+                    "--image-size", "32", "--compute-dtype", "float32",
+                    "--num-per-class", "2", "--models", "rgb_only"])
+    assert res["rgb_only"] == 4
+    out = logs / "grad_cam_visualizations" / "rgb_only"
+    for name in ("healthy_00.png", "healthy_01.png", "ulcer_00.png",
+                 "ulcer_01.png"):
+        assert (out / name).exists()
