@@ -1,0 +1,178 @@
+"""Benchmark: fused RGB+thermal inference throughput (images/sec/chip).
+
+The reference publishes no throughput numbers (BASELINE.md), so the
+comparison baseline is the CPU throughput of the same fused model, measured
+once via ``python bench.py --measure-cpu`` and stored in BASELINE_CPU.json
+(BASELINE.json target: >=10x CPU baseline on fused RGB+thermal inference).
+
+Default run: flagship multimodal model (ResNet50 ⊕ ViT-B/16, bf16 on TPU,
+Pallas flash attention), steady-state jitted inference on device-resident
+uint8 batches including on-device normalization.  Prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+CPU_BASELINE_FILE = REPO_ROOT / "BASELINE_CPU.json"
+
+
+def build_forward(batch_size: int, image_size: int = 224):
+    import jax
+    import jax.numpy as jnp
+
+    from dfu_multimodal_tpu import config
+    from dfu_multimodal_tpu.data.transforms import eval_normalize
+    from dfu_multimodal_tpu.models import zoo
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    attention_impl = "pallas" if on_tpu else "xla"
+
+    module, spec = zoo.build("multimodal", dtype=dtype,
+                             attention_impl=attention_impl)
+    variables = zoo.init_model(module, spec, jax.random.PRNGKey(0),
+                               image_size=image_size)
+    rgb_mod = config.rgb_modality()
+    th_mod = config.thermal_modality()
+
+    @jax.jit
+    def forward(variables, rgb_u8, thermal_u8):
+        rgb = eval_normalize(rgb_u8, rgb_mod, dtype)
+        thermal = eval_normalize(thermal_u8, th_mod, dtype)
+        logits = module.apply(variables, rgb, thermal, train=False)
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+    key = jax.random.PRNGKey(1)
+    rgb = jax.random.randint(key, (batch_size, image_size, image_size, 3),
+                             0, 256, dtype=jnp.int32).astype(jnp.uint8)
+    th = jax.random.randint(key, (batch_size, image_size, image_size, 3),
+                            0, 256, dtype=jnp.int32).astype(jnp.uint8)
+    return forward, variables, rgb, th, platform
+
+
+def _tunnel_rtt_ms(repeats: int = 7) -> float:
+    """Host<->device round-trip latency of a trivial fetched program.
+
+    Under the axon TPU tunnel ``block_until_ready`` returns without waiting
+    for device completion; only a device->host fetch synchronizes.  All
+    timings therefore fetch a scalar and subtract this RTT."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    @jax.jit
+    def trivial(x):
+        return x + 1
+
+    x = jnp.zeros((2, 2))
+    np.asarray(trivial(x))
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        np.asarray(trivial(x))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2] * 1e3
+
+
+def measure(batch_size: int, iters: int, chain: int = 10):
+    """Steady-state throughput via a chained-scan program.
+
+    ``chain`` forwards are serialized inside ONE device program by a
+    data-dependent perturbation of BOTH inputs (defeats loop-invariant
+    hoisting and dead-code batch narrowing), and the scalar outputs are
+    fetched once; per-iteration time = (total - tunnel RTT) / chain.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    forward, variables, rgb, th, platform = build_forward(batch_size)
+    rtt_ms = _tunnel_rtt_ms()
+
+    def chained(variables, rgb, th):
+        def body(carry, _):
+            r, t = carry
+            out = forward(variables, r, t)
+            s = jnp.sum(out)                     # consume the WHOLE batch
+            bump = (s > 0).astype(jnp.uint8)
+            return (r ^ bump, t ^ bump), s
+        _, outs = jax.lax.scan(body, (rgb, th), None, length=chain)
+        return outs
+
+    run = jax.jit(chained)
+    np.asarray(run(variables, rgb, th))          # compile + warm
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        np.asarray(run(variables, rgb, th))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    p50_total_ms = times[len(times) // 2] * 1e3
+    per_iter_ms = max((p50_total_ms - rtt_ms) / chain, 1e-6)
+    return {"platform": platform, "batch_size": batch_size,
+            "images_per_sec_per_chip": batch_size / (per_iter_ms / 1e3),
+            "p50_batch_latency_ms": per_iter_ms,
+            "tunnel_rtt_ms": rtt_ms, "chain": chain, "iters": iters}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument("--iters", type=int, default=None)
+    parser.add_argument("--warmup", type=int, default=None)
+    parser.add_argument("--measure-cpu", action="store_true",
+                        help="measure + store the CPU baseline instead")
+    args = parser.parse_args()
+
+    if args.measure_cpu:
+        import os
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          str(REPO_ROOT / ".jax_cache"))
+        result = measure(args.batch_size or 4, args.iters or 2, chain=2)
+        CPU_BASELINE_FILE.write_text(json.dumps(result, indent=2))
+        print(json.dumps(result))
+        return
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      str(REPO_ROOT / ".jax_cache"))
+    on_tpu = jax.devices()[0].platform == "tpu"
+    result = measure(args.batch_size or (128 if on_tpu else 4),
+                     args.iters or (7 if on_tpu else 2),
+                     chain=10 if on_tpu else 2)
+
+    vs_baseline = None
+    if CPU_BASELINE_FILE.exists():
+        cpu = json.loads(CPU_BASELINE_FILE.read_text())
+        vs_baseline = (result["images_per_sec_per_chip"]
+                       / cpu["images_per_sec_per_chip"])
+
+    print(json.dumps({
+        "metric": "fused_rgb_thermal_inference_images_per_sec_per_chip",
+        "value": round(result["images_per_sec_per_chip"], 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "p50_batch_latency_ms": round(result["p50_batch_latency_ms"], 2),
+        "batch_size": result["batch_size"],
+        "platform": result["platform"],
+    }))
+
+
+if __name__ == "__main__":
+    main()
