@@ -51,6 +51,13 @@ def build_parser(recipe: TrainRecipe) -> argparse.ArgumentParser:
                         choices=["auto", "xla", "pallas"])
     parser.add_argument("--no-leakage-check", action="store_true")
     parser.add_argument("--skip-test-eval", action="store_true")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from this run's best checkpoint "
+                             "(model + optimizer state)")
+    parser.add_argument("--profile-dir", type=Path, default=None,
+                        help="write a jax.profiler trace of epoch 2 here")
+    parser.add_argument("--debug-nans", action="store_true",
+                        help="raise at the first NaN produced under jit")
     return parser
 
 
@@ -62,6 +69,9 @@ def run_training(recipe: TrainRecipe,
     data_cfg = cfg_mod.data_config_from_args(args)
 
     import jax
+    if args.debug_nans:
+        from dfu_multimodal_tpu.utils.logging import enable_nan_debugging
+        enable_nan_debugging(True)
     ckpt_dir = Path(data_cfg.checkpoint_root) / f"checkpoints_{recipe.name}"
     ckpt_dir.mkdir(parents=True, exist_ok=True)
 
@@ -104,7 +114,8 @@ def run_training(recipe: TrainRecipe,
     print("=" * 70)
     state, history, best_val_f1 = trainer.fit(
         datasets["train"], datasets["val"], checkpoint_dir=ckpt_dir,
-        image_size=args.image_size)
+        image_size=args.image_size, profile_dir=args.profile_dir,
+        resume_from=ckpt_dir if args.resume else None)
 
     print("\n" + "=" * 70)
     print(f"TRAINING COMPLETE - Best Val F1: {best_val_f1:.4f}")

@@ -97,6 +97,8 @@ def load_paired(data_dir: Path, split: str, image_size: int = 224,
         pairs = pairing_mod.aligned_pairs(rgb_counts, th_counts)
     elif strategy == "pseudo":
         pairs = pairing_mod.pseudo_pairs(rgb_counts, th_counts, seed=seed)
+    elif strategy == "random":
+        pairs = pairing_mod.random_pairs(rgb_counts, th_counts, seed=seed)
     else:
         raise ValueError(f"unknown pairing strategy {strategy!r}")
 

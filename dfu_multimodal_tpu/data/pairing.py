@@ -68,6 +68,24 @@ def pseudo_pairs(rgb_counts: Sequence[int], thermal_counts: Sequence[int],
     return pairs
 
 
+def random_pairs(rgb_counts: Sequence[int], thermal_counts: Sequence[int],
+                 seed: Optional[int] = None) -> List[Pair]:
+    """Label-matched *random* pairing, min-count per class — the legacy
+    early-files strategy (reference notebooks/early files/
+    train_rgb_resnet_fusion.py:114-200): per class take
+    min(len(rgb), len(thermal)) labels, each pair drawing random samples of
+    that class from both modalities; then shuffle the label sequence."""
+    rng = random.Random(seed)
+    pairs: List[Pair] = []
+    for label, (n_rgb, n_th) in enumerate(zip(rgb_counts, thermal_counts)):
+        n = min(n_rgb, n_th)
+        for _ in range(n):
+            pairs.append(Pair(rng.randrange(n_rgb), rng.randrange(n_th),
+                              label))
+    rng.shuffle(pairs)
+    return pairs
+
+
 def pair_class_counts(pairs: Sequence[Pair]) -> Tuple[int, int]:
     healthy = sum(1 for p in pairs if p.label == 0)
     return healthy, len(pairs) - healthy

@@ -110,6 +110,72 @@ class GatedFusion(nn.Module):
         return g * rgb_feat + (1.0 - g) * th_feat
 
 
+class LegacyGatedFusionClassifier(nn.Module):
+    """Legacy dual-EfficientNet gated-fusion classifier — behavioral
+    counterpart of the early-files trainers (reference notebooks/early
+    files/train_RGB_Thermal_Unimodal_fusion.py:66-80: two EfficientNet-B0
+    encoders -> sigmoid gate -> 1280 -> 256 -> head).
+
+    Divergence (documented, SURVEY.md §7f): the legacy heads emit a single
+    sigmoid unit trained with BCE; we standardize every model on the
+    2-class softmax contract, so this head is Dense(num_classes).
+    """
+
+    num_classes: int = 2
+    drop_rate: float = 0.3
+    feat_dim: int = 1280
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, rgb: jnp.ndarray, thermal: jnp.ndarray, *,
+                 train: bool = False, taps: Taps = None) -> jnp.ndarray:
+        from dfu_multimodal_tpu.models.efficientnet import EfficientNetB0
+        rgb_feat = EfficientNetB0(dtype=self.dtype, name="rgb_encoder")(
+            rgb, train=train, taps=taps)
+        th_feat = EfficientNetB0(dtype=self.dtype, name="thermal_encoder")(
+            thermal, train=train, taps=taps)
+        fused = GatedFusion(self.feat_dim, self.dtype, name="fusion")(
+            rgb_feat, th_feat)
+        x = nn.Dense(256, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="cls_fc1")(fused)
+        x = nn.relu(x)
+        x = nn.Dropout(self.drop_rate, deterministic=not train)(x)
+        return nn.Dense(self.num_classes, dtype=jnp.float32,
+                        param_dtype=jnp.float32, name="head")(x)
+
+
+class LegacyResNetEfficientNetFusion(nn.Module):
+    """Legacy RGB-ResNet50 + thermal-EfficientNet gated fusion — counterpart
+    of reference notebooks/early files/train_rgb_resnet_fusion.py:147-200
+    (ResNet50 features projected 2048 -> 1280, then gated fusion).  Same
+    2-class head standardization as above."""
+
+    num_classes: int = 2
+    drop_rate: float = 0.3
+    feat_dim: int = 1280
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, rgb: jnp.ndarray, thermal: jnp.ndarray, *,
+                 train: bool = False, taps: Taps = None) -> jnp.ndarray:
+        from dfu_multimodal_tpu.models.efficientnet import EfficientNetB0
+        rgb_feat = ResNet50(dtype=self.dtype, name="rgb_encoder")(
+            rgb, train=train, taps=taps)                   # (B, 2048)
+        rgb_feat = nn.Dense(self.feat_dim, dtype=self.dtype,
+                            param_dtype=jnp.float32,
+                            name="rgb_proj")(rgb_feat)     # -> 1280
+        th_feat = EfficientNetB0(dtype=self.dtype, name="thermal_encoder")(
+            thermal, train=train, taps=taps)
+        fused = GatedFusion(self.feat_dim, self.dtype, name="fusion")(
+            rgb_feat, th_feat)
+        x = nn.Dense(256, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="cls_fc1")(fused)
+        x = nn.relu(x)
+        x = nn.Dropout(self.drop_rate, deterministic=not train)(x)
+        return nn.Dense(self.num_classes, dtype=jnp.float32,
+                        param_dtype=jnp.float32, name="head")(x)
+
+
 class LegacyClassifier(nn.Module):
     """Legacy 1280 -> 256 -> 1 sigmoid head (models/classifier.py:4-16)."""
 

@@ -16,7 +16,9 @@ import jax
 import jax.numpy as jnp
 
 from dfu_multimodal_tpu.models.efficientnet import EfficientNetClassifier
-from dfu_multimodal_tpu.models.fusion import MultimodalFusionClassifier
+from dfu_multimodal_tpu.models.fusion import (LegacyGatedFusionClassifier,
+                                              LegacyResNetEfficientNetFusion,
+                                              MultimodalFusionClassifier)
 from dfu_multimodal_tpu.models.resnet import ResNetClassifier
 from dfu_multimodal_tpu.models.vit import ViTClassifier
 
@@ -73,6 +75,10 @@ register(ModelSpec("multimodal", MultimodalFusionClassifier,
 register(ModelSpec("efficientnet_rgb", EfficientNetClassifier, ("rgb",), 1280))
 register(ModelSpec("efficientnet_thermal", EfficientNetClassifier,
                    ("thermal",), 1280))
+register(ModelSpec("legacy_gated_fusion", LegacyGatedFusionClassifier,
+                   ("rgb", "thermal"), 1280))
+register(ModelSpec("legacy_rgb_resnet_fusion",
+                   LegacyResNetEfficientNetFusion, ("rgb", "thermal"), 1280))
 
 
 def get(name: str) -> ModelSpec:

@@ -223,8 +223,8 @@ class Trainer:
     # ------------------------------------------------------------- loops
 
     def run_train_epoch(self, state: TrainState, dataset: ArrayDataset,
-                        np_rng: np.random.Generator, rng: jax.Array
-                        ) -> Tuple[TrainState, EpochMetrics]:
+                        np_rng: np.random.Generator, rng: jax.Array,
+                        meter=None) -> Tuple[TrainState, EpochMetrics]:
         order = data_loader.epoch_indices(
             dataset.labels, np_rng, weighted=self.cfg.weighted_sampling)
         bs = mesh_mod.pad_batch_to_mesh(self.cfg.batch_size, self.mesh)
@@ -234,6 +234,8 @@ class Trainer:
                 self.batch_sharding):
             state, m = self.train_step(state, batch, rng)
             step_metrics.append(m)
+            if meter is not None:
+                meter.update(bs)
         return state, self._reduce_epoch(step_metrics)
 
     def run_eval_epoch(self, state: TrainState, dataset: ArrayDataset
@@ -277,10 +279,20 @@ class Trainer:
 
     def fit(self, train_ds: ArrayDataset, val_ds: ArrayDataset,
             checkpoint_dir: Optional[Path] = None,
-            image_size: int = 224, log: Callable[[str], None] = print
+            image_size: int = 224, log: Callable[[str], None] = print,
+            profile_dir: Optional[Path] = None,
+            resume_from: Optional[Path] = None
             ) -> Tuple[TrainState, Dict[str, List[float]], float]:
         """Full training run with the reference's epoch loop contract.
-        Returns (final_state, history, best_val_f1)."""
+        Returns (final_state, history, best_val_f1).
+
+        ``profile_dir`` captures a jax.profiler trace of epoch 2 (first
+        epoch is compile-dominated). ``resume_from`` restores model +
+        optimizer state and continues — a capability the reference lacks
+        (it saves optimizer state but never reads it, SURVEY.md §5)."""
+        from dfu_multimodal_tpu.utils.logging import (ThroughputMeter,
+                                                      profile_trace)
+
         cfg = self.cfg
         rng = jax.random.PRNGKey(cfg.seed)
         np_rng = np.random.default_rng(cfg.seed)
@@ -290,11 +302,31 @@ class Trainer:
             "train_loss": [], "train_acc": [], "train_f1": [],
             "val_loss": [], "val_acc": [], "val_f1": []}
         best_val_f1 = 0.0
+        start_epoch = 1
 
-        for epoch in range(1, cfg.num_epochs + 1):
+        if resume_from is not None and ckpt_mod.best_checkpoint_exists(
+                resume_from):
+            state = self.restore(resume_from, state=state,
+                                 image_size=image_size,
+                                 with_opt_state=True)
+            meta = ckpt_mod.load_meta(resume_from)
+            start_epoch = int(meta.get("epoch", 0)) + 1
+            best_val_f1 = float(meta.get("val_f1", 0.0))
+            saved_history = meta.get("history", {})
+            for key in history:
+                history[key] = list(saved_history.get(key, []))
+            log(f"Resumed from {resume_from} at epoch {start_epoch} "
+                f"(best val F1 {best_val_f1:.4f})")
+
+        meter = ThroughputMeter(n_chips=self.mesh.size)
+        for epoch in range(start_epoch, cfg.num_epochs + 1):
             t0 = time.perf_counter()
-            state, train_m = self.run_train_epoch(
-                state, train_ds, np_rng, jax.random.fold_in(rng, epoch))
+            meter.reset()
+            with profile_trace(profile_dir if epoch == 2 else None):
+                state, train_m = self.run_train_epoch(
+                    state, train_ds, np_rng, jax.random.fold_in(rng, epoch),
+                    meter=meter)
+            throughput = meter.summary()
             val_m, _ = self.run_eval_epoch(state, val_ds)
             dt = time.perf_counter() - t0
 
@@ -309,7 +341,7 @@ class Trainer:
                 f"Train Loss: {train_m.loss:.4f}, Acc: {train_m.accuracy:.4f},"
                 f" F1: {train_m.f1:.4f} | "
                 f"Val Loss: {val_m.loss:.4f}, Acc: {val_m.accuracy:.4f}, "
-                f"F1: {val_m.f1:.4f} ({dt:.1f}s)")
+                f"F1: {val_m.f1:.4f} ({dt:.1f}s, {throughput})")
 
             if (checkpoint_dir is not None
                     and epoch >= cfg.save_best_after_epoch
@@ -328,13 +360,23 @@ class Trainer:
     # ------------------------------------------------------------- load
 
     def restore(self, checkpoint_dir: Path, state: Optional[TrainState] = None,
-                image_size: int = 224) -> TrainState:
-        """Flexible restore into a fresh (or given) state."""
+                image_size: int = 224,
+                with_opt_state: bool = False) -> TrainState:
+        """Flexible restore into a fresh (or given) state; optionally also
+        rebuilds the optimizer state for mid-train resume."""
         if state is None:
             state = self.init_state(jax.random.PRNGKey(0), image_size)
         payload, _ = ckpt_mod.load_checkpoint(checkpoint_dir)
         target = self.variables(state)
         merged, _, _ = ckpt_mod.load_flexible(target, payload["model_state"])
+        opt_state = state.opt_state
+        if with_opt_state and payload.get("opt_state"):
+            try:
+                opt_state = ckpt_mod.restore_opt_state(state.opt_state,
+                                                       payload["opt_state"])
+            except (KeyError, ValueError, TypeError) as e:
+                print(f"  (optimizer state not restored: {e})")
         return state.replace(
             params=merged["params"],
-            batch_stats=merged.get("batch_stats", state.batch_stats))
+            batch_stats=merged.get("batch_stats", state.batch_stats),
+            opt_state=opt_state)
