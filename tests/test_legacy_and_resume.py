@@ -85,11 +85,12 @@ def test_resume_continues_training(tmp_path):
 
 
 def test_throughput_meter():
+    import time
     m = ThroughputMeter(n_chips=4)
     m.update(32)
     m.update(32)
+    m.start_time = time.perf_counter() - 2.0     # pretend 2s elapsed
     assert m.images == 64 and m.steps == 2
-    # elapsed advances between property reads; just check the /n_chips scale
-    assert m.images_per_sec_per_chip == pytest.approx(
-        m.images_per_sec / 4, rel=0.2)
+    assert m.images_per_sec == pytest.approx(32.0, rel=0.01)
+    assert m.images_per_sec_per_chip == pytest.approx(8.0, rel=0.01)
     assert "img/s" in m.summary()
