@@ -1,0 +1,57 @@
+"""Pallas kernels: interpret-mode correctness vs the XLA reference,
+forward and backward."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dfu_multimodal_tpu.models.vit import xla_attention
+from dfu_multimodal_tpu.ops.attention import flash_attention
+
+SHAPES = [(1, 2, 16, 8), (2, 4, 40, 16)]   # (B, H, N, D), incl. unaligned N
+
+
+@pytest.mark.parametrize("shape", SHAPES)
+def test_flash_attention_forward_matches_xla(shape):
+    key = jax.random.PRNGKey(0)
+    q, k, v = (jax.random.normal(jax.random.fold_in(key, i), shape)
+               for i in range(3))
+    ref = xla_attention(q, k, v)
+    out = flash_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("shape", SHAPES[:1])
+def test_flash_attention_gradients_match_xla(shape):
+    key = jax.random.PRNGKey(1)
+    q, k, v = (jax.random.normal(jax.random.fold_in(key, i), shape)
+               for i in range(3))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(xla_attention(q, k, v) ** 2)
+
+    def loss_pl(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, interpret=True) ** 2)
+
+    ref_grads = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    pl_grads = jax.grad(loss_pl, argnums=(0, 1, 2))(q, k, v)
+    for rg, pg, name in zip(ref_grads, pl_grads, "qkv"):
+        np.testing.assert_allclose(np.asarray(pg), np.asarray(rg),
+                                   rtol=5e-5, atol=5e-5,
+                                   err_msg=f"d{name} mismatch")
+
+
+def test_flash_attention_bf16():
+    shape = (1, 2, 24, 8)
+    key = jax.random.PRNGKey(2)
+    q, k, v = (jax.random.normal(jax.random.fold_in(key, i), shape,
+                                 dtype=jnp.bfloat16) for i in range(3))
+    out = flash_attention(q, k, v, interpret=True)
+    ref = xla_attention(q, k, v)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=5e-2, atol=5e-2)
