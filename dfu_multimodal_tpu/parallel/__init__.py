@@ -1,0 +1,3 @@
+from dfu_multimodal_tpu.parallel.mesh import (  # noqa: F401
+    DATA_AXIS, MODEL_AXIS, batch_sharding, make_mesh, pad_batch_to_mesh,
+    process_shard, replicated)
