@@ -60,6 +60,14 @@ def main(argv=None):
     p.add_argument("--out", type=Path, required=True)
     p.add_argument("--seed", type=int, default=42)
 
+    p = sub.add_parser("prepare-raw",
+                       help="legacy raw-source pipeline: random split + "
+                            "thermal test carved from train + dataset_info")
+    p.add_argument("--rgb-source", type=Path, required=True)
+    p.add_argument("--thermal-source", type=Path, required=True)
+    p.add_argument("--out", type=Path, required=True)
+    p.add_argument("--seed", type=int, default=42)
+
     p = sub.add_parser("stats", help="organized dataset statistics")
     p.add_argument("--data-dir", type=Path, required=True)
 
@@ -96,6 +104,10 @@ def main(argv=None):
             print(f"Cross-split pseudo-patient groups: {leaks} "
                   f"({'OK' if leaks == 0 else 'LEAKAGE'})")
         return counts
+    if args.command == "prepare-raw":
+        from dfu_multimodal_tpu.tools.prepare_legacy import prepare_datasets
+        return prepare_datasets(args.rgb_source, args.thermal_source,
+                                args.out, seed=args.seed)
     if args.command == "stats":
         print_dataset_statistics(args.data_dir)
         return None

@@ -142,6 +142,30 @@ def test_verify_structure(raw_tree, tmp_path):
     assert all(res["organized"].values())
 
 
+def test_prepare_legacy_raw(raw_tree, tmp_path):
+    from dfu_multimodal_tpu.tools.prepare_legacy import prepare_datasets
+    rgb, th = raw_tree
+    out = tmp_path / "legacy_data"
+    counts = prepare_datasets(rgb, th, out, verbose=False)
+    # rgb: 7 Normal (incl dup? no — Normal has 6+0... norm_0..5=6) per split sums
+    assert sum(counts["rgb"][s]["healthy"] for s in counts["rgb"]) == 6
+    # thermal: raw val -> val; raw train carved 85/15 into train/test
+    th_counts = counts["thermal"]
+    assert th_counts["val"]["healthy"] == 4
+    assert th_counts["train"]["healthy"] + th_counts["test"]["healthy"] == 4
+    assert th_counts["test"]["healthy"] >= 0
+    info = (out / "dataset_info.txt").read_text()
+    assert "DFU Multimodal Dataset Information" in info
+    assert "TRAIN Split:" in info
+
+
+def test_download_datasets_without_kaggle(tmp_path, monkeypatch):
+    import shutil as _shutil
+    from dfu_multimodal_tpu.cli.download_datasets import main
+    monkeypatch.setattr(_shutil, "which", lambda _: None)
+    assert main(["--out", str(tmp_path)]) == 1    # instructions path
+
+
 def test_fix_checkpoint_keys(tmp_path):
     import torch
     from dfu_multimodal_tpu.cli.fix_checkpoint_keys import fix_checkpoint_keys
