@@ -83,7 +83,11 @@ class EncoderBlock(nn.Module):
     attention_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, _=None):
+        """(carry, None) -> (carry, None): scan-compatible signature so the
+        12 blocks compile as ONE scanned program (one Pallas payload instead
+        of twelve — essential for compile size/time, and the idiomatic TPU
+        layer-stacking pattern)."""
         c = x.shape[-1]
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                          param_dtype=jnp.float32, name="norm1")(x)
@@ -96,7 +100,7 @@ class EncoderBlock(nn.Module):
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32,
                      name="mlp_fc2")(y)
-        return x + y
+        return x + y, None
 
 
 class ViT(nn.Module):
@@ -109,6 +113,7 @@ class ViT(nn.Module):
     mlp_ratio: int = 4
     dtype: Any = jnp.float32
     attention_impl: str = "auto"
+    scan_blocks: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False,
@@ -135,9 +140,24 @@ class ViT(nn.Module):
             (1, gh * gw + 1, self.hidden_dim), jnp.float32)
         x = x + pos_embed.astype(dtype)
 
-        for i in range(self.depth):
-            x = EncoderBlock(self.num_heads, self.mlp_ratio, dtype,
-                             self.attention_impl, name=f"block{i}")(x)
+        if self.scan_blocks:
+            # One scanned block: params stacked (depth, ...), a single
+            # compiled body — compile time and program size are O(1) in
+            # depth instead of O(depth).
+            ScannedBlocks = nn.scan(
+                EncoderBlock,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=self.depth,
+                metadata_params={nn.PARTITION_NAME: None},
+            )
+            x, _ = ScannedBlocks(self.num_heads, self.mlp_ratio, dtype,
+                                 self.attention_impl, name="encoder")(x, None)
+        else:
+            for i in range(self.depth):
+                x, _ = EncoderBlock(self.num_heads, self.mlp_ratio, dtype,
+                                    self.attention_impl,
+                                    name=f"block{i}")(x)
         x = tap(self, "blocks", x, taps)
 
         x = nn.LayerNorm(epsilon=1e-6, dtype=dtype, param_dtype=jnp.float32,

@@ -140,32 +140,38 @@ def convert_vit_b16(state_dict: Dict[str, Any],
     _set(params, trunk_path + ("patch_embed", "bias"),
          _np(state_dict["patch_embed.proj.bias"]))
 
+    # Our ViT scans its encoder blocks: per-leaf params are STACKED along a
+    # leading depth axis (models/vit.py scan_blocks). Stack the per-block
+    # torch tensors in block order.
     depth = 1 + max(int(m.group(1)) for k in state_dict
                     if (m := re.match(r"blocks\.(\d+)\.", k)))
-    for i in range(depth):
-        b = f"blocks.{i}"
-        scope = trunk_path + (f"block{i}",)
-        for ln in ("norm1", "norm2"):
-            _set(params, scope + (ln, "scale"),
-                 _np(state_dict[f"{b}.{ln}.weight"]))
-            _set(params, scope + (ln, "bias"),
-                 _np(state_dict[f"{b}.{ln}.bias"]))
-        _set(params, scope + ("attn", "qkv", "kernel"),
-             linear_kernel(state_dict[f"{b}.attn.qkv.weight"]))
-        _set(params, scope + ("attn", "qkv", "bias"),
-             _np(state_dict[f"{b}.attn.qkv.bias"]))
-        _set(params, scope + ("attn", "proj", "kernel"),
-             linear_kernel(state_dict[f"{b}.attn.proj.weight"]))
-        _set(params, scope + ("attn", "proj", "bias"),
-             _np(state_dict[f"{b}.attn.proj.bias"]))
-        _set(params, scope + ("mlp_fc1", "kernel"),
-             linear_kernel(state_dict[f"{b}.mlp.fc1.weight"]))
-        _set(params, scope + ("mlp_fc1", "bias"),
-             _np(state_dict[f"{b}.mlp.fc1.bias"]))
-        _set(params, scope + ("mlp_fc2", "kernel"),
-             linear_kernel(state_dict[f"{b}.mlp.fc2.weight"]))
-        _set(params, scope + ("mlp_fc2", "bias"),
-             _np(state_dict[f"{b}.mlp.fc2.bias"]))
+
+    def stacked(fmt: str, transform) -> np.ndarray:
+        return np.stack([transform(state_dict[fmt.format(i)])
+                         for i in range(depth)])
+
+    scope = trunk_path + ("encoder",)
+    for ln in ("norm1", "norm2"):
+        _set(params, scope + (ln, "scale"),
+             stacked("blocks.{}." + ln + ".weight", _np))
+        _set(params, scope + (ln, "bias"),
+             stacked("blocks.{}." + ln + ".bias", _np))
+    _set(params, scope + ("attn", "qkv", "kernel"),
+         stacked("blocks.{}.attn.qkv.weight", linear_kernel))
+    _set(params, scope + ("attn", "qkv", "bias"),
+         stacked("blocks.{}.attn.qkv.bias", _np))
+    _set(params, scope + ("attn", "proj", "kernel"),
+         stacked("blocks.{}.attn.proj.weight", linear_kernel))
+    _set(params, scope + ("attn", "proj", "bias"),
+         stacked("blocks.{}.attn.proj.bias", _np))
+    _set(params, scope + ("mlp_fc1", "kernel"),
+         stacked("blocks.{}.mlp.fc1.weight", linear_kernel))
+    _set(params, scope + ("mlp_fc1", "bias"),
+         stacked("blocks.{}.mlp.fc1.bias", _np))
+    _set(params, scope + ("mlp_fc2", "kernel"),
+         stacked("blocks.{}.mlp.fc2.weight", linear_kernel))
+    _set(params, scope + ("mlp_fc2", "bias"),
+         stacked("blocks.{}.mlp.fc2.bias", _np))
 
     _set(params, trunk_path + ("norm", "scale"), _np(state_dict["norm.weight"]))
     _set(params, trunk_path + ("norm", "bias"), _np(state_dict["norm.bias"]))
