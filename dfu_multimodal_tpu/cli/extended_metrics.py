@@ -74,6 +74,44 @@ def evaluate_model(trainer: Trainer, ckpt_dir: Path, dataset,
     return arrays
 
 
+def _write_evaluation_summary(out_root: Path, datasets, all_results,
+                              data_cfg) -> Path:
+    """EVALUATION_SUMMARY.txt — the reference's committed artifact format
+    (reference logs/EVALUATION_SUMMARY.txt)."""
+    import datetime
+
+    bar = "=" * 80
+    lines = [bar, "DFU MULTIMODAL MODEL EVALUATION SUMMARY", bar,
+             f"Date: {datetime.datetime.now().isoformat(timespec='seconds')}",
+             "", "DATASETS USED:"]
+    for subdir, label in (("rgb_only", "RGB Test Set"),
+                          ("thermal_only", "Thermal Test Set"),
+                          ("multimodal", "Multimodal Test Set")):
+        ds = datasets[subdir]
+        healthy, ulcer = ds.class_counts
+        lines.append(f"- {label}: {len(ds)} samples "
+                     f"({healthy} healthy, {ulcer} ulcer)")
+    lines += ["", bar, "EXTENDED METRICS RESULTS (Test Set Performance)",
+              bar, ""]
+    for name, m in all_results.items():
+        lines.append(f"{name.upper()} MODEL:")
+        lines.append(f"  F1-Score:        {m['f1']:.4f}")
+        lines.append(f"  Accuracy:        {m['accuracy']:.4f}")
+        lines.append(f"  Sensitivity:     {m['sensitivity']:.4f}")
+        lines.append(f"  Specificity:     {m['specificity']:.4f}")
+        auc = m["auc_roc"]
+        lines.append(f"  ROC-AUC:         "
+                     f"{auc:.4f}" if auc is not None else "  ROC-AUC: N/A")
+        lines.append(f"  Confusion Matrix: TN={m['tn']}, FP={m['fp']}, "
+                     f"FN={m['fn']}, TP={m['tp']}")
+        lines.append("")
+    lines.append(bar)
+    path = Path(out_root) / "EVALUATION_SUMMARY.txt"
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text("\n".join(lines) + "\n")
+    return path
+
+
 def main(argv=None) -> Dict[str, Dict]:
     args = build_parser().parse_args(argv)
     data_cfg = cfg_mod.data_config_from_args(args)
@@ -132,6 +170,8 @@ def main(argv=None) -> Dict[str, Dict]:
                 out_dir / "results.pt")
         print(f"\nResults saved to {subdir}/results.pt")
         all_results[display] = metrics
+
+    _write_evaluation_summary(out_root, datasets, all_results, data_cfg)
 
     print("\n" + "=" * 70)
     print("SUMMARY COMPARISON")

@@ -116,6 +116,32 @@ def load_paired(data_dir: Path, split: str, image_size: int = 224,
     )
 
 
+def get_dataloaders(data_dir: Path, batch_size: int = 12,
+                    image_size: int = 224, strategy: str = "aligned",
+                    seed: Optional[int] = None):
+    """Convenience: paired datasets + batch-iterator factories per split —
+    the reference's ``get_dataloaders`` contract (scripts/dataloader.py:
+    203-244) expressed as (datasets, make_batches(split, rng)).
+
+    ``make_batches`` yields fixed-shape masked batch dicts; training splits
+    shuffle, eval splits are sequential.
+    """
+    datasets = {split: load_paired(data_dir, split, image_size,
+                                   strategy=strategy, seed=seed)
+                for split in ("train", "val", "test")}
+
+    def make_batches(split: str, rng: Optional[np.random.Generator] = None):
+        ds = datasets[split]
+        if split == "train":
+            rng = rng or np.random.default_rng(seed)
+            order = rng.permutation(len(ds))
+        else:
+            order = np.arange(len(ds))
+        return batch_slices(ds, order, batch_size)
+
+    return datasets, make_batches
+
+
 def sample_weights(labels: np.ndarray) -> np.ndarray:
     """Per-sample inverse-class-frequency weights — the reference's
     WeightedRandomSampler input (train_rgb_only.py:181-190)."""

@@ -164,17 +164,18 @@ class Trainer:
 
             def loss_fn(params):
                 variables = {"params": params}
-                mutable = []
                 if state.batch_stats:
                     variables["batch_stats"] = state.batch_stats
-                    mutable = ["batch_stats"]
-                out = module.apply(variables, *inputs, train=True,
-                                   rngs={"dropout": drop_rng},
-                                   mutable=mutable)
-                logits, new_state = out if mutable else (out, {})
+                    logits, new_state = module.apply(
+                        variables, *inputs, train=True,
+                        rngs={"dropout": drop_rng}, mutable=["batch_stats"])
+                    new_bs = new_state["batch_stats"]
+                else:     # e.g. the pure-LayerNorm ViT: nothing mutable
+                    logits = module.apply(variables, *inputs, train=True,
+                                          rngs={"dropout": drop_rng})
+                    new_bs = state.batch_stats
                 loss = weighted_ce(logits, labels, weights)
-                return loss, (logits, new_state.get("batch_stats",
-                                                    state.batch_stats))
+                return loss, (logits, new_bs)
 
             (loss, (logits, new_bs)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)

@@ -60,6 +60,9 @@ def test_extended_metrics_cli(workdir):
     results = main(["--data-dir", str(data), "--checkpoint-root", str(logs),
                     "--image-size", "32", "--compute-dtype", "float32"])
     assert set(results) == {"RGB-Only", "Thermal-Only", "Multimodal"}
+    summary = (logs / "extended_metrics" / "EVALUATION_SUMMARY.txt")
+    assert summary.exists()
+    assert "DFU MULTIMODAL MODEL EVALUATION SUMMARY" in summary.read_text()
     for display, subdir in [("RGB-Only", "rgb_only"),
                             ("Thermal-Only", "thermal_only"),
                             ("Multimodal", "multimodal")]:

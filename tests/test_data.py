@@ -138,6 +138,20 @@ def test_batch_slices_pads_and_masks(synth_root):
     assert batches[1]["rgb"].shape == (4, 32, 32, 3)   # fixed shape
 
 
+def test_get_dataloaders_contract(synth_root):
+    from dfu_multimodal_tpu.data import get_dataloaders
+    datasets, make_batches = get_dataloaders(synth_root, batch_size=2,
+                                             image_size=32, seed=0)
+    assert set(datasets) == {"train", "val", "test"}
+    batch = next(iter(make_batches("train")))
+    assert set(batch) == {"rgb", "thermal", "label", "valid"}
+    assert batch["rgb"].shape == (2, 32, 32, 3)
+    # eval split order is deterministic/sequential
+    b1 = next(iter(make_batches("test")))
+    b2 = next(iter(make_batches("test")))
+    np.testing.assert_array_equal(b1["label"], b2["label"])
+
+
 # ---------- leakage gate ----------
 
 def test_leakage_gate(tmp_path):

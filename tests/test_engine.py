@@ -82,6 +82,29 @@ def test_eval_epoch_strips_padding(synth):
     assert arrays["y_probs"].min() >= 0 and arrays["y_probs"].max() <= 1
 
 
+def test_train_step_without_batch_stats(synth):
+    """Models with no mutable collections (the ViT) must train — regression
+    test for the mutable=[] tuple-unpacking bug."""
+    train, val = synth
+    cfg = config.TrainConfig(batch_size=4, num_epochs=1,
+                             compute_dtype="float32",
+                             save_best_after_epoch=1, seed=0)
+    trainer = Trainer("thermal_only", cfg,
+                      {"thermal": config.thermal_modality()},
+                      attention_impl="xla")
+    import dataclasses
+    thermal = dataclasses.replace(train) if False else train
+    # reuse the rgb arrays as a thermal stand-in
+    from dfu_multimodal_tpu.data.loader import ArrayDataset
+    ds = ArrayDataset(arrays={"thermal": train.arrays["rgb"][:8]},
+                      labels=train.labels[:8])
+    state = trainer.init_state(jax.random.PRNGKey(0), image_size=32)
+    assert not state.batch_stats
+    state, metrics = trainer.run_train_epoch(
+        state, ds, np.random.default_rng(0), jax.random.PRNGKey(1))
+    assert np.isfinite(metrics.loss)
+
+
 def test_data_parallel_8dev_mesh_matches_single(synth):
     """Same seed, same data: an 8-device data-parallel run must produce the
     same loss trajectory as a 1-device run (DP is semantics-preserving)."""
