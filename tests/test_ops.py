@@ -44,6 +44,34 @@ def test_flash_attention_gradients_match_xla(shape):
                                    err_msg=f"d{name} mismatch")
 
 
+def test_fused_mlp_matches_flax_module():
+    from dfu_multimodal_tpu.models.fusion import FusionMLP
+    from dfu_multimodal_tpu.ops.fused_mlp import fused_mlp, fusion_mlp_params
+
+    module = FusionMLP(num_classes=2, drop_rate=0.5)
+    x = jax.random.normal(jax.random.PRNGKey(0), (20, 64))
+    variables = module.init(jax.random.PRNGKey(1), x)
+    ref = module.apply(variables, x, train=False)    # dropout off at eval
+    out = fused_mlp(x, *fusion_mlp_params(variables["params"]),
+                    block_rows=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_mlp_ragged_batch():
+    from dfu_multimodal_tpu.models.fusion import FusionMLP
+    from dfu_multimodal_tpu.ops.fused_mlp import fused_mlp, fusion_mlp_params
+
+    module = FusionMLP(num_classes=2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (13, 32))  # not /block_rows
+    variables = module.init(jax.random.PRNGKey(1), x)
+    ref = module.apply(variables, x, train=False)
+    out = fused_mlp(x, *fusion_mlp_params(variables["params"]),
+                    block_rows=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_flash_attention_bf16():
     shape = (1, 2, 24, 8)
     key = jax.random.PRNGKey(2)
