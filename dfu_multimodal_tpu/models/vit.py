@@ -66,12 +66,24 @@ class MultiHeadAttention(nn.Module):
         head_dim = c // self.num_heads
         qkv = nn.Dense(3 * c, dtype=self.dtype, param_dtype=jnp.float32,
                        name="qkv")(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
-        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
 
-        attn_fn = resolve_attention(self.attention_impl)
-        out = attn_fn(q, k, v)                       # (B, H, N, D)
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        impl = self.attention_impl
+        if impl == "auto":
+            import jax
+            impl = ("pallas" if jax.devices()[0].platform == "tpu"
+                    else "xla")
+
+        if impl == "pallas":
+            # Packed-qkv kernel: heads are sliced inside VMEM, so no
+            # (B,N,3C)->(B,H,N,D) transposes ever hit HBM (measured at
+            # ~half the MHA block cost, docs/DESIGN.md).
+            from dfu_multimodal_tpu.ops.attention import qkv_attention
+            out = qkv_attention(qkv, self.num_heads)
+        else:
+            qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+            q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+            out = resolve_attention(impl)(q, k, v)       # (B, H, N, D)
+            out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         return nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32,
                         name="proj")(out)
 

@@ -38,12 +38,18 @@ def _softmax_probs(q, k, scale):
 
 
 def _attention_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    q = q_ref[0].astype(jnp.float32)                   # (N, D)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0]
-    p = _softmax_probs(q, k, scale)
-    o_ref[0] = jnp.dot(p.astype(v.dtype), v,
-                       preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    """One grid step per batch element, all heads unrolled inside: removes
+    per-(batch,head) grid/DMA overhead that dominated the tiny-matmul
+    variant (23ms -> per-head grid; see docs/DESIGN.md)."""
+    n_heads = q_ref.shape[1]
+    for h in range(n_heads):
+        q = q_ref[0, h].astype(jnp.float32)            # (N, D)
+        k = k_ref[0, h].astype(jnp.float32)
+        v = v_ref[0, h]
+        p = _softmax_probs(q, k, scale)
+        o_ref[0, h] = jnp.dot(
+            p.astype(v.dtype), v,
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 def _attention_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref,
@@ -51,62 +57,63 @@ def _attention_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref,
     """Recompute-based backward: p is cheap to rebuild at N=197, so no
     residuals ever touch HBM. Standard softmax-attention gradients:
     dv = pᵀ·do; ds = p ∘ (do·vᵀ - rowsum(do·vᵀ ∘ p)); dq = ds·k·scale;
-    dk = dsᵀ·q·scale."""
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    dk = dsᵀ·q·scale.  Heads unrolled per batch element like the forward."""
+    n_heads = q_ref.shape[1]
+    for h in range(n_heads):
+        q = q_ref[0, h].astype(jnp.float32)
+        k = k_ref[0, h].astype(jnp.float32)
+        v = v_ref[0, h].astype(jnp.float32)
+        do = do_ref[0, h].astype(jnp.float32)
 
-    p = _softmax_probs(q, k, scale)                    # (N, N)
-    dv = jax.lax.dot_general(
-        p, do, dimension_numbers=(((0,), (0,)), ((), ())),   # pᵀ @ do
-        preferred_element_type=jnp.float32)
-    dp = jax.lax.dot_general(
-        do, v, dimension_numbers=(((1,), (1,)), ((), ())),   # do @ vᵀ
-        preferred_element_type=jnp.float32)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
-    dk = jax.lax.dot_general(
-        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),   # dsᵀ @ q
-        preferred_element_type=jnp.float32) * scale
+        p = _softmax_probs(q, k, scale)                # (N, N)
+        dv = jax.lax.dot_general(
+            p, do, dimension_numbers=(((0,), (0,)), ((), ())),   # pᵀ @ do
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),   # do @ vᵀ
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(
+            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),   # dsᵀ @ q
+            preferred_element_type=jnp.float32) * scale
 
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+        dq_ref[0, h] = dq.astype(dq_ref.dtype)
+        dk_ref[0, h] = dk.astype(dk_ref.dtype)
+        dv_ref[0, h] = dv.astype(dv_ref.dtype)
 
 
-def _flat_spec(n, d, interpret):
-    return pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+def _batch_spec(h, n, d, interpret):
+    return pl.BlockSpec((1, h, n, d), lambda i: (i, 0, 0, 0),
                         memory_space=pltpu.ANY if interpret else pltpu.VMEM)
 
 
 def _attention_fwd_call(q, k, v, interpret):
     b, h, n, d = q.shape
     scale = d ** -0.5
-    spec = _flat_spec(n, d, interpret)
-    out = pl.pallas_call(
+    spec = _batch_spec(h, n, d, interpret)
+    return pl.pallas_call(
         functools.partial(_attention_fwd_kernel, scale=scale),
-        grid=(b * h,),
+        grid=(b,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * n * n * d,
             bytes_accessed=4 * b * h * n * d * q.dtype.itemsize,
             transcendentals=b * h * n * n),
         interpret=interpret,
-    )(q.reshape(b * h, n, d), k.reshape(b * h, n, d), v.reshape(b * h, n, d))
-    return out.reshape(b, h, n, d)
+    )(q, k, v)
 
 
 def _attention_bwd_call(q, k, v, do, interpret):
     b, h, n, d = q.shape
     scale = d ** -0.5
-    spec = _flat_spec(n, d, interpret)
-    shape = jax.ShapeDtypeStruct((b * h, n, d), q.dtype)
-    dq, dk, dv = pl.pallas_call(
+    spec = _batch_spec(h, n, d, interpret)
+    shape = jax.ShapeDtypeStruct((b, h, n, d), q.dtype)
+    return pl.pallas_call(
         functools.partial(_attention_bwd_kernel, scale=scale),
-        grid=(b * h,),
+        grid=(b,),
         in_specs=[spec, spec, spec, spec],
         out_specs=(spec, spec, spec),
         out_shape=(shape, shape, shape),
@@ -115,10 +122,7 @@ def _attention_bwd_call(q, k, v, do, interpret):
             bytes_accessed=7 * b * h * n * d * q.dtype.itemsize,
             transcendentals=b * h * n * n),
         interpret=interpret,
-    )(q.reshape(b * h, n, d), k.reshape(b * h, n, d),
-      v.reshape(b * h, n, d), do.reshape(b * h, n, d))
-    r = lambda x: x.reshape(b, h, n, d)
-    return r(dq), r(dk), r(dv)
+    )(q, k, v, do)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -144,3 +148,126 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """Fused softmax attention with custom VJP (trainable).
     q, k, v: (B, H, N, D) -> (B, H, N, D)."""
     return _flash_attention(q, k, v, interpret)
+
+
+# --------------------------------------------------------------------------
+# Layout-free variant: consumes the packed qkv projection directly.
+#
+# The (B, N, 3C) -> (B, H, N, D) head split is a minor-dim transpose XLA
+# must materialize in HBM around any (B, H, N, D) attention op — measured at
+# ~1.5 ms/block at b128, HALF the MHA cost. This kernel slices heads from
+# the packed qkv inside VMEM instead (lane slices are free of HBM traffic),
+# taking (B, N, 3C) straight from the qkv Dense and emitting (B, N, C)
+# straight into the output projection. No XLA-level transposes remain.
+# --------------------------------------------------------------------------
+
+
+def _qkv_attention_fwd_kernel(qkv_ref, o_ref, *, num_heads: int,
+                              scale: float):
+    c = o_ref.shape[-1]
+    d = c // num_heads
+    for h in range(num_heads):
+        q = qkv_ref[0, :, h * d:(h + 1) * d].astype(jnp.float32)
+        k = qkv_ref[0, :, c + h * d:c + (h + 1) * d].astype(jnp.float32)
+        v = qkv_ref[0, :, 2 * c + h * d:2 * c + (h + 1) * d]
+        p = _softmax_probs(q, k, scale)
+        o_ref[0, :, h * d:(h + 1) * d] = jnp.dot(
+            p.astype(v.dtype), v,
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _qkv_attention_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, num_heads: int,
+                              scale: float):
+    c = do_ref.shape[-1]
+    d = c // num_heads
+    for h in range(num_heads):
+        q = qkv_ref[0, :, h * d:(h + 1) * d].astype(jnp.float32)
+        k = qkv_ref[0, :, c + h * d:c + (h + 1) * d].astype(jnp.float32)
+        v = qkv_ref[0, :, 2 * c + h * d:2 * c + (h + 1) * d].astype(
+            jnp.float32)
+        do = do_ref[0, :, h * d:(h + 1) * d].astype(jnp.float32)
+
+        p = _softmax_probs(q, k, scale)
+        dv = jax.lax.dot_general(
+            p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(
+            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+        dqkv_ref[0, :, h * d:(h + 1) * d] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, c + h * d:c + (h + 1) * d] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, 2 * c + h * d:2 * c + (h + 1) * d] = dv.astype(
+            dqkv_ref.dtype)
+
+
+def _qkv_spec(n, width, interpret):
+    return pl.BlockSpec((1, n, width), lambda i: (i, 0, 0),
+                        memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+
+
+def _qkv_attention_fwd_call(qkv, num_heads, interpret):
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    scale = (c // num_heads) ** -0.5
+    return pl.pallas_call(
+        functools.partial(_qkv_attention_fwd_kernel, num_heads=num_heads,
+                          scale=scale),
+        grid=(b,),
+        in_specs=[_qkv_spec(n, c3, interpret)],
+        out_specs=_qkv_spec(n, c, interpret),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n * n * c,
+            bytes_accessed=(qkv.size + b * n * c) * qkv.dtype.itemsize,
+            transcendentals=b * num_heads * n * n),
+        interpret=interpret,
+    )(qkv)
+
+
+def _qkv_attention_bwd_call(qkv, do, num_heads, interpret):
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    scale = (c // num_heads) ** -0.5
+    return pl.pallas_call(
+        functools.partial(_qkv_attention_bwd_kernel, num_heads=num_heads,
+                          scale=scale),
+        grid=(b,),
+        in_specs=[_qkv_spec(n, c3, interpret), _qkv_spec(n, c, interpret)],
+        out_specs=_qkv_spec(n, c3, interpret),
+        out_shape=jax.ShapeDtypeStruct((b, n, c3), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * n * n * c,
+            bytes_accessed=2 * (qkv.size + b * n * c) * qkv.dtype.itemsize,
+            transcendentals=b * num_heads * n * n),
+        interpret=interpret,
+    )(qkv, do)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _qkv_attention(qkv, num_heads, interpret):
+    return _qkv_attention_fwd_call(qkv, num_heads, interpret)
+
+
+def _qkv_fwd(qkv, num_heads, interpret):
+    return _qkv_attention_fwd_call(qkv, num_heads, interpret), qkv
+
+
+def _qkv_bwd(num_heads, interpret, qkv, g):
+    return (_qkv_attention_bwd_call(qkv, g, num_heads, interpret),)
+
+
+_qkv_attention.defvjp(_qkv_fwd, _qkv_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def qkv_attention(qkv: jnp.ndarray, num_heads: int,
+                  interpret: bool = False) -> jnp.ndarray:
+    """Packed-qkv fused attention: (B, N, 3C) -> (B, N, C), heads sliced
+    in VMEM (no XLA-level layout changes). Trainable (custom VJP)."""
+    return _qkv_attention(qkv, num_heads, interpret)

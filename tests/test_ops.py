@@ -44,6 +44,32 @@ def test_flash_attention_gradients_match_xla(shape):
                                    err_msg=f"d{name} mismatch")
 
 
+def test_qkv_attention_matches_xla():
+    """Packed-qkv kernel == unpack + xla attention + repack."""
+    from dfu_multimodal_tpu.ops.attention import qkv_attention
+    b, h, n, d = 2, 4, 20, 8
+    c = h * d
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (b, n, 3 * c))
+
+    def reference(qkv):
+        parts = qkv.reshape(b, n, 3, h, d)
+        q, k, v = (parts[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        out = xla_attention(q, k, v)
+        return out.transpose(0, 2, 1, 3).reshape(b, n, c)
+
+    ref = reference(qkv)
+    out = qkv_attention(qkv, num_heads=h, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # gradients through the custom VJP
+    g_ref = jax.grad(lambda x: jnp.sum(reference(x) ** 2))(qkv)
+    g_out = jax.grad(lambda x: jnp.sum(
+        qkv_attention(x, num_heads=h, interpret=True) ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref),
+                               rtol=5e-5, atol=5e-5)
+
+
 def test_fused_mlp_matches_flax_module():
     from dfu_multimodal_tpu.models.fusion import FusionMLP
     from dfu_multimodal_tpu.ops.fused_mlp import fused_mlp, fusion_mlp_params
