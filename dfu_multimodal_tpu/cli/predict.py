@@ -1,0 +1,105 @@
+"""Batch inference: classify a directory of images with a checkpoint.
+
+No reference counterpart (the reference can only evaluate labeled split
+dirs); this is the serving-style entry point: point it at ANY directory (or
+paired rgb/thermal directories), get per-image probabilities + a CSV.
+
+    python -m dfu_multimodal_tpu.cli.predict --checkpoint logs/checkpoints_rgb_only \
+        --images <dir> [--thermal-images <dir>] [--output preds.csv]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from dfu_multimodal_tpu import config as cfg_mod
+from dfu_multimodal_tpu.config import TrainConfig
+from dfu_multimodal_tpu.data.layout import list_images
+from dfu_multimodal_tpu.data.loader import ArrayDataset, _decode_all
+from dfu_multimodal_tpu.train.engine import Trainer
+from dfu_multimodal_tpu.utils import checkpoint as ckpt_mod
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Batch inference")
+    parser.add_argument("--checkpoint", type=Path, required=True)
+    parser.add_argument("--model", default=None,
+                        help="zoo name; default: checkpoint metadata")
+    parser.add_argument("--images", type=Path, required=True,
+                        help="directory of images (RGB modality for "
+                             "multimodal models)")
+    parser.add_argument("--thermal-images", type=Path, default=None,
+                        help="paired thermal directory (multimodal models; "
+                             "paired by sorted filename order)")
+    parser.add_argument("--image-size", type=int, default=224)
+    parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument("--output", type=Path, default=None,
+                        help="write CSV of path,prob_ulcer,prediction")
+    parser.add_argument("--compute-dtype", default="bfloat16",
+                        choices=["bfloat16", "float32"])
+    parser.add_argument("--attention-impl", default="auto",
+                        choices=["auto", "xla", "pallas"])
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    model_name = args.model or ckpt_mod.load_meta(args.checkpoint).get(
+        "model", "rgb_only")
+
+    cfg = TrainConfig(batch_size=args.batch_size,
+                      eval_batch_size=args.batch_size,
+                      compute_dtype=args.compute_dtype,
+                      mesh=cfg_mod.MeshConfig(data=-1))
+    trainer = Trainer(model_name, cfg,
+                      {"rgb": cfg_mod.rgb_modality(),
+                       "thermal": cfg_mod.thermal_modality()},
+                      attention_impl=args.attention_impl)
+    state = trainer.restore(args.checkpoint, image_size=args.image_size)
+
+    paths = list_images(args.images)
+    if not paths:
+        print(f"No images found under {args.images}")
+        return {}
+    arrays = {}
+    primary = trainer.spec.inputs[0]
+    arrays[primary] = _decode_all(paths, args.image_size)
+    if len(trainer.spec.inputs) > 1:
+        th_paths = list_images(args.thermal_images) if args.thermal_images \
+            else paths
+        n = min(len(paths), len(th_paths))
+        paths = paths[:n]
+        arrays = {trainer.spec.inputs[0]: arrays[primary][:n],
+                  "thermal": _decode_all(th_paths[:n], args.image_size)}
+
+    n = len(paths)
+    ds = ArrayDataset(arrays=arrays, labels=np.zeros(n, np.int32))
+    _, out = trainer.run_eval_epoch(state, ds)
+
+    results = {str(p): (float(prob), int(pred))
+               for p, prob, pred in zip(paths, out["y_probs"],
+                                        out["y_pred"])}
+    print(f"{'image':50s}  P(ulcer)  prediction")
+    for p, (prob, pred) in results.items():
+        name = Path(p).name
+        print(f"{name:50s}  {prob:8.4f}  "
+              f"{'ulcer' if pred == 1 else 'healthy'}")
+
+    if args.output:
+        with open(args.output, "w", newline="") as f:
+            writer = csv.writer(f)
+            writer.writerow(["path", "prob_ulcer", "prediction"])
+            for p, (prob, pred) in results.items():
+                writer.writerow([p, f"{prob:.6f}",
+                                 "ulcer" if pred == 1 else "healthy"])
+        print(f"\nWrote {args.output}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

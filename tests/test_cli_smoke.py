@@ -54,6 +54,21 @@ def test_train_multimodal_cli(workdir):
     assert (logs / "checkpoints_multimodal" / "best_model.msgpack").exists()
 
 
+def test_predict_cli(workdir, tmp_path):
+    data, logs = workdir
+    from dfu_multimodal_tpu.cli.predict import main
+    out_csv = tmp_path / "preds.csv"
+    res = main(["--checkpoint", str(logs / "checkpoints_rgb_only"),
+                "--images", str(data / "rgb" / "test" / "ulcer"),
+                "--image-size", "32", "--compute-dtype", "float32",
+                "--output", str(out_csv)])
+    assert len(res) > 0
+    assert all(0.0 <= prob <= 1.0 for prob, _ in res.values())
+    lines = out_csv.read_text().strip().splitlines()
+    assert lines[0] == "path,prob_ulcer,prediction"
+    assert len(lines) == len(res) + 1
+
+
 def test_extended_metrics_cli(workdir):
     data, logs = workdir
     from dfu_multimodal_tpu.cli.extended_metrics import main
