@@ -1,0 +1,91 @@
+"""Tensor-parallel parameter partitioning over the mesh's ``model`` axis.
+
+The classifiers here (23–110M params) don't *need* TP (SURVEY.md §2.3), but
+the mesh reserves a ``model`` axis and this module gives it real semantics:
+Megatron-style column/row sharding of the widest matmuls, expressed purely
+as parameter shardings — XLA inserts the activation collectives under jit.
+
+Rules are (regex over the param path, PartitionSpec). Defaults shard:
+- ViT MLP: fc1 kernel column-wise (hidden -> 4·hidden over ``model``),
+  fc2 kernel row-wise (4·hidden -> hidden), so the pair needs exactly one
+  reduce-scatter/all-reduce per block;
+- the qkv projection column-wise and attn out-proj row-wise;
+- the fusion MLP's first layer column-wise.
+Biases of column-sharded layers shard on the same axis; everything else is
+replicated.  Stacked (scanned) block params keep their leading depth axis
+unsharded.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Tuple
+
+import jax
+import numpy as np
+from flax import traverse_util
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dfu_multimodal_tpu.parallel.mesh import MODEL_AXIS
+
+# (path regex, spec builder(ndim) -> PartitionSpec)
+# Paths are '/'-joined param paths like
+# 'params/ViT_0/encoder/mlp_fc1/kernel' (leading depth axis when scanned).
+DEFAULT_TP_RULES: List[Tuple[str, str]] = [
+    (r".*/(mlp_fc1|qkv)/kernel$", "col"),
+    (r".*/(mlp_fc1|qkv)/bias$", "col_bias"),
+    (r".*/(mlp_fc2|proj)/kernel$", "row"),
+    (r".*/fusion/fc1/kernel$", "col"),
+    (r".*/fusion/fc1/bias$", "col_bias"),
+    (r".*/fusion/fc2/kernel$", "row"),
+]
+
+
+def _spec_for(kind: str, ndim: int) -> P:
+    """Shard the minor (column) or second-minor (row) matmul dim; any
+    leading axes (scan depth) stay unsharded."""
+    lead = (None,) * (ndim - 2)
+    if kind == "col":
+        return P(*lead, None, MODEL_AXIS) if ndim >= 2 else P(MODEL_AXIS)
+    if kind == "row":
+        return P(*lead, MODEL_AXIS, None) if ndim >= 2 else P()
+    if kind == "col_bias":
+        return P(*((None,) * (ndim - 1)), MODEL_AXIS)
+    raise ValueError(kind)
+
+
+def tp_param_specs(variables: Dict, rules=None) -> Dict:
+    """PartitionSpec pytree matching ``variables`` under the TP rules."""
+    rules = rules if rules is not None else DEFAULT_TP_RULES
+    flat = traverse_util.flatten_dict(variables)
+    specs = {}
+    for path, value in flat.items():
+        key = "/".join(str(p) for p in path)
+        spec = P()
+        ndim = np.ndim(value)
+        for pattern, kind in rules:
+            if re.match(pattern, key):
+                spec = _spec_for(kind, ndim)
+                break
+        specs[path] = spec
+    return traverse_util.unflatten_dict(specs)
+
+
+def shard_variables(variables: Dict, mesh: Mesh, rules=None) -> Dict:
+    """device_put every param with its TP sharding (replicated over
+    ``data``). Divisibility guard: a dim not divisible by the model-axis
+    size falls back to replication."""
+    model_size = mesh.shape[MODEL_AXIS]
+    specs = tp_param_specs(variables, rules)
+
+    def place(value, spec):
+        for axis_idx, name in enumerate(spec):
+            if name == MODEL_AXIS and np.shape(value)[axis_idx] % model_size:
+                spec = P()
+                break
+        return jax.device_put(value, NamedSharding(mesh, spec))
+
+    flat_v = traverse_util.flatten_dict(variables)
+    flat_s = traverse_util.flatten_dict(specs)
+    placed = {k: place(v, flat_s[k]) for k, v in flat_v.items()}
+    return traverse_util.unflatten_dict(placed)

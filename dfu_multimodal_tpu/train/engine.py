@@ -118,6 +118,19 @@ class Trainer:
         variables = unfreeze(variables)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
+
+        if self.mesh.shape[mesh_mod.MODEL_AXIS] > 1:
+            # Megatron-style TP: shard the wide matmuls over ``model``;
+            # optimizer state inherits the shardings (elementwise init).
+            from dfu_multimodal_tpu.parallel.sharding import shard_variables
+            params = shard_variables(params, self.mesh)
+            batch_stats = jax.device_put(batch_stats, self.replicated)
+            return TrainState(
+                step=jax.device_put(jnp.zeros((), jnp.int32),
+                                    self.replicated),
+                params=params, batch_stats=batch_stats,
+                opt_state=jax.jit(self.tx.init)(params))
+
         state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                            batch_stats=batch_stats,
                            opt_state=self.tx.init(params))

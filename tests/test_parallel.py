@@ -46,6 +46,59 @@ def test_batch_sharding_places_shards():
     assert p.sharding.is_fully_replicated
 
 
+def test_tp_param_specs_rules():
+    from dfu_multimodal_tpu.parallel.sharding import tp_param_specs
+    from jax.sharding import PartitionSpec as P
+    variables = {
+        "params": {
+            "ViT_0": {"encoder": {
+                "mlp_fc1": {"kernel": np.zeros((12, 768, 3072)),
+                            "bias": np.zeros((12, 3072))},
+                "mlp_fc2": {"kernel": np.zeros((12, 3072, 768)),
+                            "bias": np.zeros((12, 768))},
+            }},
+            "head": {"kernel": np.zeros((768, 2))},
+        }
+    }
+    specs = tp_param_specs(variables)
+    enc = specs["params"]["ViT_0"]["encoder"]
+    assert enc["mlp_fc1"]["kernel"] == P(None, None, "model")
+    assert enc["mlp_fc1"]["bias"] == P(None, "model")
+    assert enc["mlp_fc2"]["kernel"] == P(None, "model", None)
+    assert enc["mlp_fc2"]["bias"] == P()
+    assert specs["params"]["head"]["kernel"] == P()
+
+
+def test_tensor_parallel_matches_data_parallel():
+    """A (2 data × 4 model) TP+DP train step must reproduce the pure-DP
+    loss — TP only changes layout, never semantics."""
+    import jax.numpy as jnp
+    from dfu_multimodal_tpu import config
+    from dfu_multimodal_tpu.train.engine import Trainer
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "thermal": rng.integers(0, 255, (8, 32, 32, 3), np.uint8),
+        "label": rng.integers(0, 2, 8).astype(np.int32),
+        "valid": np.ones(8, np.float32),
+    }
+
+    losses = {}
+    for name, mesh_cfg in (("dp", config.MeshConfig(data=8, model=1)),
+                           ("tp", config.MeshConfig(data=2, model=4))):
+        cfg = config.TrainConfig(batch_size=8, compute_dtype="float32",
+                                 seed=0, mesh=mesh_cfg)
+        trainer = Trainer("thermal_only", cfg,
+                          {"thermal": config.thermal_modality()},
+                          attention_impl="xla")
+        state = trainer.init_state(jax.random.PRNGKey(0), image_size=32)
+        b = jax.device_put(batch, trainer.batch_sharding)
+        _, m = trainer.train_step(state, b, jax.random.PRNGKey(1))
+        losses[name] = float(m["loss"])
+    assert np.isfinite(losses["tp"])
+    assert losses["tp"] == pytest.approx(losses["dp"], rel=1e-5)
+
+
 def test_graft_dryrun_8_devices():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
