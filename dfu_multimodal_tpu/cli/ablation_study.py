@@ -13,7 +13,7 @@ trains the multimodal model separately (its §3 prints a note); here the
 from __future__ import annotations
 
 import argparse
-from pathlib import Path
+
 from typing import Dict
 
 from dfu_multimodal_tpu import config as cfg_mod

@@ -19,7 +19,7 @@ from typing import Dict, Optional
 import numpy as np
 
 from dfu_multimodal_tpu import config as cfg_mod
-from dfu_multimodal_tpu.config import DataConfig, TrainConfig
+from dfu_multimodal_tpu.config import TrainConfig
 from dfu_multimodal_tpu.data.loader import (load_paired,
                                             load_single_modality)
 from dfu_multimodal_tpu.eval import metrics as metrics_mod

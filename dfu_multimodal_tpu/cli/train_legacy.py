@@ -24,8 +24,8 @@ models/fusion.py and SURVEY.md §7f).
 from __future__ import annotations
 
 import argparse
-import dataclasses
-from pathlib import Path
+
+
 
 from dfu_multimodal_tpu import config
 from dfu_multimodal_tpu.cli._train_common import TrainRecipe, run_training

@@ -11,7 +11,7 @@ blur/jitter, matching :191-199.
 
 from __future__ import annotations
 
-import jax
+
 
 from dfu_multimodal_tpu import config
 from dfu_multimodal_tpu.cli._train_common import TrainRecipe, run_training

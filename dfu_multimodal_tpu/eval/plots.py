@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pathlib import Path
 
-import numpy as np
+
 
 from dfu_multimodal_tpu.eval import metrics as M
 

@@ -23,7 +23,7 @@ input-saliency fallback in eval/gradcam.py for behavioral parity.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import flax.linen as nn
 import jax.numpy as jnp
