@@ -128,6 +128,59 @@ def measure(batch_size: int, iters: int, chain: int = 10):
             "tunnel_rtt_ms": rtt_ms, "chain": chain, "iters": iters}
 
 
+def measure_training(batch_size: int, iters: int, chain: int = 8,
+                     model: str = "rgb_only"):
+    """Steady-state TRAIN-step throughput: ``chain`` full steps (device-side
+    augmentation + fwd + bwd + AdamW) scanned inside one program."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dfu_multimodal_tpu import config
+    from dfu_multimodal_tpu.train.engine import Trainer
+
+    platform = jax.devices()[0].platform
+    cfg = config.TrainConfig(
+        batch_size=batch_size,
+        compute_dtype="bfloat16" if platform == "tpu" else "float32")
+    modalities = {"rgb": config.rgb_modality(),
+                  "thermal": config.thermal_modality(blur=False)}
+    trainer = Trainer(model, cfg, modalities,
+                      class_weights=np.array([1.0, 1.0], np.float32))
+    state = trainer.init_state(jax.random.PRNGKey(0), image_size=224)
+    step = trainer.build_train_step(jit=False)
+    rtt_ms = _tunnel_rtt_ms()
+
+    rng = np.random.default_rng(0)
+    batch = {m: rng.integers(0, 255, (batch_size, 224, 224, 3), np.uint8)
+             for m in trainer.spec.inputs}
+    batch["label"] = rng.integers(0, 2, batch_size).astype(np.int32)
+    batch["valid"] = np.ones(batch_size, np.float32)
+    batch = jax.device_put(batch, trainer.batch_sharding)
+
+    @jax.jit
+    def many_steps(state, batch, rng):
+        def body(s, i):
+            s, m = step(s, batch, jax.random.fold_in(rng, i))
+            return s, m["loss"]
+        _, losses = jax.lax.scan(body, state,
+                                 jnp.arange(chain, dtype=jnp.int32))
+        return losses
+
+    key = jax.random.PRNGKey(1)
+    np.asarray(many_steps(state, batch, key))     # compile + warm
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        np.asarray(many_steps(state, batch, key))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    per_step_ms = max((times[len(times) // 2] * 1e3 - rtt_ms) / chain, 1e-6)
+    return {"platform": platform, "batch_size": batch_size, "model": model,
+            "train_images_per_sec_per_chip": batch_size / (per_step_ms / 1e3),
+            "p50_step_ms": per_step_ms, "chain": chain}
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch-size", type=int, default=None)
@@ -135,7 +188,30 @@ def main():
     parser.add_argument("--warmup", type=int, default=None)
     parser.add_argument("--measure-cpu", action="store_true",
                         help="measure + store the CPU baseline instead")
+    parser.add_argument("--train", action="store_true",
+                        help="measure training-step throughput instead")
+    parser.add_argument("--model", default="rgb_only",
+                        help="model for --train mode")
     args = parser.parse_args()
+
+    if args.train:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          str(REPO_ROOT / ".jax_cache"))
+        on_tpu = jax.devices()[0].platform == "tpu"
+        result = measure_training(
+            args.batch_size or (32 if on_tpu else 4),
+            args.iters or (5 if on_tpu else 2),
+            chain=8 if on_tpu else 2, model=args.model)
+        print(json.dumps({
+            "metric": f"{args.model}_train_images_per_sec_per_chip",
+            "value": round(result["train_images_per_sec_per_chip"], 2),
+            "unit": "images/sec/chip",
+            "p50_step_ms": round(result["p50_step_ms"], 2),
+            "batch_size": result["batch_size"],
+            "platform": result["platform"],
+        }))
+        return
 
     if args.measure_cpu:
         import os

@@ -164,7 +164,7 @@ class Trainer:
             return jnp.asarray(self.class_weights)[labels] * valid
         return valid
 
-    def build_train_step(self) -> Callable:
+    def build_train_step(self, jit: bool = True) -> Callable:
         module, spec, tx = self.module, self.spec, self.tx
 
         def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
@@ -201,6 +201,8 @@ class Trainer:
                                                   batch["valid"])
             return new_state, {"loss": loss, "counts": counts}
 
+        if not jit:
+            return train_step       # raw body (e.g. for scanned benchmarks)
         return jax.jit(train_step, donate_argnums=(0,))
 
     def build_eval_step(self) -> Callable:

@@ -73,6 +73,46 @@ def test_affine_warp_hflip():
                                atol=1e-4)
 
 
+def naive_warp(image, inv):
+    """Reference bilinear warp (pure numpy, per-corner masks)."""
+    h, w, c = image.shape
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    out = np.zeros_like(image, dtype=np.float64)
+    for i in range(h):
+        for j in range(w):
+            sx = inv[0, 0] * (j - cx) + inv[0, 1] * (i - cy) + inv[0, 2] + cx
+            sy = inv[1, 0] * (j - cx) + inv[1, 1] * (i - cy) + inv[1, 2] + cy
+            x0, y0 = int(np.floor(sx)), int(np.floor(sy))
+            fx, fy = sx - x0, sy - y0
+            acc = np.zeros(c)
+            for dy, wy_ in ((0, 1 - fy), (1, fy)):
+                for dx, wx_ in ((0, 1 - fx), (1, fx)):
+                    yy, xx = y0 + dy, x0 + dx
+                    if 0 <= yy < h and 0 <= xx < w:
+                        acc += wy_ * wx_ * image[yy, xx]
+            out[i, j] = acc
+    return out
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_affine_warp_matches_naive_reference(seed):
+    """Random affines incl. big translations/rotations/flips: the packed
+    single-gather warp must equal the naive per-corner formulation."""
+    rng_ = np.random.default_rng(seed)
+    img = rng_.random((9, 11, 3)).astype(np.float32)
+    theta = rng_.uniform(-2.5, 2.5)
+    s = rng_.uniform(0.5, 1.8)
+    inv = np.array([
+        [np.cos(theta) / s, -np.sin(theta) / s, rng_.uniform(-6, 6)],
+        [np.sin(theta) / s, np.cos(theta) / s, rng_.uniform(-6, 6)],
+        [0, 0, 1]], np.float32)
+    if seed % 2:
+        inv = inv @ np.diag([-1.0, 1.0, 1.0]).astype(np.float32)
+    ours = np.asarray(affine_warp(jnp.asarray(img), jnp.asarray(inv)))
+    ref = naive_warp(img, inv)
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
 def test_augment_shapes_dtype_and_determinism():
     imgs = jnp.asarray(
         np.random.default_rng(0).integers(0, 255, (4, 32, 32, 3), np.uint8))
