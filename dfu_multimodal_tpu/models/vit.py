@@ -23,6 +23,8 @@ input-saliency fallback in eval/gradcam.py for behavioral parity.
 
 from __future__ import annotations
 
+import os
+from dataclasses import field
 from typing import Any, Callable
 
 import flax.linen as nn
@@ -125,7 +127,14 @@ class ViT(nn.Module):
     mlp_ratio: int = 4
     dtype: Any = jnp.float32
     attention_impl: str = "auto"
-    scan_blocks: bool = True
+    # Scanned blocks are the TPU default (O(1) program size/compile time).
+    # DFU_VIT_SCAN_BLOCKS=0 unrolls them: XLA:CPU's thunk executor
+    # intermittently aborts executing the scanned train step (Eigen
+    # worker-pool race, observed on the 1-core CI host) — the CPU test
+    # harness sets this; TPU paths never need it.
+    scan_blocks: bool = field(
+        default_factory=lambda: os.environ.get(
+            "DFU_VIT_SCAN_BLOCKS", "1") != "0")
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False,

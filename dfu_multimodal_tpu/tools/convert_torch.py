@@ -125,8 +125,8 @@ def convert_resnet50(state_dict: Dict[str, Any],
 
 
 def convert_vit_b16(state_dict: Dict[str, Any],
-                    trunk_path: Tuple[str, ...] = ("ViT_0",)
-                    ) -> Dict[str, Dict]:
+                    trunk_path: Tuple[str, ...] = ("ViT_0",),
+                    scan_layout: bool = True) -> Dict[str, Dict]:
     """timm vit_base_patch16_224 state_dict -> our ViT trunk subtree."""
     keys = {strip_prefix(k): k for k in state_dict}
     state_dict = {k: state_dict[orig] for k, orig in keys.items()}
@@ -140,38 +140,45 @@ def convert_vit_b16(state_dict: Dict[str, Any],
     _set(params, trunk_path + ("patch_embed", "bias"),
          _np(state_dict["patch_embed.proj.bias"]))
 
-    # Our ViT scans its encoder blocks: per-leaf params are STACKED along a
-    # leading depth axis (models/vit.py scan_blocks). Stack the per-block
-    # torch tensors in block order.
+    # Our ViT scans its encoder blocks by default: per-leaf params STACKED
+    # along a leading depth axis under scope 'encoder' (models/vit.py
+    # scan_blocks). With scan_layout=False the unrolled per-block layout
+    # ('block{i}' scopes) is produced instead.
     depth = 1 + max(int(m.group(1)) for k in state_dict
                     if (m := re.match(r"blocks\.(\d+)\.", k)))
 
-    def stacked(fmt: str, transform) -> np.ndarray:
-        return np.stack([transform(state_dict[fmt.format(i)])
-                         for i in range(depth)])
+    per_block = [
+        ("norm1", "scale", "blocks.{}.norm1.weight", _np),
+        ("norm1", "bias", "blocks.{}.norm1.bias", _np),
+        ("norm2", "scale", "blocks.{}.norm2.weight", _np),
+        ("norm2", "bias", "blocks.{}.norm2.bias", _np),
+        (("attn", "qkv"), "kernel", "blocks.{}.attn.qkv.weight",
+         linear_kernel),
+        (("attn", "qkv"), "bias", "blocks.{}.attn.qkv.bias", _np),
+        (("attn", "proj"), "kernel", "blocks.{}.attn.proj.weight",
+         linear_kernel),
+        (("attn", "proj"), "bias", "blocks.{}.attn.proj.bias", _np),
+        ("mlp_fc1", "kernel", "blocks.{}.mlp.fc1.weight", linear_kernel),
+        ("mlp_fc1", "bias", "blocks.{}.mlp.fc1.bias", _np),
+        ("mlp_fc2", "kernel", "blocks.{}.mlp.fc2.weight", linear_kernel),
+        ("mlp_fc2", "bias", "blocks.{}.mlp.fc2.bias", _np),
+    ]
 
-    scope = trunk_path + ("encoder",)
-    for ln in ("norm1", "norm2"):
-        _set(params, scope + (ln, "scale"),
-             stacked("blocks.{}." + ln + ".weight", _np))
-        _set(params, scope + (ln, "bias"),
-             stacked("blocks.{}." + ln + ".bias", _np))
-    _set(params, scope + ("attn", "qkv", "kernel"),
-         stacked("blocks.{}.attn.qkv.weight", linear_kernel))
-    _set(params, scope + ("attn", "qkv", "bias"),
-         stacked("blocks.{}.attn.qkv.bias", _np))
-    _set(params, scope + ("attn", "proj", "kernel"),
-         stacked("blocks.{}.attn.proj.weight", linear_kernel))
-    _set(params, scope + ("attn", "proj", "bias"),
-         stacked("blocks.{}.attn.proj.bias", _np))
-    _set(params, scope + ("mlp_fc1", "kernel"),
-         stacked("blocks.{}.mlp.fc1.weight", linear_kernel))
-    _set(params, scope + ("mlp_fc1", "bias"),
-         stacked("blocks.{}.mlp.fc1.bias", _np))
-    _set(params, scope + ("mlp_fc2", "kernel"),
-         stacked("blocks.{}.mlp.fc2.weight", linear_kernel))
-    _set(params, scope + ("mlp_fc2", "bias"),
-         stacked("blocks.{}.mlp.fc2.bias", _np))
+    def sub_scope(mod):
+        return mod if isinstance(mod, tuple) else (mod,)
+
+    if scan_layout:
+        scope = trunk_path + ("encoder",)
+        for mod, leaf, fmt, transform in per_block:
+            _set(params, scope + sub_scope(mod) + (leaf,),
+                 np.stack([transform(state_dict[fmt.format(i)])
+                           for i in range(depth)]))
+    else:
+        for i in range(depth):
+            scope = trunk_path + (f"block{i}",)
+            for mod, leaf, fmt, transform in per_block:
+                _set(params, scope + sub_scope(mod) + (leaf,),
+                     transform(state_dict[fmt.format(i)]))
 
     _set(params, trunk_path + ("norm", "scale"), _np(state_dict["norm.weight"]))
     _set(params, trunk_path + ("norm", "bias"), _np(state_dict["norm.bias"]))
@@ -224,6 +231,16 @@ def _merge_into(variables: Dict, converted: Dict,
     return traverse_util.unflatten_dict(flat_target), skipped
 
 
+def _uses_scan_layout(variables: Dict, trunk: str) -> bool:
+    """Detect whether the target ViT trunk uses the scanned (stacked)
+    encoder layout or unrolled per-block scopes."""
+    params = variables.get("params", {})
+    for scope, sub in params.items():
+        if scope.startswith(trunk) and isinstance(sub, dict):
+            return "encoder" in sub
+    return True
+
+
 def convert_state_dict(model_name: str, state_dict: Dict[str, Any],
                        variables: Dict) -> Tuple[Dict, int]:
     """Convert a torch state_dict into a ready-to-use variables tree for
@@ -231,7 +248,9 @@ def convert_state_dict(model_name: str, state_dict: Dict[str, Any],
     if model_name == "rgb_only":
         converted = convert_resnet50(state_dict, ("ResNet_0",))
     elif model_name == "thermal_only":
-        converted = convert_vit_b16(state_dict, ("ViT_0",))
+        converted = convert_vit_b16(
+            state_dict, ("ViT_0",),
+            scan_layout=_uses_scan_layout(variables, "ViT"))
     elif model_name == "multimodal":
         rgb_keys = {k: v for k, v in state_dict.items()
                     if strip_prefix(k).startswith(("conv1", "bn1", "layer"))
@@ -242,7 +261,9 @@ def convert_state_dict(model_name: str, state_dict: Dict[str, Any],
                         ("cls_token", "pos_embed", "patch_embed", "blocks",
                          "norm."))}
         r = convert_resnet50(rgb_keys, ("rgb_branch",))
-        v = convert_vit_b16(vit_keys, ("thermal_branch",))
+        v = convert_vit_b16(
+            vit_keys, ("thermal_branch",),
+            scan_layout=_uses_scan_layout(variables, "thermal_branch"))
         converted = {
             "params": {**r["params"], **v["params"]},
             "batch_stats": {**r["batch_stats"], **v["batch_stats"]},

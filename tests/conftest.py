@@ -15,10 +15,19 @@ from pathlib import Path
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")   # mute XLA AOT warnings
+# XLA:CPU intermittently aborts executing the SCANNED ViT train step
+# (thunk-executor Eigen worker race); unrolled blocks are stable on CPU.
+# TPU uses the scanned default.
+os.environ.setdefault("DFU_VIT_SCAN_BLOCKS", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags += " --xla_force_host_platform_device_count=8"
+# XLA:CPU's thunk executor intermittently aborts inside its Eigen worker
+# pool on this 1-core host (stack: ThunkExecutor::Execute -> WorkerLoop);
+# single-threaded Eigen avoids the race.
+if "xla_cpu_multi_thread_eigen" not in flags:
+    flags += " --xla_cpu_multi_thread_eigen=false"
+os.environ["XLA_FLAGS"] = flags.strip()
 
 REPO_ROOT = Path(__file__).resolve().parents[1]
 if str(REPO_ROOT) not in sys.path:
@@ -31,9 +40,10 @@ import pytest  # noqa: E402
 # test wall-clock on the single-core CI host.
 import jax  # noqa: E402
 
-_CACHE_DIR = REPO_ROOT / ".jax_cache"
-jax.config.update("jax_compilation_cache_dir", str(_CACHE_DIR))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+if os.environ.get("DFU_NO_CACHE") != "1":
+    _CACHE_DIR = REPO_ROOT / ".jax_cache"
+    jax.config.update("jax_compilation_cache_dir", str(_CACHE_DIR))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 @pytest.fixture(scope="session")

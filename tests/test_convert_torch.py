@@ -190,7 +190,8 @@ def torch_vit_forward(sd, x, depth=2, hidden=96, heads=4, patch=8):
     return F.linear(x[:, 0], sd["head.1.weight"], sd["head.1.bias"])
 
 
-def test_vit_conversion_numeric_parity():
+@pytest.mark.parametrize("scan_layout", [True, False])
+def test_vit_conversion_numeric_parity(scan_layout):
     from dfu_multimodal_tpu.models.vit import ViT
     import flax.linen as nn
     import jax.numpy as jnp
@@ -202,7 +203,8 @@ def test_vit_conversion_numeric_parity():
         def __call__(self, x, *, train=False, taps=None):
             feats = ViT(patch_size=patch, hidden_dim=hidden, depth=depth,
                         num_heads=heads, dtype=jnp.float32,
-                        attention_impl="xla")(x, train=train, taps=taps)
+                        attention_impl="xla",
+                        scan_blocks=scan_layout)(x, train=train, taps=taps)
             return nn.Dense(2, name="head")(feats)
 
     module = SmallViTClassifier()
@@ -212,7 +214,8 @@ def test_vit_conversion_numeric_parity():
 
     sd = make_vit_state_dict(depth, hidden, heads, patch, img=32)
     merged, skipped = cv._merge_into(
-        dict(variables), cv.convert_vit_b16(sd, ("ViT_0",)))
+        dict(variables),
+        cv.convert_vit_b16(sd, ("ViT_0",), scan_layout=scan_layout))
     assert skipped == 0
 
     ref = torch_vit_forward(sd, x_t, depth, hidden, heads, patch).numpy()
