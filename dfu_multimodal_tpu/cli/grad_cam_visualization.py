@@ -135,31 +135,40 @@ def visualize_model(trainer: Trainer, state, dataset: ArrayDataset,
     counts = {0: 0, 1: 0}
     saved = 0
 
-    for idx in _select_samples(dataset.labels, per_class):
+    # All selected samples CAM in ONE jitted forward+backward per tap
+    # (the reference loops single-image double-forwards, :715-741).
+    selected = _select_samples(dataset.labels, per_class)
+    if not selected:
+        return 0
+    sel = np.asarray(selected)
+    raw_batches = {m: dataset.arrays[m][sel] for m in spec.inputs}
+    inputs = tuple(eval_normalize(jnp.asarray(raw_batches[m]),
+                                  trainer.modalities[m], jnp.float32)
+                   for m in spec.inputs)
+
+    if spec.name == "multimodal":
+        rgb_outs = gradcam.compute_cam_batch(module, variables, inputs,
+                                             "stage4", cam_class,
+                                             input_index=0)
+        th_outs = gradcam.compute_cam_batch(module, variables, inputs,
+                                            "blocks", cam_class,
+                                            input_index=1)
+    else:
+        cam_outs = gradcam.compute_cam_batch(module, variables, inputs,
+                                             tap_name, cam_class,
+                                             input_index=0)
+
+    for k, idx in enumerate(selected):
         label = int(dataset.labels[idx])
-        inputs, raw_u8 = [], {}
-        for m in spec.inputs:
-            raw = dataset.arrays[m][idx:idx + 1]
-            raw_u8[m] = raw[0]
-            inputs.append(eval_normalize(
-                jnp.asarray(raw), trainer.modalities[m], jnp.float32))
-        inputs = tuple(inputs)
-
         if spec.name == "multimodal":
-            rgb_out = gradcam.compute_cam(module, variables, inputs,
-                                          "stage4", cam_class, input_index=0)
-            th_out = gradcam.compute_cam(module, variables, inputs,
-                                         "blocks", cam_class, input_index=1)
-            fig = _figure_multimodal(raw_u8["rgb"], raw_u8["thermal"],
-                                     rgb_out["cam"], th_out["cam"],
-                                     rgb_out["pred"], rgb_out["confidence"])
+            fig = _figure_multimodal(
+                raw_batches["rgb"][k], raw_batches["thermal"][k],
+                rgb_outs[k]["cam"], th_outs[k]["cam"],
+                rgb_outs[k]["pred"], rgb_outs[k]["confidence"])
         else:
-            cam_out = gradcam.compute_cam(module, variables, inputs,
-                                          tap_name, cam_class, input_index=0)
-            modality_title = spec.inputs[0].upper()
-            fig = _figure_single(raw_u8[spec.inputs[0]], cam_out,
-                                 modality_title, display)
-
+            fig = _figure_single(raw_batches[spec.inputs[0]][k],
+                                 cam_outs[k], spec.inputs[0].upper(),
+                                 display)
         cls_name = "healthy" if label == 0 else "ulcer"
         path = out_dir / f"{cls_name}_{counts[label]:02d}.png"
         fig.savefig(path, dpi=150, bbox_inches="tight")

@@ -61,16 +61,27 @@ def tap_shape(module, variables, inputs: Tuple[jnp.ndarray, ...],
 @partial(jax.jit, static_argnames=("module", "tap_name", "class_index",
                                    "input_index"))
 def _cam_grads(module, variables, inputs, zero_tap, tap_name: str,
-               class_index: int, input_index: int):
-    """One forward+backward: returns (probs, activation, d score/d tap,
-    d score/d input[input_index])."""
+               class_index, input_index: int):
+    """One forward+backward for a WHOLE batch: returns (probs, activation,
+    d score/d tap, d score/d input[input_index]).
+
+    The per-sample class scores are summed before differentiation — samples
+    are independent, so the gradient slices are exactly the per-sample
+    gradients, and one program CAMs the whole selection (the reference
+    loops single-image double-forwards, grad_cam_visualization.py:715-741).
+    ``class_index``: an int (fixed class) or "pred" (per-sample argmax)."""
 
     def score_fn(tap_value, xs):
         logits, state = module.apply(
             variables, *xs, train=False, taps={tap_name: tap_value},
             mutable=["intermediates"])
         logits = logits.astype(jnp.float32)
-        score = logits[0, class_index]
+        if class_index == "pred":
+            idx = jnp.argmax(jax.lax.stop_gradient(logits), axis=-1)
+        else:
+            idx = jnp.full((logits.shape[0],), class_index, jnp.int32)
+        score = jnp.sum(jnp.take_along_axis(logits, idx[:, None],
+                                            axis=-1))
         act = _find_intermediate(state["intermediates"], tap_name)
         return score, (logits, act)
 
@@ -82,47 +93,47 @@ def _cam_grads(module, variables, inputs, zero_tap, tap_name: str,
     return probs, act, tap_grad, input_grads[input_index]
 
 
-def compute_cam(module, variables, inputs: Tuple[jnp.ndarray, ...],
-                tap_name: str, class_index: Any = 0,
-                input_index: int = 0) -> Dict[str, np.ndarray]:
-    """Grad-CAM for one sample (batch size 1).
-
-    Returns dict with 'cam' (H', W') in [0, 1], 'probs', 'pred',
-    'confidence', 'used_saliency'.
-    """
-    if class_index == "pred":
-        logits = module.apply(variables, *inputs, train=False)
-        class_index = int(jnp.argmax(logits[0]))
-
+def compute_cam_batch(module, variables, inputs: Tuple[jnp.ndarray, ...],
+                      tap_name: str, class_index: Any = 0,
+                      input_index: int = 0) -> list:
+    """Grad-CAM for a batch: one jitted forward+backward covers every
+    sample. Returns a list of per-sample dicts with 'cam' in [0,1],
+    'probs', 'pred', 'confidence', 'used_saliency'."""
     shape = tap_shape(module, variables, inputs, tap_name)
     zero_tap = jnp.zeros(shape.shape, shape.dtype)
+    ci = class_index if class_index == "pred" else int(class_index)
     probs, act, tap_grad, input_grad = _cam_grads(
-        module, variables, inputs, zero_tap, tap_name, int(class_index),
-        input_index)
+        module, variables, inputs, zero_tap, tap_name, ci, input_index)
 
-    probs = np.asarray(probs)[0]
-    pred = int(probs.argmax())
-
+    probs = np.asarray(probs)
     act = np.asarray(act, np.float32)
     tap_grad = np.asarray(tap_grad, np.float32)
     used_saliency = act.ndim != 4
-
     if used_saliency:
-        # ViT-style fallback: |input gradient| averaged over channels
-        sal = np.abs(np.asarray(input_grad, np.float32))[0]     # (H, W, C)
-        cam = sal.mean(axis=-1)
-        if cam.max() > 0:
-            cam = cam / cam.max()
+        sal = np.abs(np.asarray(input_grad, np.float32))      # (B, H, W, C)
+        cams = sal.mean(axis=-1)
     else:
-        weights = tap_grad.mean(axis=(1, 2))                    # (1, C)
-        cam = np.einsum("c,hwc->hw", weights[0], act[0])
-        cam = np.maximum(cam, 0.0)
+        weights = tap_grad.mean(axis=(1, 2))                  # (B, C)
+        cams = np.maximum(np.einsum("bc,bhwc->bhw", weights, act), 0.0)
+
+    out = []
+    for i in range(probs.shape[0]):
+        cam = cams[i]
         if cam.max() > 0:
             cam = cam / cam.max()
+        pred = int(probs[i].argmax())
+        out.append({"cam": cam.astype(np.float32), "probs": probs[i],
+                    "pred": pred, "confidence": float(probs[i][pred]),
+                    "used_saliency": used_saliency})
+    return out
 
-    return {"cam": cam.astype(np.float32), "probs": probs, "pred": pred,
-            "confidence": float(probs[pred]),
-            "used_saliency": used_saliency}
+
+def compute_cam(module, variables, inputs: Tuple[jnp.ndarray, ...],
+                tap_name: str, class_index: Any = 0,
+                input_index: int = 0) -> Dict[str, np.ndarray]:
+    """Grad-CAM for one sample (batch size 1)."""
+    return compute_cam_batch(module, variables, inputs, tap_name,
+                             class_index, input_index)[0]
 
 
 def overlay_cam(image_u8: np.ndarray, cam: np.ndarray,

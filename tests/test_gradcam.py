@@ -64,6 +64,34 @@ def test_saliency_fallback_for_non_4d_tap():
     assert out["cam"].shape == (32, 32)         # input resolution
 
 
+def test_batched_cam_matches_single():
+    """One batched forward+backward must reproduce per-sample CAMs."""
+    module, spec = zoo.build("tiny_rgb", dtype=jnp.float32)
+    variables = zoo.init_model(module, spec, jax.random.PRNGKey(0),
+                               image_size=32)
+    xs = jax.random.normal(jax.random.PRNGKey(2), (3, 32, 32, 3))
+    batched = gradcam.compute_cam_batch(module, variables, (xs,),
+                                        "features", class_index=0)
+    assert len(batched) == 3
+    for i in range(3):
+        single = gradcam.compute_cam(module, variables, (xs[i:i + 1],),
+                                     "features", class_index=0)
+        np.testing.assert_allclose(batched[i]["cam"], single["cam"],
+                                   atol=1e-4)
+        assert batched[i]["pred"] == single["pred"]
+
+
+def test_batched_cam_pred_class():
+    module, spec = zoo.build("tiny_rgb", dtype=jnp.float32)
+    variables = zoo.init_model(module, spec, jax.random.PRNGKey(0),
+                               image_size=32)
+    xs = jax.random.normal(jax.random.PRNGKey(3), (2, 32, 32, 3))
+    outs = gradcam.compute_cam_batch(module, variables, (xs,), "features",
+                                     class_index="pred")
+    for o in outs:
+        assert o["cam"].max() <= 1.0 and o["confidence"] >= 0.5
+
+
 def test_overlay_shapes():
     img = np.random.default_rng(0).integers(0, 255, (32, 32, 3), np.uint8)
     cam = np.random.default_rng(1).random((8, 8)).astype(np.float32)
