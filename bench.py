@@ -218,6 +218,9 @@ def main():
         os.environ.pop("PALLAS_AXON_POOL_IPS", None)
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
+        # the axon sitecustomize pre-set jax_platforms="axon,cpu", which
+        # overrides the env var — reset it so this really measures CPU
+        jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_compilation_cache_dir",
                           str(REPO_ROOT / ".jax_cache"))
         result = measure(args.batch_size or 4, args.iters or 2, chain=2)

@@ -56,6 +56,7 @@ class MultimodalFusionClassifier(nn.Module):
     drop_rate: float = 0.5
     dtype: Any = jnp.float32
     attention_impl: str = "auto"
+    block_impl: str = "auto"
 
     @nn.compact
     def __call__(self, rgb: jnp.ndarray, thermal: jnp.ndarray, *,
@@ -63,6 +64,7 @@ class MultimodalFusionClassifier(nn.Module):
         rgb_feats = ResNet50(dtype=self.dtype, name="rgb_branch")(
             rgb, train=train, taps=taps)                       # (B, 2048)
         thermal_feats = ViTBase16(self.dtype, self.attention_impl,
+                                  self.block_impl,
                                   name="thermal_branch")(
             thermal, train=train, taps=taps)                   # (B, 768)
         fused = jnp.concatenate([rgb_feats, thermal_feats], axis=-1)

@@ -90,6 +90,72 @@ class MultiHeadAttention(nn.Module):
                         name="proj")(out)
 
 
+class _LNParams(nn.Module):
+    """Parameter holder producing the exact tree of ``nn.LayerNorm``."""
+
+    @nn.compact
+    def __call__(self, c: int):
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return scale, bias
+
+
+class _DenseParams(nn.Module):
+    """Parameter holder producing the exact tree of ``nn.Dense``."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, c: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (c, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return kernel, bias
+
+
+class _AttnParams(nn.Module):
+    """Mirrors MultiHeadAttention's param tree (attn/{qkv,proj})."""
+
+    @nn.compact
+    def __call__(self, c: int):
+        return (_DenseParams(3 * c, name="qkv")(c),
+                _DenseParams(c, name="proj")(c))
+
+
+class FusedEncoderBlock(nn.Module):
+    """EncoderBlock computed by the fused Pallas block kernels
+    (ops/vit_block.py): LN1+qkv+attention+proj+residual in one kernel,
+    LN2+MLP+residual in another — no LayerNorm/GELU/residual intermediate
+    ever reaches HBM.  Declares the SAME param tree as :class:`EncoderBlock`
+    (checkpoints, converters and TP sharding rules apply unchanged).
+    Trainable: both kernels carry a rematerializing custom VJP."""
+
+    num_heads: int = 12
+    mlp_ratio: int = 4
+    dtype: Any = jnp.float32
+    interpret: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, _=None):
+        from dfu_multimodal_tpu.ops.vit_block import attn_block, mlp_block
+
+        c = x.shape[-1]
+        g1, be1 = _LNParams(name="norm1")(c)
+        (wqkv, bqkv), (wproj, bproj) = _AttnParams(name="attn")(c)
+        g2, be2 = _LNParams(name="norm2")(c)
+        w1, b1 = _DenseParams(self.mlp_ratio * c, name="mlp_fc1")(c)
+        w2, b2 = _DenseParams(c, name="mlp_fc2")(self.mlp_ratio * c)
+
+        dt = canonical_dtype(self.dtype)
+        x = attn_block(x, g1, be1, wqkv.astype(dt), bqkv, wproj.astype(dt),
+                       bproj, num_heads=self.num_heads,
+                       interpret=self.interpret)
+        x = mlp_block(x, g2, be2, w1.astype(dt), b1, w2.astype(dt), b2,
+                      interpret=self.interpret)
+        return x, None
+
+
 class EncoderBlock(nn.Module):
     num_heads: int = 12
     mlp_ratio: int = 4
@@ -127,6 +193,12 @@ class ViT(nn.Module):
     mlp_ratio: int = 4
     dtype: Any = jnp.float32
     attention_impl: str = "auto"
+    # Block implementation: "flax" composes nn.Dense/nn.LayerNorm (+ the
+    # pluggable attention kernel); "fused" runs the two fused Pallas block
+    # kernels of ops/vit_block.py (whole block VMEM-resident).  "auto" =
+    # fused on TPU, flax elsewhere.  "fused_interpret" forces the fused
+    # path through the Pallas interpreter (CPU numerics tests).
+    block_impl: str = "auto"
     # Scanned blocks are the TPU default (O(1) program size/compile time).
     # DFU_VIT_SCAN_BLOCKS=0 unrolls them: XLA:CPU's thunk executor
     # intermittently aborts executing the scanned train step (Eigen
@@ -135,6 +207,22 @@ class ViT(nn.Module):
     scan_blocks: bool = field(
         default_factory=lambda: os.environ.get(
             "DFU_VIT_SCAN_BLOCKS", "1") != "0")
+
+    def _resolve_block(self):
+        """Returns (block_cls, block_args) for the configured impl."""
+        impl = self.block_impl
+        if impl == "auto":
+            import jax
+            impl = ("fused" if jax.devices()[0].platform == "tpu"
+                    else "flax")
+        dtype = canonical_dtype(self.dtype)
+        if impl == "flax":
+            return EncoderBlock, (self.num_heads, self.mlp_ratio, dtype,
+                                  self.attention_impl)
+        if impl in ("fused", "fused_interpret"):
+            return FusedEncoderBlock, (self.num_heads, self.mlp_ratio, dtype,
+                                       impl == "fused_interpret")
+        raise ValueError(f"unknown block impl: {impl!r}")
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False,
@@ -161,24 +249,22 @@ class ViT(nn.Module):
             (1, gh * gw + 1, self.hidden_dim), jnp.float32)
         x = x + pos_embed.astype(dtype)
 
+        block_cls, block_args = self._resolve_block()
         if self.scan_blocks:
             # One scanned block: params stacked (depth, ...), a single
             # compiled body — compile time and program size are O(1) in
             # depth instead of O(depth).
             ScannedBlocks = nn.scan(
-                EncoderBlock,
+                block_cls,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 length=self.depth,
                 metadata_params={nn.PARTITION_NAME: None},
             )
-            x, _ = ScannedBlocks(self.num_heads, self.mlp_ratio, dtype,
-                                 self.attention_impl, name="encoder")(x, None)
+            x, _ = ScannedBlocks(*block_args, name="encoder")(x, None)
         else:
             for i in range(self.depth):
-                x, _ = EncoderBlock(self.num_heads, self.mlp_ratio, dtype,
-                                    self.attention_impl,
-                                    name=f"block{i}")(x)
+                x, _ = block_cls(*block_args, name=f"block{i}")(x)
         x = tap(self, "blocks", x, taps)
 
         x = nn.LayerNorm(epsilon=1e-6, dtype=dtype, param_dtype=jnp.float32,
@@ -187,8 +273,9 @@ class ViT(nn.Module):
 
 
 def ViTBase16(dtype: Any = jnp.float32, attention_impl: str = "auto",
-              **kwargs) -> ViT:
-    return ViT(dtype=dtype, attention_impl=attention_impl, **kwargs)
+              block_impl: str = "auto", **kwargs) -> ViT:
+    return ViT(dtype=dtype, attention_impl=attention_impl,
+               block_impl=block_impl, **kwargs)
 
 
 class ViTClassifier(nn.Module):
@@ -199,11 +286,12 @@ class ViTClassifier(nn.Module):
     drop_rate: float = 0.5
     dtype: Any = jnp.float32
     attention_impl: str = "auto"
+    block_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False,
                  taps: Taps = None) -> jnp.ndarray:
-        feats = ViTBase16(self.dtype, self.attention_impl)(
+        feats = ViTBase16(self.dtype, self.attention_impl, self.block_impl)(
             x, train=train, taps=taps)
         feats = nn.Dropout(self.drop_rate, deterministic=not train)(feats)
         return nn.Dense(self.num_classes, dtype=jnp.float32,

@@ -1,0 +1,358 @@
+"""Fused ViT encoder-block kernels (Pallas, TPU).
+
+The scanned flax encoder block lowers to clean MXU matmuls, but XLA still
+materializes every LayerNorm / residual / GELU intermediate in HBM between
+them: at batch 128 that is ~60% of the block's wall time on v5e (the
+forward measured 42.8 ms vs a ~22 ms matmul roofline, docs/DESIGN.md).
+These kernels keep one image's entire block computation VMEM-resident:
+
+  ``attn_block``:  x + proj(attention(qkv(LN1(x))))   — one kernel
+  ``mlp_block``:   x + fc2(gelu(fc1(LN2(x))))          — one kernel
+
+HBM sees exactly one read of x, one read of the (bf16-cast) weights per
+launch — weights use constant index maps, so Pallas keeps them resident in
+VMEM across the whole batch grid — and one write of the residual output.
+No (B, N, 3C) qkv tensor, no (B, N, 4C) MLP hidden, no normalized copies
+ever leave the chip.
+
+The reference has no analogue (its ViT is stock timm,
+reference notebooks/train_thermal_only.py:188-205); this is part of the
+TPU-native redesign (SURVEY.md §7 step 8).
+
+Both ops are trainable: the custom VJP recomputes the block from its inputs
+with a plain-jnp reference implementation and differentiates that
+(rematerialization — no residuals besides the inputs ever reach HBM).  The
+reference implementations double as the CPU/interpret numerical oracle in
+tests/test_ops.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LN_EPS = 1e-6
+
+
+# ---------------------------------------------------------------- helpers
+
+
+def _layernorm_f32(x, scale, bias, eps=LN_EPS):
+    """LayerNorm over the last axis in fp32. x: (N, C); scale/bias: (C,)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    y = xc * jax.lax.rsqrt(var + eps)
+    return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+
+
+def _erf_poly(x):
+    """erf via Abramowitz–Stegun 7.1.26 (|err| <= 1.5e-7): Mosaic has no
+    erf/erfc lowering, and 1.5e-7 absolute error is far below bf16
+    resolution.  fp32 in/out."""
+    p = 0.3275911
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
+def _gelu_exact(x):
+    """Exact (erf) GELU on fp32, kernel-safe."""
+    return 0.5 * x * (1.0 + _erf_poly(x * (2.0 ** -0.5)))
+
+
+def _attention_head(q, k, v, scale):
+    """One head of softmax attention with DEFERRED normalization: the
+    softmax division is applied to the (N, D) output of e·V rather than the
+    (N, N) exp matrix — 3× fewer VPU normalization ops, identical math.
+    q, k fp32 (N, D); v compute dtype. Returns fp32 (N, D)."""
+    scores = jax.lax.dot_general(
+        q * scale, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)                           # rows in (0, 1]
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        e.astype(v.dtype), v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (N, D)
+    return o / s
+
+
+# ------------------------------------------------------- attention block
+
+
+def _attn_block_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                       bproj_ref, o_ref, *, num_heads: int):
+    ipp, n, c = x_ref.shape                          # images per grid step
+    d = c // num_heads
+    scale = d ** -0.5
+
+    # LN + qkv + proj are per-token: batch them over all ipp images (one
+    # (ipp·N, C) matmul instead of ipp small ones).
+    x = x_ref[...].reshape(ipp * n, c)
+    y = _layernorm_f32(x, g1_ref[0], b1_ref[0]).astype(x.dtype)
+    qkv = jax.lax.dot_general(
+        y, wqkv_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(x.dtype)
+
+    # Heads sliced in VMEM from the packed qkv — lane slices, no transposes
+    # (same layout trick as ops/attention.py::qkv_attention).
+    outs = []
+    for i in range(ipp):
+        qkv_i = qkv[i * n:(i + 1) * n]
+        heads = []
+        for h in range(num_heads):
+            q = qkv_i[:, h * d:(h + 1) * d].astype(jnp.float32)
+            k = qkv_i[:, c + h * d:c + (h + 1) * d].astype(jnp.float32)
+            v = qkv_i[:, 2 * c + h * d:2 * c + (h + 1) * d]
+            heads.append(_attention_head(q, k, v, scale))
+        outs.append(jnp.concatenate(heads, axis=-1))
+    attn = jnp.concatenate(outs, axis=0).astype(x.dtype)     # (ipp·N, C)
+
+    o = jax.lax.dot_general(
+        attn, wproj_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o = (o + bproj_ref[0].astype(jnp.float32)).astype(x.dtype)
+    o_ref[...] = (x + o).reshape(ipp, n, c)
+
+
+def _attn_block_ref(x, g1, b1, wqkv, bqkv, wproj, bproj, *, num_heads: int):
+    """Plain-jnp oracle with the kernel's exact numerics (fp32 LN/softmax,
+    compute-dtype matmul operands, fp32 accumulation)."""
+    b, n, c = x.shape
+    d = c // num_heads
+    scale = d ** -0.5
+    y = _layernorm_f32(x, g1, b1).astype(x.dtype)
+    qkv = jnp.einsum("bnc,cm->bnm", y, wqkv,
+                     preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv.astype(jnp.float32)).astype(x.dtype)
+    qkv = qkv.reshape(b, n, 3, num_heads, d)
+    q = qkv[:, :, 0].transpose(0, 2, 1, 3).astype(jnp.float32)
+    k = qkv[:, :, 1].transpose(0, 2, 1, 3).astype(jnp.float32)
+    v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+                        preferred_element_type=jnp.float32)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    attn = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32)
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, n, c).astype(x.dtype)
+    o = jnp.einsum("bnc,cm->bnm", attn, wproj,
+                   preferred_element_type=jnp.float32)
+    o = (o + bproj.astype(jnp.float32)).astype(x.dtype)
+    return x + o
+
+
+def _row_spec(shape, interpret):
+    """Per-batch-element block over the leading grid axis."""
+    return pl.BlockSpec((1,) + shape[1:], lambda i: (i,) + (0,) * (len(shape) - 1),
+                        memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+
+
+def _const_spec(shape, interpret):
+    """Whole-array operand with a constant index map: Pallas loads it into
+    VMEM once and keeps it resident across all grid steps."""
+    return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                        memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+
+
+def _attn_block_call(x, g1, b1, wqkv, bqkv, wproj, bproj, num_heads,
+                     interpret):
+    b, n, c = x.shape
+    ipp = 2 if b % 2 == 0 else 1    # images per grid step (VMEM-bounded)
+    g1r, b1r = g1.reshape(1, c), b1.reshape(1, c)
+    bqkvr, bprojr = bqkv.reshape(1, 3 * c), bproj.reshape(1, c)
+
+    def img_block(i):
+        return (i, 0, 0)
+
+    return pl.pallas_call(
+        functools.partial(_attn_block_kernel, num_heads=num_heads),
+        grid=(b // ipp,),
+        in_specs=[
+            pl.BlockSpec((ipp, n, c), img_block,
+                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+            _const_spec((1, c), interpret), _const_spec((1, c), interpret),
+            _const_spec((c, 3 * c), interpret),
+            _const_spec((1, 3 * c), interpret),
+            _const_spec((c, c), interpret), _const_spec((1, c), interpret),
+        ],
+        out_specs=pl.BlockSpec(
+            (ipp, n, c), img_block,
+            memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * c * (3 * c + c) + 4 * b * n * n * c,
+            bytes_accessed=(2 * x.size + wqkv.size + wproj.size)
+            * x.dtype.itemsize,
+            transcendentals=b * num_heads * n * n),
+        interpret=interpret,
+    )(x, g1r, b1r, wqkv, bqkvr, wproj, bprojr)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _attn_block(x, g1, b1, wqkv, bqkv, wproj, bproj, num_heads, interpret):
+    return _attn_block_call(x, g1, b1, wqkv, bqkv, wproj, bproj, num_heads,
+                            interpret)
+
+
+def _attn_block_fwd(x, g1, b1, wqkv, bqkv, wproj, bproj, num_heads,
+                    interpret):
+    out = _attn_block_call(x, g1, b1, wqkv, bqkv, wproj, bproj, num_heads,
+                           interpret)
+    return out, (x, g1, b1, wqkv, bqkv, wproj, bproj)
+
+
+def _attn_block_bwd(num_heads, interpret, res, g):
+    # Rematerialized backward: re-run the jnp oracle under vjp.  XLA fuses
+    # this well (it is the hot-loop the flax path already runs), and no
+    # forward intermediates ever had to be saved to HBM.
+    _, vjp = jax.vjp(
+        functools.partial(_attn_block_ref, num_heads=num_heads), *res)
+    return vjp(g)
+
+
+_attn_block.defvjp(_attn_block_fwd, _attn_block_bwd)
+
+
+def attn_block(x: jnp.ndarray, g1: jnp.ndarray, b1: jnp.ndarray,
+               wqkv: jnp.ndarray, bqkv: jnp.ndarray,
+               wproj: jnp.ndarray, bproj: jnp.ndarray,
+               num_heads: int, interpret: bool = False) -> jnp.ndarray:
+    """x + proj(attention(qkv(LN1(x)))) in one VMEM-resident kernel.
+
+    x: (B, N, C) in compute dtype; wqkv (C, 3C) / wproj (C, C) already cast
+    to the compute dtype; LN params and biases fp32. Trainable (custom VJP).
+    """
+    return _attn_block(x, g1, b1, wqkv, bqkv, wproj, bproj, num_heads,
+                       interpret)
+
+
+# ------------------------------------------------------------- MLP block
+
+
+def _mlp_block_kernel(x_ref, g2_ref, b2_ref, w1_ref, b1_ref, w2_ref, b2b_ref,
+                      o_ref, *, hidden_chunks: int):
+    x = x_ref[...]                                   # (rows, C) — flattened
+    c = x.shape[-1]                                  # tokens, NOT per-image
+    hidden = w1_ref.shape[-1]
+    chunk = hidden // hidden_chunks
+
+    y = _layernorm_f32(x, g2_ref[0], b2_ref[0]).astype(x.dtype)
+
+    # Chunk the 4C hidden dim so the fp32 GELU intermediate stays small:
+    # o += gelu(y @ w1[:, c0:c1] + b1[c0:c1]) @ w2[c0:c1, :], fp32 accum.
+    acc = jnp.zeros((x.shape[0], c), jnp.float32)
+    for i in range(hidden_chunks):
+        h = jax.lax.dot_general(
+            y, w1_ref[:, i * chunk:(i + 1) * chunk],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        h = h + b1_ref[0, i * chunk:(i + 1) * chunk].astype(jnp.float32)
+        h = _gelu_exact(h).astype(x.dtype)
+        acc = acc + jax.lax.dot_general(
+            h, w2_ref[i * chunk:(i + 1) * chunk, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    o = (acc + b2b_ref[0].astype(jnp.float32)).astype(x.dtype)
+    o_ref[...] = x + o
+
+
+def _mlp_block_ref(x, g2, b2, w1, b1, w2, b2b):
+    """Plain-jnp oracle matching the kernel numerics."""
+    y = _layernorm_f32(x, g2, b2).astype(x.dtype)
+    h = jnp.einsum("bnc,cm->bnm", y, w1, preferred_element_type=jnp.float32)
+    h = h + b1.astype(jnp.float32)
+    h = jax.nn.gelu(h, approximate=False).astype(x.dtype)
+    o = jnp.einsum("bnm,mc->bnc", h, w2, preferred_element_type=jnp.float32)
+    o = (o + b2b.astype(jnp.float32)).astype(x.dtype)
+    return x + o
+
+
+def _mlp_block_call(x, g2, b2, w1, b1, w2, b2b, hidden_chunks, interpret):
+    b, n, c = x.shape
+    hidden = w1.shape[-1]
+    g2r, b2r = g2.reshape(1, c), b2.reshape(1, c)
+    b1r, b2br = b1.reshape(1, hidden), b2b.reshape(1, c)
+
+    # The MLP is per-token: flatten (B, N, C) -> (B·N, C) (free reshape)
+    # and grid over large aligned row blocks instead of per-image — fewer,
+    # fatter grid steps keep the MXU busy.
+    rows_total = b * n
+    rows = min(384, rows_total)    # 512 rows overflows the 16M VMEM budget
+    xf = x.reshape(rows_total, c)
+
+    def row_block(i):
+        return (i, 0)
+
+    out = pl.pallas_call(
+        functools.partial(_mlp_block_kernel, hidden_chunks=hidden_chunks),
+        grid=(pl.cdiv(rows_total, rows),),
+        in_specs=[
+            pl.BlockSpec((rows, c), row_block,
+                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+            _const_spec((1, c), interpret), _const_spec((1, c), interpret),
+            _const_spec((c, hidden), interpret),
+            _const_spec((1, hidden), interpret),
+            _const_spec((hidden, c), interpret),
+            _const_spec((1, c), interpret),
+        ],
+        out_specs=pl.BlockSpec(
+            (rows, c), row_block,
+            memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows_total, c), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n * c * hidden,
+            bytes_accessed=(2 * x.size + w1.size + w2.size)
+            * x.dtype.itemsize,
+            transcendentals=b * n * hidden),
+        interpret=interpret,
+    )(xf, g2r, b2r, w1, b1r, w2, b2br)
+    return out.reshape(b, n, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _mlp_block(x, g2, b2, w1, b1, w2, b2b, hidden_chunks, interpret):
+    return _mlp_block_call(x, g2, b2, w1, b1, w2, b2b, hidden_chunks,
+                           interpret)
+
+
+def _mlp_block_fwd(x, g2, b2, w1, b1, w2, b2b, hidden_chunks, interpret):
+    out = _mlp_block_call(x, g2, b2, w1, b1, w2, b2b, hidden_chunks,
+                          interpret)
+    return out, (x, g2, b2, w1, b1, w2, b2b)
+
+
+def _mlp_block_bwd(hidden_chunks, interpret, res, g):
+    _, vjp = jax.vjp(_mlp_block_ref, *res)
+    return vjp(g)
+
+
+_mlp_block.defvjp(_mlp_block_fwd, _mlp_block_bwd)
+
+
+def mlp_block(x: jnp.ndarray, g2: jnp.ndarray, b2: jnp.ndarray,
+              w1: jnp.ndarray, b1: jnp.ndarray,
+              w2: jnp.ndarray, b2b: jnp.ndarray,
+              hidden_chunks: int = 4, interpret: bool = False) -> jnp.ndarray:
+    """x + fc2(gelu(fc1(LN2(x)))) in one VMEM-resident kernel.
+
+    x: (B, N, C); w1 (C, H) / w2 (H, C) already cast to the compute dtype;
+    LN params and biases fp32. Trainable (custom VJP).
+    """
+    return _mlp_block(x, g2, b2, w1, b1, w2, b2b, hidden_chunks, interpret)

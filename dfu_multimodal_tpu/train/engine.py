@@ -92,17 +92,23 @@ class Trainer:
         self.cfg = cfg
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         self.compute_dtype = dtype
+        self.mesh = mesh if mesh is not None else mesh_mod.make_mesh(cfg.mesh)
         kwargs = {}
         spec_probe = zoo.get(model_name)
         if "thermal" in spec_probe.inputs and spec_probe.name in (
                 "thermal_only", "multimodal"):
             kwargs["attention_impl"] = attention_impl
+            if self.mesh.shape[mesh_mod.MODEL_AXIS] > 1:
+                # Megatron-TP shards the encoder matmuls over ``model``;
+                # the fused Pallas block kernels are opaque to the XLA
+                # partitioner, so TP runs the flax blocks (XLA inserts the
+                # collectives between the sharded Dense ops).
+                kwargs["block_impl"] = "flax"
         self.module, self.spec = zoo.build(
             model_name, drop_rate=cfg.drop_rate, dtype=dtype, **kwargs)
         self.modalities = modalities
         self.class_weights = (np.asarray(class_weights, np.float32)
                               if class_weights is not None else None)
-        self.mesh = mesh if mesh is not None else mesh_mod.make_mesh(cfg.mesh)
         self.batch_sharding = mesh_mod.batch_sharding(self.mesh)
         self.replicated = mesh_mod.replicated(self.mesh)
 

@@ -40,6 +40,13 @@ import pytest  # noqa: E402
 # test wall-clock on the single-core CI host.
 import jax  # noqa: E402
 
+# The axon sitecustomize calls jax.config.update("jax_platforms",
+# "axon,cpu") at interpreter startup, which TAKES PRECEDENCE over the
+# JAX_PLATFORMS env var set above — without this explicit reset every
+# "CPU" test silently runs on the tunneled TPU chip (bf16 numerics broke
+# the fp32 parity tests exactly this way).
+jax.config.update("jax_platforms", "cpu")
+
 if os.environ.get("DFU_NO_CACHE") != "1":
     _CACHE_DIR = REPO_ROOT / ".jax_cache"
     jax.config.update("jax_compilation_cache_dir", str(_CACHE_DIR))

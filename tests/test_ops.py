@@ -98,6 +98,87 @@ def test_fused_mlp_ragged_batch():
                                rtol=2e-5, atol=2e-5)
 
 
+def _tiny_vit_pair():
+    """(flax ViT, fused-interpret ViT, params, input) on a tiny config."""
+    from dfu_multimodal_tpu.models.vit import ViT
+    kw = dict(depth=2, hidden_dim=64, num_heads=4, patch_size=8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    flax_vit = ViT(block_impl="flax", attention_impl="xla", **kw)
+    fused_vit = ViT(block_impl="fused_interpret", **kw)
+    variables = flax_vit.init({"params": jax.random.PRNGKey(1)}, x,
+                              train=False)
+    return flax_vit, fused_vit, variables, x
+
+
+def test_fused_block_param_tree_matches_flax():
+    """FusedEncoderBlock must declare the EXACT param tree of EncoderBlock
+    (checkpoints/converters/TP-sharding rules key on these names)."""
+    from dfu_multimodal_tpu.models.vit import ViT
+    flax_vit, fused_vit, variables, x = _tiny_vit_pair()
+    fused_vars = fused_vit.init({"params": jax.random.PRNGKey(1)}, x,
+                                train=False)
+    t1 = jax.tree.map(lambda a: (a.shape, str(a.dtype)), variables)
+    t2 = jax.tree.map(lambda a: (a.shape, str(a.dtype)), fused_vars)
+    assert t1 == t2
+
+
+def test_fused_vit_forward_matches_flax():
+    flax_vit, fused_vit, variables, x = _tiny_vit_pair()
+    ref = flax_vit.apply(variables, x, train=False)
+    out = fused_vit.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=2e-4)
+
+
+def test_fused_vit_gradients_match_flax():
+    """Both input→output math AND the rematerialized custom VJP must agree
+    with flax autodiff, for every param."""
+    flax_vit, fused_vit, variables, x = _tiny_vit_pair()
+
+    def loss(v, mod):
+        return jnp.sum(mod.apply(v, x, train=False) ** 2)
+
+    g_ref = jax.grad(lambda v: loss(v, flax_vit))(variables)
+    g_out = jax.grad(lambda v: loss(v, fused_vit))(variables)
+    flat_ref = jax.tree.leaves_with_path(g_ref)
+    flat_out = dict(jax.tree.leaves_with_path(g_out))
+    for path, rg in flat_ref:
+        np.testing.assert_allclose(
+            np.asarray(flat_out[path]), np.asarray(rg),
+            rtol=1e-3, atol=5e-4, err_msg=f"grad mismatch at {path}")
+
+
+def test_fused_blocks_direct_vs_reference_impls():
+    """Kernel (interpret) vs the plain-jnp oracle used by the custom VJP."""
+    from dfu_multimodal_tpu.ops.vit_block import (_attn_block_ref,
+                                                  _mlp_block_ref, attn_block,
+                                                  mlp_block)
+    b, n, c, heads = 2, 20, 32, 4
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (b, n, c))
+    g1 = jax.random.normal(jax.random.fold_in(key, 1), (c,)) * 0.1 + 1.0
+    b1 = jax.random.normal(jax.random.fold_in(key, 2), (c,)) * 0.1
+    wqkv = jax.random.normal(jax.random.fold_in(key, 3), (c, 3 * c)) * 0.1
+    bqkv = jax.random.normal(jax.random.fold_in(key, 4), (3 * c,)) * 0.1
+    wproj = jax.random.normal(jax.random.fold_in(key, 5), (c, c)) * 0.1
+    bproj = jax.random.normal(jax.random.fold_in(key, 6), (c,)) * 0.1
+    out = attn_block(x, g1, b1, wqkv, bqkv, wproj, bproj, num_heads=heads,
+                     interpret=True)
+    ref = _attn_block_ref(x, g1, b1, wqkv, bqkv, wproj, bproj,
+                          num_heads=heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    w1 = jax.random.normal(jax.random.fold_in(key, 7), (c, 4 * c)) * 0.1
+    bb1 = jax.random.normal(jax.random.fold_in(key, 8), (4 * c,)) * 0.1
+    w2 = jax.random.normal(jax.random.fold_in(key, 9), (4 * c, c)) * 0.1
+    bb2 = jax.random.normal(jax.random.fold_in(key, 10), (c,)) * 0.1
+    out = mlp_block(x, g1, b1, w1, bb1, w2, bb2, interpret=True)
+    ref = _mlp_block_ref(x, g1, b1, w1, bb1, w2, bb2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_flash_attention_bf16():
     shape = (1, 2, 24, 8)
     key = jax.random.PRNGKey(2)
