@@ -27,7 +27,8 @@ if str(REPO_ROOT) not in sys.path:
 CPU_BASELINE_FILE = REPO_ROOT / "BASELINE_CPU.json"
 
 
-def build_forward(batch_size: int, image_size: int = 224):
+def build_forward(batch_size: int, image_size: int = 224,
+                  int8: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -44,6 +45,14 @@ def build_forward(batch_size: int, image_size: int = 224):
                              attention_impl=attention_impl)
     variables = zoo.init_model(module, spec, jax.random.PRNGKey(0),
                                image_size=image_size)
+    if int8:
+        # int8 serving path: quantize the ViT trunk once at load, serve
+        # with the fused int8 block kernels (models/vit.py).
+        from dfu_multimodal_tpu.models.vit import quantize_variables
+        variables = quantize_variables(variables)
+        module, spec = zoo.build(
+            "multimodal", dtype=dtype, attention_impl=attention_impl,
+            block_impl="fused_q8" if on_tpu else "fused_q8_interpret")
     rgb_mod = config.rgb_modality()
     th_mod = config.thermal_modality()
 
@@ -87,7 +96,8 @@ def _tunnel_rtt_ms(repeats: int = 7) -> float:
     return times[len(times) // 2] * 1e3
 
 
-def measure(batch_size: int, iters: int, chain: int = 10):
+def measure(batch_size: int, iters: int, chain: int = 10,
+            int8: bool = False):
     """Steady-state throughput via a chained-scan program.
 
     ``chain`` forwards are serialized inside ONE device program by a
@@ -99,7 +109,8 @@ def measure(batch_size: int, iters: int, chain: int = 10):
     import jax.numpy as jnp
     import numpy as np
 
-    forward, variables, rgb, th, platform = build_forward(batch_size)
+    forward, variables, rgb, th, platform = build_forward(batch_size,
+                                                          int8=int8)
     rtt_ms = _tunnel_rtt_ms()
 
     def chained(variables, rgb, th):
@@ -192,6 +203,8 @@ def main():
                         help="measure training-step throughput instead")
     parser.add_argument("--model", default="rgb_only",
                         help="model for --train mode")
+    parser.add_argument("--int8", action="store_true",
+                        help="measure the int8 ViT serving path")
     args = parser.parse_args()
 
     if args.train:
@@ -234,7 +247,7 @@ def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     result = measure(args.batch_size or (128 if on_tpu else 4),
                      args.iters or (7 if on_tpu else 2),
-                     chain=10 if on_tpu else 2)
+                     chain=10 if on_tpu else 2, int8=args.int8)
 
     vs_baseline = None
     if CPU_BASELINE_FILE.exists():
@@ -243,7 +256,9 @@ def main():
                        / cpu["images_per_sec_per_chip"])
 
     print(json.dumps({
-        "metric": "fused_rgb_thermal_inference_images_per_sec_per_chip",
+        "metric": ("fused_rgb_thermal_int8_inference_images_per_sec_per_chip"
+                   if args.int8 else
+                   "fused_rgb_thermal_inference_images_per_sec_per_chip"),
         "value": round(result["images_per_sec_per_chip"], 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,

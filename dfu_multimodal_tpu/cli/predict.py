@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["bfloat16", "float32"])
     parser.add_argument("--attention-impl", default="auto",
                         choices=["auto", "xla", "pallas"])
+    parser.add_argument("--int8", action="store_true",
+                        help="serve the ViT branch with the int8 fused "
+                             "kernels (weights quantized at load; ~2x MXU "
+                             "rate on TPU, <1%% typical accuracy cost)")
     return parser
 
 
@@ -56,11 +60,28 @@ def main(argv=None):
                       eval_batch_size=args.batch_size,
                       compute_dtype=args.compute_dtype,
                       mesh=cfg_mod.MeshConfig(data=-1))
-    trainer = Trainer(model_name, cfg,
-                      {"rgb": cfg_mod.rgb_modality(),
-                       "thermal": cfg_mod.thermal_modality()},
+    modalities = {"rgb": cfg_mod.rgb_modality(),
+                  "thermal": cfg_mod.thermal_modality()}
+    trainer = Trainer(model_name, cfg, modalities,
                       attention_impl=args.attention_impl)
     state = trainer.restore(args.checkpoint, image_size=args.image_size)
+
+    if args.int8 and "thermal" in trainer.spec.inputs:
+        # Quantize the restored fp32 ViT trunk(s) once, then rebuild the
+        # engine around the int8 serving blocks.
+        import jax
+
+        from dfu_multimodal_tpu.models.vit import quantize_variables
+        qvars = quantize_variables(trainer.variables(state))
+        impl = ("fused_q8" if jax.devices()[0].platform == "tpu"
+                else "fused_q8_interpret")
+        trainer = Trainer(model_name, cfg, modalities,
+                          attention_impl=args.attention_impl,
+                          block_impl=impl)
+        qstate = trainer.init_state(jax.random.PRNGKey(0),
+                                    image_size=args.image_size)
+        state = qstate.replace(params=qvars["params"],
+                               batch_stats=qvars.get("batch_stats", {}))
 
     paths = list_images(args.images)
     if not paths:

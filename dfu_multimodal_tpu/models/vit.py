@@ -156,6 +156,112 @@ class FusedEncoderBlock(nn.Module):
         return x, None
 
 
+class _QDenseParams(nn.Module):
+    """Int8 dense params: per-output-channel quantized kernel + scales.
+    Tree: {kernel_q8 int8, scale f32, bias f32} — produced from a trained
+    fp32 tree by :func:`quantize_encoder_params` at model-load time."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, c: int):
+        kernel = self.param("kernel_q8", nn.initializers.zeros,
+                            (c, self.features), jnp.int8)
+        scale = self.param("scale", nn.initializers.ones, (self.features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return kernel, scale, bias
+
+
+class _QAttnParams(nn.Module):
+    @nn.compact
+    def __call__(self, c: int):
+        return (_QDenseParams(3 * c, name="qkv")(c),
+                _QDenseParams(c, name="proj")(c))
+
+
+class QuantizedEncoderBlock(nn.Module):
+    """Serving-only int8 encoder block (ops/vit_block_q8.py): int8 MXU
+    matmuls at 2x the bf16 rate on v5e; attention stays bf16/fp32.
+    Parameters are the int8 tree of :class:`_QDenseParams` — convert a
+    trained fp32 tree with :func:`quantize_encoder_params`."""
+
+    num_heads: int = 12
+    mlp_ratio: int = 4
+    dtype: Any = jnp.float32
+    interpret: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, _=None):
+        from dfu_multimodal_tpu.ops.vit_block_q8 import (attn_block_q8,
+                                                         mlp_block_q8)
+
+        c = x.shape[-1]
+        g1, be1 = _LNParams(name="norm1")(c)
+        (qkv_q, qkv_s, qkv_b), (pr_q, pr_s, pr_b) = _QAttnParams(
+            name="attn")(c)
+        g2, be2 = _LNParams(name="norm2")(c)
+        w1_q, s1, b1 = _QDenseParams(self.mlp_ratio * c, name="mlp_fc1")(c)
+        w2_q, s2, b2 = _QDenseParams(c, name="mlp_fc2")(self.mlp_ratio * c)
+
+        x = attn_block_q8(x, g1, be1, qkv_q, qkv_s, qkv_b, pr_q, pr_s, pr_b,
+                          num_heads=self.num_heads, interpret=self.interpret)
+        x = mlp_block_q8(x, g2, be2, w1_q, s1, b1, w2_q, s2, b2,
+                         interpret=self.interpret)
+        return x, None
+
+
+def quantize_encoder_params(trunk_params):
+    """fp32 ViT-trunk param tree -> the int8 tree QuantizedEncoderBlock
+    expects. Handles both block layouts: scanned (one ``encoder`` scope,
+    kernels stacked (depth, K, M)) and unrolled (``block0..N-1`` scopes).
+    Run ONCE at model-load time — requantizing inside the serving step
+    would cost as much HBM traffic as the int8 matmuls save."""
+    import jax
+
+    from dfu_multimodal_tpu.ops.vit_block_q8 import quantize_weight
+
+    def q(dense):
+        w = dense["kernel"]
+        kq, s = (jax.vmap(quantize_weight)(w) if w.ndim == 3  # scanned stack
+                 else quantize_weight(w))
+        return {"kernel_q8": kq, "scale": s, "bias": dense["bias"]}
+
+    def q_block(blk):
+        return {
+            **{k: v for k, v in blk.items()
+               if k not in ("attn", "mlp_fc1", "mlp_fc2")},
+            "attn": {"qkv": q(blk["attn"]["qkv"]),
+                     "proj": q(blk["attn"]["proj"])},
+            "mlp_fc1": q(blk["mlp_fc1"]),
+            "mlp_fc2": q(blk["mlp_fc2"]),
+        }
+
+    block_scopes = [k for k in trunk_params
+                    if k == "encoder" or k.startswith("block")]
+    if not block_scopes:
+        raise ValueError("no encoder/blockN scopes in ViT trunk params")
+    return {**{k: v for k, v in trunk_params.items()
+               if k not in block_scopes},
+            **{k: q_block(trunk_params[k]) for k in block_scopes}}
+
+
+def quantize_variables(variables, trunk_names=("ViT_0", "thermal_branch")):
+    """Quantize every ViT trunk in a model's variables for the int8
+    serving path (``block_impl="fused_q8"``). Returns new variables; the
+    fp32 originals are untouched."""
+    params = variables["params"]
+    new = {k: v for k, v in params.items()}
+    for name in trunk_names:
+        if name in params and any(
+                k == "encoder" or k.startswith("block")
+                for k in params[name]):
+            new[name] = quantize_encoder_params(params[name])
+    return {**{k: v for k, v in variables.items() if k != "params"},
+            "params": new}
+
+
 class EncoderBlock(nn.Module):
     num_heads: int = 12
     mlp_ratio: int = 4
@@ -222,6 +328,10 @@ class ViT(nn.Module):
         if impl in ("fused", "fused_interpret"):
             return FusedEncoderBlock, (self.num_heads, self.mlp_ratio, dtype,
                                        impl == "fused_interpret")
+        if impl in ("fused_q8", "fused_q8_interpret"):
+            return QuantizedEncoderBlock, (self.num_heads, self.mlp_ratio,
+                                           dtype,
+                                           impl == "fused_q8_interpret")
         raise ValueError(f"unknown block impl: {impl!r}")
 
     @nn.compact

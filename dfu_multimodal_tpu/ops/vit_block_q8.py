@@ -1,0 +1,217 @@
+"""Int8 fused ViT encoder-block kernels (Pallas, TPU) — serving path.
+
+v5e's MXU runs int8 at 2x the bf16 rate (394 vs 197 TOPS), and the fused
+bf16 block kernels (ops/vit_block.py) already sit at 63-87% of the bf16
+roofline — the remaining 2x for serving is precision, not scheduling.
+
+Scheme (standard dynamic-activation / static-weight int8):
+- weights are quantized ONCE at model-load time, per OUTPUT channel:
+  w_q8[k, m] = round(w[k, m] / s[m]),  s[m] = absmax(w[:, m]) / 127
+  (``quantize_weight``) — never inside the jitted step, where the
+  requantization traffic would eat the MXU savings.
+- activations are quantized per ROW inside the kernel right after the
+  (fp32) LayerNorm: a[r] = absmax(y[r, :]) / 127; the int32 matmul result
+  is dequantized by the rank-1 outer product a[r]·s[m] — exact w.r.t. the
+  quantized operands.
+- attention itself stays bf16/fp32 (it is ~5% of the FLOPs; accuracy is
+  softmax-sensitive).
+
+Quality contract: dynamic per-row + per-channel int8 on these classifier
+models costs well under a point of accuracy; the path is OPT-IN
+(``block_impl="fused_q8"``) and serving-only (no VJP — training uses the
+bf16 kernels). Reference has no analogue (stock fp32 torch, SURVEY.md §0);
+this is SURVEY.md §7 step 8 territory.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dfu_multimodal_tpu.ops.vit_block import (_attention_head, _gelu_exact,
+                                              _layernorm_f32)
+
+
+def quantize_weight(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-output-channel symmetric int8: w (K, M) -> (int8 (K, M), f32 (M,)).
+    Run once at model load, outside the serving step."""
+    w = w.astype(jnp.float32)
+    s = jnp.max(jnp.abs(w), axis=0) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _row_quant(y):
+    """Per-row symmetric int8 of fp32 y: returns (int8 y_q, f32 (rows,1) a)."""
+    a = jnp.max(jnp.abs(y), axis=-1, keepdims=True) / 127.0
+    a = jnp.maximum(a, 1e-12)
+    q = jnp.clip(jnp.round(y / a), -127, 127).astype(jnp.int8)
+    return q, a
+
+
+def _q8_matmul(y_q, a, w_ref, s_ref, b_ref):
+    """int8 x int8 -> int32 matmul + rank-1 dequant + bias; fp32 out."""
+    acc = jax.lax.dot_general(
+        y_q, w_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * a * s_ref[0]
+            + b_ref[0].astype(jnp.float32))
+
+
+def _attn_block_q8_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, sqkv_ref,
+                          bqkv_ref, wproj_ref, sproj_ref, bproj_ref, o_ref,
+                          *, num_heads: int):
+    ipp, n, c = x_ref.shape
+    d = c // num_heads
+    scale = d ** -0.5
+
+    x = x_ref[...].reshape(ipp * n, c)
+    y = _layernorm_f32(x, g1_ref[0], b1_ref[0])
+    y_q, a = _row_quant(y)
+    qkv = _q8_matmul(y_q, a, wqkv_ref, sqkv_ref, bqkv_ref).astype(x.dtype)
+
+    outs = []
+    for i in range(ipp):
+        qkv_i = qkv[i * n:(i + 1) * n]
+        heads = []
+        for h in range(num_heads):
+            q = qkv_i[:, h * d:(h + 1) * d].astype(jnp.float32)
+            k = qkv_i[:, c + h * d:c + (h + 1) * d].astype(jnp.float32)
+            v = qkv_i[:, 2 * c + h * d:2 * c + (h + 1) * d]
+            heads.append(_attention_head(q, k, v, scale))
+        outs.append(jnp.concatenate(heads, axis=-1))
+    attn = jnp.concatenate(outs, axis=0)                 # (ipp·N, C) f32
+
+    attn_q, a2 = _row_quant(attn)
+    o = _q8_matmul(attn_q, a2, wproj_ref, sproj_ref, bproj_ref)
+    o_ref[...] = (x + o.astype(x.dtype)).reshape(ipp, n, c)
+
+
+def _mlp_block_q8_kernel(x_ref, g2_ref, b2_ref, w1_ref, s1_ref, b1_ref,
+                         w2_ref, s2_ref, b2b_ref, o_ref, *,
+                         hidden_chunks: int):
+    x = x_ref[...]                                       # (rows, C)
+    c = x.shape[-1]
+    hidden = w1_ref.shape[-1]
+    chunk = hidden // hidden_chunks
+
+    y = _layernorm_f32(x, g2_ref[0], b2_ref[0])
+    y_q, a = _row_quant(y)
+
+    acc = jnp.zeros((x.shape[0], c), jnp.float32)
+    for i in range(hidden_chunks):
+        sl = slice(i * chunk, (i + 1) * chunk)
+        h = jax.lax.dot_general(
+            y_q, w1_ref[:, sl],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        h = (h.astype(jnp.float32) * a * s1_ref[0, sl]
+             + b1_ref[0, sl].astype(jnp.float32))
+        h = _gelu_exact(h)
+        h_q, ah = _row_quant(h)
+        o = jax.lax.dot_general(
+            h_q, w2_ref[sl, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        # per-chunk dequant (each chunk has its own row scales) — the fp32
+        # accumulation across chunks is exact
+        acc = acc + o.astype(jnp.float32) * ah * s2_ref[0]
+    o = acc + b2b_ref[0].astype(jnp.float32)
+    o_ref[...] = x + o.astype(x.dtype)
+
+
+def _vmem(interpret):
+    return pltpu.ANY if interpret else pltpu.VMEM
+
+
+def _const_spec(shape, interpret):
+    return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                        memory_space=_vmem(interpret))
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def attn_block_q8(x, g1, b1, wqkv_q8, sqkv, bqkv, wproj_q8, sproj, bproj,
+                  num_heads: int, interpret: bool = False) -> jnp.ndarray:
+    """Serving-only int8 variant of ops/vit_block.py::attn_block.
+    Weights pre-quantized via :func:`quantize_weight`."""
+    b, n, c = x.shape
+    ipp = 2 if b % 2 == 0 else 1
+    args = (x, g1.reshape(1, c), b1.reshape(1, c),
+            wqkv_q8, sqkv.reshape(1, 3 * c), bqkv.reshape(1, 3 * c),
+            wproj_q8, sproj.reshape(1, c), bproj.reshape(1, c))
+
+    def img_block(i):
+        return (i, 0, 0)
+
+    return pl.pallas_call(
+        functools.partial(_attn_block_q8_kernel, num_heads=num_heads),
+        grid=(b // ipp,),
+        in_specs=[
+            pl.BlockSpec((ipp, n, c), img_block, memory_space=_vmem(interpret)),
+            _const_spec((1, c), interpret), _const_spec((1, c), interpret),
+            _const_spec((c, 3 * c), interpret),
+            _const_spec((1, 3 * c), interpret),
+            _const_spec((1, 3 * c), interpret),
+            _const_spec((c, c), interpret),
+            _const_spec((1, c), interpret), _const_spec((1, c), interpret),
+        ],
+        out_specs=pl.BlockSpec((ipp, n, c), img_block,
+                               memory_space=_vmem(interpret)),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * c * 4 * c + 4 * b * n * n * c,
+            bytes_accessed=2 * x.size * x.dtype.itemsize
+            + wqkv_q8.size + wproj_q8.size,
+            transcendentals=b * num_heads * n * n),
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("hidden_chunks", "interpret"))
+def mlp_block_q8(x, g2, b2, w1_q8, s1, b1, w2_q8, s2, b2b,
+                 hidden_chunks: int = 4,
+                 interpret: bool = False) -> jnp.ndarray:
+    """Serving-only int8 variant of ops/vit_block.py::mlp_block."""
+    b, n, c = x.shape
+    hidden = w1_q8.shape[-1]
+    rows_total = b * n
+    rows = min(384, rows_total)
+    xf = x.reshape(rows_total, c)
+    args = (xf, g2.reshape(1, c), b2.reshape(1, c),
+            w1_q8, s1.reshape(1, hidden), b1.reshape(1, hidden),
+            w2_q8, s2.reshape(1, c), b2b.reshape(1, c))
+
+    def row_block(i):
+        return (i, 0)
+
+    out = pl.pallas_call(
+        functools.partial(_mlp_block_q8_kernel, hidden_chunks=hidden_chunks),
+        grid=(pl.cdiv(rows_total, rows),),
+        in_specs=[
+            pl.BlockSpec((rows, c), row_block, memory_space=_vmem(interpret)),
+            _const_spec((1, c), interpret), _const_spec((1, c), interpret),
+            _const_spec((c, hidden), interpret),
+            _const_spec((1, hidden), interpret),
+            _const_spec((1, hidden), interpret),
+            _const_spec((hidden, c), interpret),
+            _const_spec((1, c), interpret), _const_spec((1, c), interpret),
+        ],
+        out_specs=pl.BlockSpec((rows, c), row_block,
+                               memory_space=_vmem(interpret)),
+        out_shape=jax.ShapeDtypeStruct((rows_total, c), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n * c * hidden,
+            bytes_accessed=2 * x.size * x.dtype.itemsize
+            + w1_q8.size + w2_q8.size,
+            transcendentals=b * n * hidden),
+        interpret=interpret,
+    )(*args)
+    return out.reshape(b, n, c)

@@ -88,7 +88,8 @@ class Trainer:
     def __init__(self, model_name: str, cfg: TrainConfig,
                  modalities: Dict[str, ModalityConfig],
                  class_weights: Optional[np.ndarray] = None,
-                 mesh=None, attention_impl: str = "auto"):
+                 mesh=None, attention_impl: str = "auto",
+                 block_impl: str = "auto"):
         self.cfg = cfg
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         self.compute_dtype = dtype
@@ -98,6 +99,7 @@ class Trainer:
         if "thermal" in spec_probe.inputs and spec_probe.name in (
                 "thermal_only", "multimodal"):
             kwargs["attention_impl"] = attention_impl
+            kwargs["block_impl"] = block_impl
             if self.mesh.shape[mesh_mod.MODEL_AXIS] > 1:
                 # Megatron-TP shards the encoder matmuls over ``model``;
                 # the fused Pallas block kernels are opaque to the XLA

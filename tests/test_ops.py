@@ -179,6 +179,50 @@ def test_fused_blocks_direct_vs_reference_impls():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_quantize_weight_roundtrip():
+    from dfu_multimodal_tpu.ops.vit_block_q8 import quantize_weight
+    w = jax.random.normal(jax.random.PRNGKey(0), (32, 64)) * 0.3
+    q, s = quantize_weight(w)
+    assert q.dtype == jnp.int8 and s.shape == (64,)
+    recon = q.astype(jnp.float32) * s
+    # symmetric per-channel int8: error bounded by scale/2 per element
+    assert float(jnp.max(jnp.abs(recon - w))) <= float(jnp.max(s)) / 2 + 1e-6
+
+
+def test_q8_vit_matches_fp32_within_quant_tolerance():
+    """int8 serving path: quantize a tiny fp32 trunk, compare forward."""
+    from dfu_multimodal_tpu.models.vit import ViT, quantize_encoder_params
+    kw = dict(depth=2, hidden_dim=64, num_heads=4, patch_size=8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    vit = ViT(block_impl="flax", attention_impl="xla", **kw)
+    v = vit.init({"params": jax.random.PRNGKey(1)}, x, train=False)
+    ref = vit.apply(v, x, train=False)
+
+    qparams = quantize_encoder_params(v["params"])
+    out = ViT(block_impl="fused_q8_interpret", **kw).apply(
+        {"params": qparams}, x, train=False)
+    rel = (float(jnp.max(jnp.abs(out - ref)))
+           / max(float(jnp.max(jnp.abs(ref))), 1e-6))
+    assert rel < 0.05, f"int8 relative error too large: {rel}"
+
+
+def test_quantize_variables_targets_only_vit_trunks():
+    from dfu_multimodal_tpu.models.vit import ViT, quantize_variables
+    kw = dict(depth=2, hidden_dim=64, num_heads=4, patch_size=8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    vit = ViT(block_impl="flax", attention_impl="xla", **kw)
+    v = vit.init({"params": jax.random.PRNGKey(1)}, x, train=False)
+    wrapped = {"params": {"ViT_0": v["params"], "head": {"kernel": x[0, 0]}}}
+    qv = quantize_variables(wrapped)
+    # conftest unrolls blocks on CPU -> block0..N scopes
+    blk = next(k for k in qv["params"]["ViT_0"] if k.startswith("block")
+               or k == "encoder")
+    assert "kernel_q8" in qv["params"]["ViT_0"][blk]["attn"]["qkv"]
+    assert "kernel" in qv["params"]["head"]          # untouched
+    # original untouched
+    assert "kernel" in wrapped["params"]["ViT_0"][blk]["attn"]["qkv"]
+
+
 def test_flash_attention_bf16():
     shape = (1, 2, 24, 8)
     key = jax.random.PRNGKey(2)
