@@ -1,0 +1,68 @@
+"""One process of the multi-process (multi-host-shaped) CPU execution test.
+
+Usage: python scripts_dev/multihost_worker.py <rank> <nproc> <port>
+
+Each process owns 4 virtual CPU devices; jax.distributed stitches them into
+one 8-device global mesh — the same program shape as a 2-host TPU pod
+(DCN between processes, "ICI" within). Exercises:
+- jax.distributed.initialize + global device discovery
+- parallel.mesh.make_mesh over ALL processes' devices
+- parallel.mesh.process_shard for per-host data loading
+- a jitted global computation over a batch-sharded global array
+  (XLA inserts the cross-process all-reduce)
+
+Prints "MULTIHOST_OK <global_sum>" on success; the pytest driver asserts
+both ranks print the same value.
+"""
+
+import os
+import sys
+
+rank, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=4 "
+                           "--xla_cpu_multi_thread_eigen=false")
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=nproc, process_id=rank)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from dfu_multimodal_tpu.parallel import mesh as mesh_mod  # noqa: E402
+
+assert jax.process_count() == nproc, jax.process_count()
+assert len(jax.devices()) == 4 * nproc, len(jax.devices())
+
+mesh = mesh_mod.make_mesh()
+assert mesh.shape[mesh_mod.DATA_AXIS] == 4 * nproc
+
+# Global batch, each process feeds only its shard (multi-host loading path).
+N, D = 32, 16
+full = np.arange(N * D, dtype=np.float32).reshape(N, D)
+lo, hi = mesh_mod.process_shard(N)
+assert hi - lo == N // nproc
+
+sharding = mesh_mod.batch_sharding(mesh)
+garr = jax.make_array_from_process_local_data(sharding, full[lo:hi], (N, D))
+
+
+@jax.jit
+def global_stats(x):
+    # cross-process all-reduce: every process sees the FULL sum
+    return jnp.sum(x), jnp.mean(x * 2.0)
+
+
+s, m = global_stats(garr)
+expect_s, expect_m = full.sum(), (full * 2).mean()
+np.testing.assert_allclose(float(s), expect_s, rtol=1e-6)
+np.testing.assert_allclose(float(m), expect_m, rtol=1e-6)
+print(f"MULTIHOST_OK {float(s):.1f}", flush=True)
