@@ -28,7 +28,14 @@ from dfu_multimodal_tpu.models.vit import ViTBase16
 
 
 class FusionMLP(nn.Module):
-    """concat(2048+768) -> 512 -> 256 -> num_classes with ReLU+Dropout."""
+    """concat(2048+768) -> 512 -> 256 -> num_classes with ReLU+Dropout.
+
+    At eval time on TPU the three matmuls + ReLUs run as ONE fused Pallas
+    kernel (:mod:`dfu_multimodal_tpu.ops.fused_mlp`): no inter-layer HBM
+    round-trips, which matters at small serving batches. Training (and
+    CPU) uses the flax path — dropout sits between the layers there, and
+    its backward is already XLA-optimal. Both paths share the same params.
+    """
 
     num_classes: int = 2
     drop_rate: float = 0.5
@@ -37,16 +44,30 @@ class FusionMLP(nn.Module):
     @nn.compact
     def __call__(self, fused: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         deterministic = not train
-        x = nn.Dense(512, dtype=self.dtype, param_dtype=jnp.float32,
-                     name="fc1")(fused)
-        x = nn.relu(x)
+        fc1 = nn.Dense(512, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="fc1")
+        fc2 = nn.Dense(256, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="fc2")
+        fc3 = nn.Dense(self.num_classes, dtype=jnp.float32,
+                       param_dtype=jnp.float32, name="fc3")
+
+        if deterministic and not self.is_initializing():
+            import jax
+            if jax.devices()[0].platform == "tpu":
+                from dfu_multimodal_tpu.ops.fused_mlp import fused_mlp
+                p = self.variables["params"]       # restored child params
+                dt = fused.dtype
+                return fused_mlp(
+                    fused,
+                    p["fc1"]["kernel"].astype(dt), p["fc1"]["bias"],
+                    p["fc2"]["kernel"].astype(dt), p["fc2"]["bias"],
+                    p["fc3"]["kernel"].astype(dt), p["fc3"]["bias"])
+
+        x = nn.relu(fc1(fused))
         x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
-        x = nn.Dense(256, dtype=self.dtype, param_dtype=jnp.float32,
-                     name="fc2")(x)
-        x = nn.relu(x)
+        x = nn.relu(fc2(x))
         x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
-        return nn.Dense(self.num_classes, dtype=jnp.float32,
-                        param_dtype=jnp.float32, name="fc3")(x)
+        return fc3(x)
 
 
 class MultimodalFusionClassifier(nn.Module):

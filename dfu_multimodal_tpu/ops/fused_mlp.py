@@ -37,16 +37,56 @@ def _fused_mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     o_ref[...] = (out + b3_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
 
 
+def _fused_mlp_ref(x, w1, b1, w2, b2, w3, b3):
+    """Plain-jnp oracle with the kernel's numerics — the custom VJP
+    backward (Grad-CAM differentiates the eval forward, so the serving
+    kernel must be differentiable)."""
+    h = jnp.einsum("bi,io->bo", x, w1, preferred_element_type=jnp.float32)
+    h = jnp.maximum(h + b1.astype(jnp.float32), 0.0).astype(x.dtype)
+    h = jnp.einsum("bi,io->bo", h, w2, preferred_element_type=jnp.float32)
+    h = jnp.maximum(h + b2.astype(jnp.float32), 0.0).astype(x.dtype)
+    out = jnp.einsum("bi,io->bo", h, w3, preferred_element_type=jnp.float32)
+    return out + b3.astype(jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _fused_mlp(x, w1, b1, w2, b2, w3, b3, block_rows, interpret):
+    return _fused_mlp_call(x, w1, b1, w2, b2, w3, b3, block_rows, interpret)
+
+
+def _fused_mlp_fwd(x, w1, b1, w2, b2, w3, b3, block_rows, interpret):
+    out = _fused_mlp_call(x, w1, b1, w2, b2, w3, b3, block_rows, interpret)
+    return out, (x, w1, b1, w2, b2, w3, b3)
+
+
+def _fused_mlp_bwd(block_rows, interpret, res, g):
+    _, vjp = jax.vjp(_fused_mlp_ref, *res)
+    return vjp(g)
+
+
+_fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
 def fused_mlp(x: jnp.ndarray,
               w1: jnp.ndarray, b1: jnp.ndarray,
               w2: jnp.ndarray, b2: jnp.ndarray,
               w3: jnp.ndarray, b3: jnp.ndarray,
               block_rows: int = 128, interpret: bool = False) -> jnp.ndarray:
-    """relu(relu(x@w1+b1)@w2+b2)@w3+b3 in one kernel.
+    """relu(relu(x@w1+b1)@w2+b2)@w3+b3 in one kernel, differentiable
+    (rematerializing custom VJP).
 
     x: (B, D_in); returns (B, D_out) float32.
     """
+    return _fused_mlp(x, w1, b1, w2, b2, w3, b3, block_rows, interpret)
+
+
+def _fused_mlp_call(x: jnp.ndarray,
+                    w1: jnp.ndarray, b1: jnp.ndarray,
+                    w2: jnp.ndarray, b2: jnp.ndarray,
+                    w3: jnp.ndarray, b3: jnp.ndarray,
+                    block_rows: int = 128,
+                    interpret: bool = False) -> jnp.ndarray:
     batch, d_in = x.shape
     d_out = w3.shape[1]
     rows = min(block_rows, batch)

@@ -84,6 +84,25 @@ def test_fused_mlp_matches_flax_module():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_fused_mlp_gradients_match_flax():
+    """Grad-CAM differentiates the eval forward, so the serving kernel's
+    custom VJP must match flax autodiff."""
+    from dfu_multimodal_tpu.models.fusion import FusionMLP
+    from dfu_multimodal_tpu.ops.fused_mlp import fused_mlp, fusion_mlp_params
+
+    module = FusionMLP(num_classes=2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (12, 48))
+    variables = module.init(jax.random.PRNGKey(1), x)
+    p = fusion_mlp_params(variables["params"])
+
+    g_ref = jax.grad(lambda x: jnp.sum(
+        module.apply(variables, x, train=False) ** 2))(x)
+    g_out = jax.grad(lambda x: jnp.sum(
+        fused_mlp(x, *p, block_rows=8, interpret=True) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref),
+                               rtol=5e-5, atol=5e-5)
+
+
 def test_fused_mlp_ragged_batch():
     from dfu_multimodal_tpu.models.fusion import FusionMLP
     from dfu_multimodal_tpu.ops.fused_mlp import fused_mlp, fusion_mlp_params
