@@ -241,6 +241,8 @@ def main():
         print(json.dumps(result))
         return
 
+    import os
+
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       str(REPO_ROOT / ".jax_cache"))
@@ -255,6 +257,18 @@ def main():
         vs_baseline = (result["images_per_sec_per_chip"]
                        / cpu["images_per_sec_per_chip"])
 
+    # Also record flagship TRAIN-step throughput in the same artifact line
+    # (full step: device-side augmentation + fwd + bwd + AdamW). Guarded:
+    # the headline inference metric survives any training-path failure.
+    train_ips = None
+    if on_tpu and not os.environ.get("DFU_BENCH_SKIP_TRAIN"):
+        try:
+            t = measure_training(32, 3, chain=8, model="multimodal")
+            train_ips = round(t["train_images_per_sec_per_chip"], 2)
+        except Exception as exc:                      # pragma: no cover
+            print(f"train-throughput measurement failed: {exc}",
+                  file=sys.stderr)
+
     print(json.dumps({
         "metric": ("fused_rgb_thermal_int8_inference_images_per_sec_per_chip"
                    if args.int8 else
@@ -265,6 +279,7 @@ def main():
         "p50_batch_latency_ms": round(result["p50_batch_latency_ms"], 2),
         "batch_size": result["batch_size"],
         "platform": result["platform"],
+        "multimodal_train_images_per_sec_per_chip": train_ips,
     }))
 
 
