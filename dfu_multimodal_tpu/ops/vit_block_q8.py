@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dfu_multimodal_tpu.ops.vit_block import (_attention_head, _gelu_exact,
+from dfu_multimodal_tpu.ops.vit_block import (_attention_head, _gelu_fast,
                                               _layernorm_f32)
 
 
@@ -114,7 +114,7 @@ def _mlp_block_q8_kernel(x_ref, g2_ref, b2_ref, w1_ref, s1_ref, b1_ref,
             preferred_element_type=jnp.int32)
         h = (h.astype(jnp.float32) * a * s1_ref[0, sl]
              + b1_ref[0, sl].astype(jnp.float32))
-        h = _gelu_exact(h)
+        h = _gelu_fast(h)
         h_q, ah = _row_quant(h)
         o = jax.lax.dot_general(
             h_q, w2_ref[sl, :],

@@ -142,11 +142,15 @@ def test_fused_block_param_tree_matches_flax():
 
 
 def test_fused_vit_forward_matches_flax():
+    # Tolerance: the fused blocks use the logistic GELU approximation
+    # (ops/vit_block.py::_gelu_fast, |err| <= 3.8e-4 per MLP) while flax
+    # uses exact erf GELU; still far below the bf16 noise the fused path
+    # is designed for.
     flax_vit, fused_vit, variables, x = _tiny_vit_pair()
     ref = flax_vit.apply(variables, x, train=False)
     out = fused_vit.apply(variables, x, train=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-4, atol=2e-4)
+                               rtol=1e-3, atol=3e-3)
 
 
 def test_fused_vit_gradients_match_flax():
@@ -162,9 +166,12 @@ def test_fused_vit_gradients_match_flax():
     flat_ref = jax.tree.leaves_with_path(g_ref)
     flat_out = dict(jax.tree.leaves_with_path(g_out))
     for path, rg in flat_ref:
+        # rtol/atol headroom for the logistic-GELU approximation (see
+        # test_fused_vit_forward_matches_flax); fused fwd+bwd stay mutually
+        # exact (same _gelu_fast in kernel and VJP oracle).
         np.testing.assert_allclose(
             np.asarray(flat_out[path]), np.asarray(rg),
-            rtol=1e-3, atol=5e-4, err_msg=f"grad mismatch at {path}")
+            rtol=5e-3, atol=5e-3, err_msg=f"grad mismatch at {path}")
 
 
 def test_fused_blocks_direct_vs_reference_impls():
