@@ -257,9 +257,10 @@ def main():
         vs_baseline = (result["images_per_sec_per_chip"]
                        / cpu["images_per_sec_per_chip"])
 
-    # Also record flagship TRAIN-step throughput in the same artifact line
-    # (full step: device-side augmentation + fwd + bwd + AdamW). Guarded:
-    # the headline inference metric survives any training-path failure.
+    # Also record flagship TRAIN-step throughput and the int8 serving path
+    # in the same artifact line (full train step: device-side augmentation
+    # + fwd + bwd + AdamW). Guarded: the headline inference metric survives
+    # any secondary-measurement failure.
     train_ips = None
     if on_tpu and not os.environ.get("DFU_BENCH_SKIP_TRAIN"):
         try:
@@ -267,6 +268,15 @@ def main():
             train_ips = round(t["train_images_per_sec_per_chip"], 2)
         except Exception as exc:                      # pragma: no cover
             print(f"train-throughput measurement failed: {exc}",
+                  file=sys.stderr)
+    int8_ips = None
+    if on_tpu and not args.int8 and not os.environ.get("DFU_BENCH_SKIP_INT8"):
+        try:
+            q = measure(args.batch_size or 128, args.iters or 7, chain=10,
+                        int8=True)
+            int8_ips = round(q["images_per_sec_per_chip"], 2)
+        except Exception as exc:                      # pragma: no cover
+            print(f"int8-throughput measurement failed: {exc}",
                   file=sys.stderr)
 
     print(json.dumps({
@@ -280,6 +290,7 @@ def main():
         "batch_size": result["batch_size"],
         "platform": result["platform"],
         "multimodal_train_images_per_sec_per_chip": train_ips,
+        "int8_serving_images_per_sec_per_chip": int8_ips,
     }))
 
 

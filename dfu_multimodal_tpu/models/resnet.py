@@ -19,6 +19,7 @@ from functools import partial
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from dfu_multimodal_tpu.models.common import Taps, canonical_dtype, tap
@@ -59,12 +60,114 @@ class Bottleneck(nn.Module):
         return nn.relu(y + residual)
 
 
+class _ConvKernel(nn.Module):
+    """Parameter holder producing the exact tree of bias-free ``nn.Conv``."""
+
+    features: int
+    ks: Sequence[int]
+
+    @nn.compact
+    def __call__(self, cin: int) -> jnp.ndarray:
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          tuple(self.ks) + (cin, self.features), jnp.float32)
+
+
+class _BNStats(nn.Module):
+    """Parameter holder producing the exact tree of ``nn.BatchNorm``
+    (params scale/bias + batch_stats mean/var)."""
+
+    @nn.compact
+    def __call__(self, c: int):
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((c,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((c,), jnp.float32))
+        return scale, bias, mean.value, var.value
+
+
+def _fold_bn(kernel, bn, eps=1e-5):
+    """Eval-time BN is affine per channel: fold it into the conv.
+    kernel: (kh, kw, Cin, Cout); returns (folded kernel, fp32 bias)."""
+    scale, bias, mean, var = bn
+    s = scale * jax.lax.rsqrt(var + eps)
+    return kernel * s, bias - mean * s
+
+
+class FusedBottleneck(nn.Module):
+    """Bottleneck computed by the fused Pallas kernel
+    (ops/resnet_block.py): conv1+BN+relu -> 3x3 conv+BN+relu -> conv3+BN
+    + shortcut + relu in ONE VMEM-resident kernel, with batch-norm folded
+    into the conv weights at apply time (eval BN is a per-channel affine).
+    Declares the SAME param tree as :class:`Bottleneck` (checkpoints and
+    converters apply unchanged).  Stride-1 only; serving/eval only (train
+    needs live batch statistics); trainable via the rematerializing custom
+    VJP for Grad-CAM, which differentiates the serving forward."""
+
+    features: int
+    dtype: Any = jnp.float32
+    interpret: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        from dfu_multimodal_tpu.ops.resnet_block import fused_bottleneck
+
+        del train                                     # eval-only path
+        cin = x.shape[-1]
+        f = self.features
+        dt = canonical_dtype(self.dtype)
+
+        w1, b1 = _fold_bn(_ConvKernel(f, (1, 1), name="conv1")(cin),
+                          _BNStats(name="bn1")(f))
+        w2, b2 = _fold_bn(_ConvKernel(f, (3, 3), name="conv2")(f),
+                          _BNStats(name="bn2")(f))
+        w3, b3 = _fold_bn(_ConvKernel(4 * f, (1, 1), name="conv3")(f),
+                          _BNStats(name="bn3")(4 * f))
+        w1 = w1[0, 0].astype(dt)
+        # row-stacked 3x3 taps, (dy, dx) row-major — the kernel's tap order
+        w2 = w2.reshape(9 * f, f).astype(dt)
+        w3 = w3[0, 0].astype(dt)
+
+        if cin != 4 * f:
+            wd, bd = _fold_bn(
+                _ConvKernel(4 * f, (1, 1), name="down_conv")(cin),
+                _BNStats(name="down_bn")(4 * f))
+            return fused_bottleneck(x.astype(dt), w1, b1, w2, b2, w3, b3,
+                                    wd[0, 0].astype(dt), bd,
+                                    interpret=self.interpret)
+        return fused_bottleneck(x.astype(dt), w1, b1, w2, b2, w3, b3,
+                                interpret=self.interpret)
+
+
 class ResNet(nn.Module):
-    """Generic ResNet trunk returning pooled features (B, 4*widths[-1])."""
+    """Generic ResNet trunk returning pooled features (B, 4*widths[-1]).
+
+    ``block_impl``: "flax" composes nn.Conv/nn.BatchNorm (XLA convs);
+    "fused" runs stride-1 bottlenecks through the fused Pallas kernel at
+    eval time (ops/resnet_block.py) — strided blocks and training always
+    use the flax path (strides change the layout; train-mode BN needs
+    batch statistics).  "fused_interpret" forces the fused path through
+    the Pallas interpreter (CPU numerics tests).  Both impls share one
+    param tree.
+
+    "auto" resolves to FLAX on every backend: measured at b128 on v5e,
+    XLA's eval-mode conv blocks already sit AT the HBM roofline (e.g.
+    0.27 ms for a 28x28x512 block = its exact read+write bound) and the
+    Pallas roll+mask kernel loses 2-4x on MXU efficiency (9 small
+    matmuls with K=64/N=64 lane waste) — see docs/DESIGN.md for the
+    numbers.  The fused path remains available as an opt-in and as the
+    substrate for future cross-block (whole-stage) fusion."""
 
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     widths: Sequence[int] = (64, 128, 256, 512)
     dtype: Any = jnp.float32
+    block_impl: str = "auto"
+
+    def _use_fused(self, train: bool) -> bool:
+        if train:
+            return False
+        return self.block_impl in ("fused", "fused_interpret")
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False,
@@ -81,13 +184,20 @@ class ResNet(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
+        fused = self._use_fused(train)
+        interpret = self.block_impl == "fused_interpret"
         for stage_idx, (num_blocks, width) in enumerate(
                 zip(self.stage_sizes, self.widths), start=1):
             for block_idx in range(num_blocks):
                 stride = 2 if stage_idx > 1 and block_idx == 0 else 1
-                x = Bottleneck(width, stride, dtype=dtype,
-                               name=f"stage{stage_idx}_block{block_idx}")(
-                                   x, train=train)
+                name = f"stage{stage_idx}_block{block_idx}"
+                if fused and stride == 1:
+                    x = FusedBottleneck(width, dtype=dtype,
+                                        interpret=interpret,
+                                        name=name)(x, train=train)
+                else:
+                    x = Bottleneck(width, stride, dtype=dtype,
+                                   name=name)(x, train=train)
             x = tap(self, f"stage{stage_idx}", x, taps)
 
         x = jnp.mean(x, axis=(1, 2))          # global average pool -> (B, C)
@@ -106,11 +216,13 @@ class ResNetClassifier(nn.Module):
     num_classes: int = 2
     drop_rate: float = 0.5
     dtype: Any = jnp.float32
+    block_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False,
                  taps: Taps = None) -> jnp.ndarray:
-        feats = ResNet50(dtype=self.dtype)(x, train=train, taps=taps)
+        feats = ResNet50(dtype=self.dtype, block_impl=self.block_impl)(
+            x, train=train, taps=taps)
         feats = nn.Dropout(self.drop_rate, deterministic=not train)(feats)
         logits = nn.Dense(self.num_classes, dtype=jnp.float32,
                           param_dtype=jnp.float32, name="head")(feats)

@@ -260,3 +260,98 @@ def test_flash_attention_bf16():
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=5e-2, atol=5e-2)
+
+
+# ------------------------------------------------- fused ResNet bottleneck
+
+
+def _bottleneck_test_params(key, cin, cmid, cout=None):
+    """(w1, b1, w2_rowstacked, b2, w3, b3[, wd, bd]) random folded params."""
+    cout = cout or 4 * cmid
+    ks = [jax.random.fold_in(key, i) for i in range(10)]
+    w1 = jax.random.normal(ks[0], (cin, cmid)) * (cin ** -0.5)
+    b1 = jax.random.normal(ks[1], (cmid,)) * 0.1
+    w2 = jax.random.normal(ks[2], (9 * cmid, cmid)) * (9 * cmid) ** -0.5
+    b2 = jax.random.normal(ks[3], (cmid,)) * 0.1
+    w3 = jax.random.normal(ks[4], (cmid, cout)) * (cmid ** -0.5)
+    b3 = jax.random.normal(ks[5], (cout,)) * 0.1
+    wd = jax.random.normal(ks[6], (cin, cout)) * (cin ** -0.5)
+    bd = jax.random.normal(ks[7], (cout,)) * 0.1
+    return w1, b1, w2, b2, w3, b3, wd, bd
+
+
+def test_fused_bottleneck_matches_oracle():
+    """Kernel (interpret) vs the jnp/conv oracle, identity + projection."""
+    from dfu_multimodal_tpu.ops.resnet_block import (_bottleneck_ref,
+                                                     fused_bottleneck)
+    h = w = 6
+    cmid, cout = 8, 32
+    key = jax.random.PRNGKey(0)
+    w1, b1, w2, b2, w3, b3, wd, bd = _bottleneck_test_params(key, cout, cmid)
+
+    x = jax.random.normal(jax.random.fold_in(key, 99), (3, h, w, cout))
+    out = fused_bottleneck(x, w1, b1, w2, b2, w3, b3, interpret=True)
+    ref = _bottleneck_ref(x, w1, b1, w2, b2, w3, b3, height=h, width=w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # projection shortcut (cin != cout), several images per grid step
+    cin = 16
+    w1p, b1, w2, b2, w3, b3, wd, bd = _bottleneck_test_params(key, cin, cmid)
+    x = jax.random.normal(jax.random.fold_in(key, 98), (4, h, w, cin))
+    out = fused_bottleneck(x, w1p, b1, w2, b2, w3, b3, wd, bd,
+                           interpret=True)
+    ref = _bottleneck_ref(x, w1p, b1, w2, b2, w3, b3, wd, bd,
+                          height=h, width=w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_bottleneck_gradients():
+    """Grad-CAM differentiates the serving forward: the rematerializing
+    custom VJP must match autodiff of the oracle."""
+    from dfu_multimodal_tpu.ops.resnet_block import (_bottleneck_ref,
+                                                     fused_bottleneck)
+    h = w = 4
+    cmid, cout = 8, 32
+    key = jax.random.PRNGKey(1)
+    w1, b1, w2, b2, w3, b3, _, _ = _bottleneck_test_params(key, cout, cmid)
+    x = jax.random.normal(jax.random.fold_in(key, 97), (2, h, w, cout))
+
+    g_out = jax.grad(lambda x: jnp.sum(fused_bottleneck(
+        x, w1, b1, w2, b2, w3, b3, interpret=True) ** 2))(x)
+    g_ref = jax.grad(lambda x: jnp.sum(_bottleneck_ref(
+        x, w1, b1, w2, b2, w3, b3, height=h, width=w) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref),
+                               rtol=5e-5, atol=5e-5)
+
+
+def test_fused_bottleneck_module_param_tree_matches_flax():
+    """FusedBottleneck must declare the EXACT variable tree of Bottleneck
+    (params + batch_stats) so checkpoints/converters apply unchanged."""
+    from dfu_multimodal_tpu.models.resnet import Bottleneck, FusedBottleneck
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 6, 6, 16))
+    v_flax = Bottleneck(8).init(jax.random.PRNGKey(1), x, train=False)
+    v_fused = FusedBottleneck(8, interpret=True).init(
+        jax.random.PRNGKey(1), x, train=False)
+    t1 = jax.tree.map(lambda a: (a.shape, str(a.dtype)), v_flax)
+    t2 = jax.tree.map(lambda a: (a.shape, str(a.dtype)), v_fused)
+    assert t1 == t2
+
+
+def test_fused_resnet_forward_matches_flax():
+    """Whole trunk: fused stride-1 blocks (BN folded from live variables)
+    + flax strided blocks vs the all-flax path, shared variables."""
+    from dfu_multimodal_tpu.models.resnet import ResNet
+    kw = dict(stage_sizes=(2, 2), widths=(8, 16))
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    flax_net = ResNet(block_impl="flax", **kw)
+    v = flax_net.init({"params": jax.random.PRNGKey(1)}, x, train=False)
+    # make BN stats non-trivial so folding is actually exercised
+    v = jax.tree.map(
+        lambda a: a + 0.05 * jnp.arange(a.size, dtype=a.dtype).reshape(a.shape)
+        if a.ndim == 1 else a, v)
+    ref = flax_net.apply(v, x, train=False)
+    out = ResNet(block_impl="fused_interpret", **kw).apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
