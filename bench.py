@@ -46,13 +46,21 @@ def build_forward(batch_size: int, image_size: int = 224,
     variables = zoo.init_model(module, spec, jax.random.PRNGKey(0),
                                image_size=image_size)
     if int8:
-        # int8 serving path: quantize the ViT trunk once at load, serve
-        # with the fused int8 block kernels (models/vit.py).
+        # int8 serving path: quantize BOTH trunks once at load — the ViT
+        # serves via the fused int8 Pallas block kernels (models/vit.py),
+        # the ResNet via calibrated static-scale int8 XLA convs
+        # (models/resnet_q8.py; activation scales calibrated here on a
+        # random batch — real deployments calibrate on their data).
+        from dfu_multimodal_tpu.models.resnet_q8 import quantize_rgb_trunks
         from dfu_multimodal_tpu.models.vit import quantize_variables
-        variables = quantize_variables(variables)
+        calib = jax.random.normal(
+            jax.random.PRNGKey(42), (8, image_size, image_size, 3), dtype)
+        variables = quantize_rgb_trunks(quantize_variables(variables),
+                                        [calib], dtype=dtype)
         module, spec = zoo.build(
             "multimodal", dtype=dtype, attention_impl=attention_impl,
-            block_impl="fused_q8" if on_tpu else "fused_q8_interpret")
+            block_impl="fused_q8" if on_tpu else "fused_q8_interpret",
+            rgb_impl="int8")
     rgb_mod = config.rgb_modality()
     th_mod = config.thermal_modality()
 
@@ -262,7 +270,8 @@ def main():
     # + fwd + bwd + AdamW). Guarded: the headline inference metric survives
     # any secondary-measurement failure.
     train_ips = None
-    if on_tpu and not os.environ.get("DFU_BENCH_SKIP_TRAIN"):
+    if (on_tpu and not args.int8
+            and not os.environ.get("DFU_BENCH_SKIP_TRAIN")):
         try:
             t = measure_training(32, 3, chain=8, model="multimodal")
             train_ips = round(t["train_images_per_sec_per_chip"], 2)

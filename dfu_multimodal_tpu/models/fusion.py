@@ -78,12 +78,22 @@ class MultimodalFusionClassifier(nn.Module):
     dtype: Any = jnp.float32
     attention_impl: str = "auto"
     block_impl: str = "auto"
+    # RGB trunk implementation: "auto" = the flax ResNet (XLA convs — the
+    # measured best bf16 path, models/resnet.py); "int8" = the calibrated
+    # int8 serving trunk (models/resnet_q8.py), params produced by
+    # quantize_rgb_trunks.
+    rgb_impl: str = "auto"
 
     @nn.compact
     def __call__(self, rgb: jnp.ndarray, thermal: jnp.ndarray, *,
                  train: bool = False, taps: Taps = None) -> jnp.ndarray:
-        rgb_feats = ResNet50(dtype=self.dtype, name="rgb_branch")(
-            rgb, train=train, taps=taps)                       # (B, 2048)
+        if self.rgb_impl == "int8":
+            from dfu_multimodal_tpu.models.resnet_q8 import Int8ResNet50
+            rgb_feats = Int8ResNet50(dtype=self.dtype, name="rgb_branch")(
+                rgb, train=train, taps=taps)                   # (B, 2048)
+        else:
+            rgb_feats = ResNet50(dtype=self.dtype, name="rgb_branch")(
+                rgb, train=train, taps=taps)                   # (B, 2048)
         thermal_feats = ViTBase16(self.dtype, self.attention_impl,
                                   self.block_impl,
                                   name="thermal_branch")(

@@ -26,11 +26,22 @@ from dfu_multimodal_tpu.models.common import Taps, canonical_dtype, tap
 
 
 class Bottleneck(nn.Module):
-    """1x1 -> 3x3(stride) -> 1x1(x4) with projection shortcut when needed."""
+    """1x1 -> 3x3(stride) -> 1x1(x4) with projection shortcut when needed.
+
+    ``calibrate=True`` sows each conv input's absmax into the
+    ``calibration`` collection — the int8 serving converter
+    (models/resnet_q8.py) derives its static activation scales from these.
+    """
 
     features: int
     stride: int = 1
     dtype: Any = jnp.float32
+    calibrate: bool = False
+
+    def _cal(self, name: str, x: jnp.ndarray) -> None:
+        if self.calibrate:
+            self.sow("calibration", name,
+                     jnp.max(jnp.abs(x.astype(jnp.float32))))
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
@@ -41,13 +52,16 @@ class Bottleneck(nn.Module):
                        param_dtype=jnp.float32)
 
         residual = x
+        self._cal("conv1_in", x)
         y = conv(self.features, (1, 1), name="conv1")(x)
         y = norm(name="bn1")(y)
         y = nn.relu(y)
+        self._cal("conv2_in", y)
         y = conv(self.features, (3, 3), strides=(self.stride, self.stride),
                  padding=((1, 1), (1, 1)), name="conv2")(y)
         y = norm(name="bn2")(y)
         y = nn.relu(y)
+        self._cal("conv3_in", y)
         y = conv(self.features * 4, (1, 1), name="conv3")(y)
         y = norm(name="bn3")(y)
 
@@ -163,6 +177,7 @@ class ResNet(nn.Module):
     widths: Sequence[int] = (64, 128, 256, 512)
     dtype: Any = jnp.float32
     block_impl: str = "auto"
+    calibrate: bool = False
 
     def _use_fused(self, train: bool) -> bool:
         if train:
@@ -197,6 +212,7 @@ class ResNet(nn.Module):
                                         name=name)(x, train=train)
                 else:
                     x = Bottleneck(width, stride, dtype=dtype,
+                                   calibrate=self.calibrate,
                                    name=name)(x, train=train)
             x = tap(self, f"stage{stage_idx}", x, taps)
 
@@ -221,8 +237,15 @@ class ResNetClassifier(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False,
                  taps: Taps = None) -> jnp.ndarray:
-        feats = ResNet50(dtype=self.dtype, block_impl=self.block_impl)(
-            x, train=train, taps=taps)
+        # trunk scope pinned to "ResNet_0" (the auto-name of the original
+        # flax trunk) so both impls share one checkpoint key
+        if self.block_impl == "int8":
+            from dfu_multimodal_tpu.models.resnet_q8 import Int8ResNet50
+            feats = Int8ResNet50(dtype=self.dtype, name="ResNet_0")(
+                x, train=train, taps=taps)
+        else:
+            feats = ResNet50(dtype=self.dtype, block_impl=self.block_impl,
+                             name="ResNet_0")(x, train=train, taps=taps)
         feats = nn.Dropout(self.drop_rate, deterministic=not train)(feats)
         logits = nn.Dense(self.num_classes, dtype=jnp.float32,
                           param_dtype=jnp.float32, name="head")(feats)

@@ -355,3 +355,53 @@ def test_fused_resnet_forward_matches_flax():
     out = ResNet(block_impl="fused_interpret", **kw).apply(v, x, train=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_int8_resnet_calibrate_quantize_forward():
+    """Calibrated static-scale int8 ResNet serving path: calibration sows,
+    converter, and forward parity with the fp32 trunk."""
+    from dfu_multimodal_tpu.models.resnet import ResNet
+    from dfu_multimodal_tpu.models.resnet_q8 import (
+        Int8ResNet, calibrate_resnet, quantize_resnet_params)
+
+    kw = dict(stage_sizes=(2, 2), widths=(8, 16))
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    fp = ResNet(block_impl="flax", **kw)
+    v = fp.init({"params": jax.random.PRNGKey(1)}, x, train=False)
+    # non-trivial BN stats so folding is exercised
+    v = jax.tree.map(
+        lambda a: a + 0.02 * jnp.arange(a.size, dtype=a.dtype).reshape(a.shape)
+        if a.ndim == 1 else a, v)
+    ref = fp.apply(v, x, train=False)
+
+    cal = ResNet(block_impl="flax", calibrate=True, **kw)
+    absmax = calibrate_resnet(cal, v, [x])
+    assert absmax and all(val > 0 for val in absmax.values())
+    assert any("conv2_in" in k for k in absmax)
+
+    qv = quantize_resnet_params(v, absmax, stage_sizes=kw["stage_sizes"])
+    q8 = Int8ResNet(dtype=jnp.float32, **kw)
+    out = q8.apply(qv, x, train=False)
+    rel = (float(jnp.max(jnp.abs(out - ref)))
+           / max(float(jnp.max(jnp.abs(ref))), 1e-6))
+    assert rel < 0.05, f"int8 resnet relative error too large: {rel}"
+
+
+def test_quantize_rgb_trunks_multimodal_tree():
+    """quantize_rgb_trunks swaps only the ResNet trunk of a fusion model;
+    the int8 fusion forward stays close to fp32."""
+    from dfu_multimodal_tpu.models.resnet import ResNet50
+    from dfu_multimodal_tpu.models.resnet_q8 import quantize_rgb_trunks
+
+    # standalone classifier-style tree with the standard trunk name
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    trunk = ResNet50(dtype=jnp.float32, block_impl="flax")
+    v = trunk.init({"params": jax.random.PRNGKey(1)}, x, train=False)
+    wrapped = {"params": {"rgb_branch": v["params"],
+                          "head": {"kernel": x[0, 0]}},
+               "batch_stats": {"rgb_branch": v["batch_stats"]}}
+    qv = quantize_rgb_trunks(wrapped, [x], dtype=jnp.float32)
+    assert "kernel_q8" in qv["params"]["rgb_branch"]["stage1_block0"]["conv1"]
+    assert "stem_kernel" in qv["params"]["rgb_branch"]
+    assert "kernel" in qv["params"]["head"]            # untouched
+    assert "rgb_branch" not in qv.get("batch_stats", {})
