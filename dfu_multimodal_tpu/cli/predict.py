@@ -45,9 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--attention-impl", default="auto",
                         choices=["auto", "xla", "pallas"])
     parser.add_argument("--int8", action="store_true",
-                        help="serve the ViT branch with the int8 fused "
-                             "kernels (weights quantized at load; ~2x MXU "
-                             "rate on TPU, <1%% typical accuracy cost)")
+                        help="int8 serving: ViT branch via fused int8 "
+                             "kernels, ResNet branch via calibrated int8 "
+                             "XLA convs (weights quantized at load, "
+                             "activation scales calibrated on the inputs; "
+                             "~2x MXU rate on TPU, <1%% typical accuracy "
+                             "cost)")
     return parser
 
 
@@ -66,23 +69,6 @@ def main(argv=None):
                       attention_impl=args.attention_impl)
     state = trainer.restore(args.checkpoint, image_size=args.image_size)
 
-    if args.int8 and "thermal" in trainer.spec.inputs:
-        # Quantize the restored fp32 ViT trunk(s) once, then rebuild the
-        # engine around the int8 serving blocks.
-        import jax
-
-        from dfu_multimodal_tpu.models.vit import quantize_variables
-        qvars = quantize_variables(trainer.variables(state))
-        impl = ("fused_q8" if jax.devices()[0].platform == "tpu"
-                else "fused_q8_interpret")
-        trainer = Trainer(model_name, cfg, modalities,
-                          attention_impl=args.attention_impl,
-                          block_impl=impl)
-        qstate = trainer.init_state(jax.random.PRNGKey(0),
-                                    image_size=args.image_size)
-        state = qstate.replace(params=qvars["params"],
-                               batch_stats=qvars.get("batch_stats", {}))
-
     paths = list_images(args.images)
     if not paths:
         print(f"No images found under {args.images}")
@@ -97,6 +83,40 @@ def main(argv=None):
         paths = paths[:n]
         arrays = {trainer.spec.inputs[0]: arrays[primary][:n],
                   "thermal": _decode_all(th_paths[:n], args.image_size)}
+
+    if args.int8 and model_name in ("thermal_only", "rgb_only", "multimodal"):
+        # Quantize the restored fp32 trunks once, then rebuild the engine
+        # around the int8 serving paths: fused int8 Pallas blocks for the
+        # ViT, calibrated static-scale int8 XLA convs for the ResNet
+        # (activation scales calibrated on the actual inference inputs).
+        import jax
+        import jax.numpy as jnp
+
+        from dfu_multimodal_tpu.data.transforms import eval_normalize
+
+        qvars = trainer.variables(state)
+        vit_impl = "auto"
+        rgb_impl = "auto"
+        if "thermal" in trainer.spec.inputs:
+            from dfu_multimodal_tpu.models.vit import quantize_variables
+            qvars = quantize_variables(qvars)
+            vit_impl = ("fused_q8" if jax.devices()[0].platform == "tpu"
+                        else "fused_q8_interpret")
+        if "rgb" in trainer.spec.inputs:
+            from dfu_multimodal_tpu.models.resnet_q8 import quantize_rgb_trunks
+            calib = eval_normalize(
+                jnp.asarray(arrays[primary][:min(32, len(paths))]),
+                modalities["rgb"], trainer.compute_dtype)
+            qvars = quantize_rgb_trunks(qvars, [calib],
+                                        dtype=trainer.compute_dtype)
+            rgb_impl = "int8"
+        trainer = Trainer(model_name, cfg, modalities,
+                          attention_impl=args.attention_impl,
+                          block_impl=vit_impl, rgb_impl=rgb_impl)
+        qstate = trainer.init_state(jax.random.PRNGKey(0),
+                                    image_size=args.image_size)
+        state = qstate.replace(params=qvars["params"],
+                               batch_stats=qvars.get("batch_stats", {}))
 
     n = len(paths)
     ds = ArrayDataset(arrays=arrays, labels=np.zeros(n, np.int32))

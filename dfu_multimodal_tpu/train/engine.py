@@ -89,7 +89,7 @@ class Trainer:
                  modalities: Dict[str, ModalityConfig],
                  class_weights: Optional[np.ndarray] = None,
                  mesh=None, attention_impl: str = "auto",
-                 block_impl: str = "auto"):
+                 block_impl: str = "auto", rgb_impl: str = "auto"):
         self.cfg = cfg
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         self.compute_dtype = dtype
@@ -106,6 +106,12 @@ class Trainer:
                 # partitioner, so TP runs the flax blocks (XLA inserts the
                 # collectives between the sharded Dense ops).
                 kwargs["block_impl"] = "flax"
+        # int8 ResNet serving trunk (models/resnet_q8.py): the fusion model
+        # takes it as rgb_impl, the standalone classifier as block_impl
+        if spec_probe.name == "multimodal":
+            kwargs["rgb_impl"] = rgb_impl
+        elif spec_probe.name == "rgb_only" and rgb_impl == "int8":
+            kwargs["block_impl"] = "int8"
         self.module, self.spec = zoo.build(
             model_name, drop_rate=cfg.drop_rate, dtype=dtype, **kwargs)
         self.modalities = modalities
