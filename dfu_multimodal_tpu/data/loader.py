@@ -160,7 +160,13 @@ def epoch_indices(labels: np.ndarray, rng: np.random.Generator,
     n = len(labels)
     if weighted:
         w = sample_weights(labels)
-        return rng.choice(n, size=n, replace=True, p=w / w.sum())
+        total = w.sum()
+        if n == 0 or total <= 0:
+            raise ValueError(
+                f"cannot draw an epoch from {n} samples (weight sum "
+                f"{total}): the dataset directory is empty or every class "
+                "count is zero")
+        return rng.choice(n, size=n, replace=True, p=w / total)
     return rng.permutation(n)
 
 
