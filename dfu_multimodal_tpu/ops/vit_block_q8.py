@@ -48,10 +48,12 @@ def quantize_weight(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def _row_quant(y):
-    """Per-row symmetric int8 of fp32 y: returns (int8 y_q, f32 (rows,1) a)."""
-    a = jnp.max(jnp.abs(y), axis=-1, keepdims=True) / 127.0
-    a = jnp.maximum(a, 1e-12)
-    q = jnp.clip(jnp.round(y / a), -127, 127).astype(jnp.int8)
+    """Per-row symmetric int8 of fp32 y: returns (int8 y_q, f32 (rows,1) a).
+    Quantizes via reciprocal-multiply — one divide per ROW instead of one
+    per element (VPU divides are multi-cycle)."""
+    a = jnp.maximum(jnp.max(jnp.abs(y), axis=-1, keepdims=True) / 127.0,
+                    1e-12)
+    q = jnp.clip(jnp.round(y * (1.0 / a)), -127, 127).astype(jnp.int8)
     return q, a
 
 
