@@ -122,3 +122,36 @@ def test_data_parallel_8dev_mesh_matches_single(synth):
     s8, m8 = t8.run_train_epoch(s8, train, np_rng8, rng)
     assert m1.loss == pytest.approx(m8.loss, rel=1e-4)
     assert m1.f1 == pytest.approx(m8.f1, abs=1e-6)
+
+
+def test_trainer_rgb_impl_int8_roundtrip(tmp_path):
+    """Trainer(rgb_impl='int8') must accept params produced by
+    quantize_rgb_trunks from a trained fp32 state (the predict --int8
+    contract, at engine level)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dfu_multimodal_tpu import config
+    from dfu_multimodal_tpu.models.resnet_q8 import quantize_rgb_trunks
+    from dfu_multimodal_tpu.train.engine import Trainer
+
+    cfg = config.TrainConfig(batch_size=4, eval_batch_size=4,
+                             compute_dtype="float32")
+    mods = {"rgb": config.rgb_modality()}
+    trainer = Trainer("rgb_only", cfg, mods)
+    state = trainer.init_state(jax.random.PRNGKey(0), image_size=32)
+
+    calib = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    fp_vars = trainer.variables(state)
+    logits_fp = trainer.module.apply(fp_vars, calib, train=False)
+
+    qvars = quantize_rgb_trunks(fp_vars, [calib], dtype=jnp.float32)
+    q_trainer = Trainer("rgb_only", cfg, mods, rgb_impl="int8")
+    q_state = q_trainer.init_state(jax.random.PRNGKey(0), image_size=32)
+    q_state = q_state.replace(params=qvars["params"],
+                              batch_stats=qvars.get("batch_stats", {}))
+    logits_q8 = q_trainer.module.apply(
+        q_trainer.variables(q_state), calib, train=False)
+    # freshly-initialized net: logits are small; int8 error stays bounded
+    assert jnp.all(jnp.isfinite(logits_q8))
+    assert float(jnp.max(jnp.abs(logits_q8 - logits_fp))) < 0.2
