@@ -61,6 +61,7 @@ class MultiHeadAttention(nn.Module):
     num_heads: int = 12
     dtype: Any = jnp.float32
     attention_impl: str = "auto"
+    calibrate: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -86,6 +87,9 @@ class MultiHeadAttention(nn.Module):
             q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
             out = resolve_attention(impl)(q, k, v)       # (B, H, N, D)
             out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        if self.calibrate:
+            self.sow("calibration", "proj_in",
+                     jnp.max(jnp.abs(out.astype(jnp.float32))))
         return nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32,
                         name="proj")(out)
 
@@ -212,30 +216,96 @@ class QuantizedEncoderBlock(nn.Module):
         return x, None
 
 
-def quantize_encoder_params(trunk_params):
+class StaticQuantizedEncoderBlock(nn.Module):
+    """Int8 encoder block with CALIBRATED static activation scales
+    (ops/vit_block_q8.py q8s kernels): no per-row absmax reductions or
+    rank-1 dequants inside the kernels — the act scales are folded into
+    the per-channel weight scales at conversion time, and a (4,)
+    ``act_scales`` param = [s_ln1, s_attn, s_ln2, s_gelu] provides the
+    quantization reciprocals.  Parameters from
+    :func:`quantize_encoder_params` with ``act_absmax`` calibration."""
+
+    num_heads: int = 12
+    mlp_ratio: int = 4
+    dtype: Any = jnp.float32
+    interpret: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, _=None):
+        from dfu_multimodal_tpu.ops.vit_block_q8 import (attn_block_q8s,
+                                                         mlp_block_q8s)
+
+        c = x.shape[-1]
+        g1, be1 = _LNParams(name="norm1")(c)
+        (qkv_q, qkv_s, qkv_b), (pr_q, pr_s, pr_b) = _QAttnParams(
+            name="attn")(c)
+        g2, be2 = _LNParams(name="norm2")(c)
+        w1_q, s1, b1 = _QDenseParams(self.mlp_ratio * c, name="mlp_fc1")(c)
+        w2_q, s2, b2 = _QDenseParams(c, name="mlp_fc2")(self.mlp_ratio * c)
+        a = self.param("act_scales", nn.initializers.ones, (4,), jnp.float32)
+
+        x = attn_block_q8s(x, g1, be1, qkv_q, qkv_s, qkv_b, pr_q, pr_s,
+                           pr_b, 1.0 / a[:2], num_heads=self.num_heads,
+                           interpret=self.interpret)
+        x = mlp_block_q8s(x, g2, be2, w1_q, s1, b1, w2_q, s2, b2,
+                          1.0 / a[2:], interpret=self.interpret)
+        return x, None
+
+
+def quantize_encoder_params(trunk_params, act_absmax=None):
     """fp32 ViT-trunk param tree -> the int8 tree QuantizedEncoderBlock
+    (or, with ``act_absmax`` calibration, StaticQuantizedEncoderBlock)
     expects. Handles both block layouts: scanned (one ``encoder`` scope,
     kernels stacked (depth, K, M)) and unrolled (``block0..N-1`` scopes).
     Run ONCE at model-load time — requantizing inside the serving step
-    would cost as much HBM traffic as the int8 matmuls save."""
+    would cost as much HBM traffic as the int8 matmuls save.
+
+    ``act_absmax``: the trunk's ``calibration`` collection from a
+    ``ViT(calibrate=True)`` pass (absmax per quantization point).  When
+    given, activation scales are folded into the per-channel weight
+    scales and stored per block as ``act_scales`` = [ln1, attn, ln2,
+    gelu] — the static kernels then skip all dynamic absmax work."""
     import jax
 
     from dfu_multimodal_tpu.ops.vit_block_q8 import quantize_weight
 
-    def q(dense):
+    def q(dense, act=None):
         w = dense["kernel"]
         kq, s = (jax.vmap(quantize_weight)(w) if w.ndim == 3  # scanned stack
                  else quantize_weight(w))
+        if act is not None:
+            s = s * (act[:, None] if s.ndim == 2 else act)
         return {"kernel_q8": kq, "scale": s, "bias": dense["bias"]}
 
-    def q_block(blk):
+    def first(x):
+        return x[0] if isinstance(x, (tuple, list)) else x
+
+    def q_block(blk, cal=None):
+        if cal is None:
+            acts = {"qkv": None, "proj": None, "fc1": None, "fc2": None}
+            extra = {}
+        else:
+            a = {
+                "qkv": jnp.maximum(
+                    jnp.asarray(first(cal["ln1_out"])), 1e-6) / 127.0,
+                "proj": jnp.maximum(
+                    jnp.asarray(first(cal["attn"]["proj_in"])), 1e-6) / 127.0,
+                "fc1": jnp.maximum(
+                    jnp.asarray(first(cal["ln2_out"])), 1e-6) / 127.0,
+                "fc2": jnp.maximum(
+                    jnp.asarray(first(cal["gelu_out"])), 1e-6) / 127.0,
+            }
+            acts = a
+            extra = {"act_scales": jnp.stack(
+                [a["qkv"], a["proj"], a["fc1"], a["fc2"]], axis=-1)}
         return {
             **{k: v for k, v in blk.items()
                if k not in ("attn", "mlp_fc1", "mlp_fc2")},
-            "attn": {"qkv": q(blk["attn"]["qkv"]),
-                     "proj": q(blk["attn"]["proj"])},
-            "mlp_fc1": q(blk["mlp_fc1"]),
-            "mlp_fc2": q(blk["mlp_fc2"]),
+            "attn": {"qkv": q(blk["attn"]["qkv"], acts["qkv"]),
+                     "proj": q(blk["attn"]["proj"], acts["proj"])},
+            "mlp_fc1": q(blk["mlp_fc1"], acts["fc1"]),
+            "mlp_fc2": q(blk["mlp_fc2"], acts["fc2"]),
+            **extra,
         }
 
     block_scopes = [k for k in trunk_params
@@ -244,20 +314,52 @@ def quantize_encoder_params(trunk_params):
         raise ValueError("no encoder/blockN scopes in ViT trunk params")
     return {**{k: v for k, v in trunk_params.items()
                if k not in block_scopes},
-            **{k: q_block(trunk_params[k]) for k in block_scopes}}
+            **{k: q_block(trunk_params[k],
+                          act_absmax.get(k) if act_absmax else None)
+               for k in block_scopes}}
 
 
-def quantize_variables(variables, trunk_names=("ViT_0", "thermal_branch")):
+def calibrate_vit_absmax(trunk_params, batches, dtype=jnp.float32,
+                         attention_impl: str = "xla"):
+    """Run NORMALIZED image batches through the fp32/bf16 flax trunk in
+    calibration mode; returns the running-max ``calibration`` tree that
+    :func:`quantize_encoder_params` consumes as ``act_absmax``."""
+    import jax
+
+    vit = ViTBase16(dtype=dtype, attention_impl=attention_impl,
+                    block_impl="flax", calibrate=True)
+    merged = None
+    for x in batches:
+        _, aux = vit.apply({"params": trunk_params}, x, train=False,
+                           mutable=["calibration"])
+        cal = aux["calibration"]
+        merged = cal if merged is None else jax.tree.map(
+            jnp.maximum, merged, cal)
+    return merged
+
+
+def quantize_variables(variables, trunk_names=("ViT_0", "thermal_branch"),
+                       calib_batches=None, dtype=jnp.float32,
+                       attention_impl: str = "xla"):
     """Quantize every ViT trunk in a model's variables for the int8
-    serving path (``block_impl="fused_q8"``). Returns new variables; the
-    fp32 originals are untouched."""
+    serving path. Returns new variables; the fp32 originals are untouched.
+
+    Without ``calib_batches``: dynamic per-row activation quantization
+    (``block_impl="fused_q8"``).  With ``calib_batches`` (iterable of
+    normalized image batches): static calibrated activation scales
+    (``block_impl="fused_q8s"`` — no absmax work in the kernels)."""
     params = variables["params"]
     new = {k: v for k, v in params.items()}
     for name in trunk_names:
         if name in params and any(
                 k == "encoder" or k.startswith("block")
                 for k in params[name]):
-            new[name] = quantize_encoder_params(params[name])
+            absmax = None
+            if calib_batches is not None:
+                absmax = calibrate_vit_absmax(
+                    params[name], calib_batches, dtype=dtype,
+                    attention_impl=attention_impl)
+            new[name] = quantize_encoder_params(params[name], absmax)
     return {**{k: v for k, v in variables.items() if k != "params"},
             "params": new}
 
@@ -267,6 +369,15 @@ class EncoderBlock(nn.Module):
     mlp_ratio: int = 4
     dtype: Any = jnp.float32
     attention_impl: str = "auto"
+    # calibrate=True sows each quantization point's absmax into the
+    # ``calibration`` collection — the static int8 converter
+    # (quantize_encoder_params with act calibration) reads these.
+    calibrate: bool = False
+
+    def _cal(self, name, x):
+        if self.calibrate:
+            self.sow("calibration", name,
+                     jnp.max(jnp.abs(x.astype(jnp.float32))))
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, _=None):
@@ -277,13 +388,17 @@ class EncoderBlock(nn.Module):
         c = x.shape[-1]
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                          param_dtype=jnp.float32, name="norm1")(x)
+        self._cal("ln1_out", y)
         x = x + MultiHeadAttention(self.num_heads, self.dtype,
-                                   self.attention_impl, name="attn")(y)
+                                   self.attention_impl,
+                                   calibrate=self.calibrate, name="attn")(y)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                          param_dtype=jnp.float32, name="norm2")(x)
+        self._cal("ln2_out", y)
         y = nn.Dense(self.mlp_ratio * c, dtype=self.dtype,
                      param_dtype=jnp.float32, name="mlp_fc1")(y)
         y = nn.gelu(y, approximate=False)
+        self._cal("gelu_out", y)
         y = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32,
                      name="mlp_fc2")(y)
         return x + y, None
@@ -313,6 +428,9 @@ class ViT(nn.Module):
     scan_blocks: bool = field(
         default_factory=lambda: os.environ.get(
             "DFU_VIT_SCAN_BLOCKS", "1") != "0")
+    # calibration mode (flax blocks only): sow per-block activation
+    # absmaxes for the static int8 converter
+    calibrate: bool = False
 
     def _resolve_block(self):
         """Returns (block_cls, block_args) for the configured impl."""
@@ -324,7 +442,7 @@ class ViT(nn.Module):
         dtype = canonical_dtype(self.dtype)
         if impl == "flax":
             return EncoderBlock, (self.num_heads, self.mlp_ratio, dtype,
-                                  self.attention_impl)
+                                  self.attention_impl, self.calibrate)
         if impl in ("fused", "fused_interpret"):
             return FusedEncoderBlock, (self.num_heads, self.mlp_ratio, dtype,
                                        impl == "fused_interpret")
@@ -332,6 +450,10 @@ class ViT(nn.Module):
             return QuantizedEncoderBlock, (self.num_heads, self.mlp_ratio,
                                            dtype,
                                            impl == "fused_q8_interpret")
+        if impl in ("fused_q8s", "fused_q8s_interpret"):
+            return StaticQuantizedEncoderBlock, (
+                self.num_heads, self.mlp_ratio, dtype,
+                impl == "fused_q8s_interpret")
         raise ValueError(f"unknown block impl: {impl!r}")
 
     @nn.compact
@@ -366,7 +488,7 @@ class ViT(nn.Module):
             # depth instead of O(depth).
             ScannedBlocks = nn.scan(
                 block_cls,
-                variable_axes={"params": 0},
+                variable_axes={"params": 0, "calibration": 0},
                 split_rngs={"params": True},
                 length=self.depth,
                 metadata_params={nn.PARTITION_NAME: None},

@@ -405,3 +405,28 @@ def test_quantize_rgb_trunks_multimodal_tree():
     assert "stem_kernel" in qv["params"]["rgb_branch"]
     assert "kernel" in qv["params"]["head"]            # untouched
     assert "rgb_branch" not in qv.get("batch_stats", {})
+
+
+def test_q8_static_vit_matches_fp32_within_quant_tolerance():
+    """Static-scale int8 path: calibrate on real inputs, quantize, compare
+    the forward against fp32 — and the act_scales params must exist."""
+    from dfu_multimodal_tpu.models.vit import (ViT, calibrate_vit_absmax,
+                                               quantize_encoder_params)
+    kw = dict(depth=2, hidden_dim=64, num_heads=4, patch_size=8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    vit = ViT(block_impl="flax", attention_impl="xla", **kw)
+    v = vit.init({"params": jax.random.PRNGKey(1)}, x, train=False)
+    ref = vit.apply(v, x, train=False)
+
+    cal_vit = ViT(block_impl="flax", attention_impl="xla", calibrate=True,
+                  **kw)
+    _, aux = cal_vit.apply(v, x, train=False, mutable=["calibration"])
+    qparams = quantize_encoder_params(v["params"], aux["calibration"])
+    blk = next(k for k in qparams if k.startswith("block") or k == "encoder")
+    assert "act_scales" in qparams[blk]
+
+    out = ViT(block_impl="fused_q8s_interpret", **kw).apply(
+        {"params": qparams}, x, train=False)
+    rel = (float(jnp.max(jnp.abs(out - ref)))
+           / max(float(jnp.max(jnp.abs(ref))), 1e-6))
+    assert rel < 0.05, f"static int8 relative error too large: {rel}"
