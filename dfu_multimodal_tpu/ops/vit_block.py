@@ -156,12 +156,6 @@ def _attn_block_ref(x, g1, b1, wqkv, bqkv, wproj, bproj, *, num_heads: int):
     return x + o
 
 
-def _row_spec(shape, interpret):
-    """Per-batch-element block over the leading grid axis."""
-    return pl.BlockSpec((1,) + shape[1:], lambda i: (i,) + (0,) * (len(shape) - 1),
-                        memory_space=pltpu.ANY if interpret else pltpu.VMEM)
-
-
 def _const_spec(shape, interpret):
     """Whole-array operand with a constant index map: Pallas loads it into
     VMEM once and keeps it resident across all grid steps."""
