@@ -46,10 +46,10 @@ def build_forward(batch_size: int, image_size: int = 224,
     variables = zoo.init_model(module, spec, jax.random.PRNGKey(0),
                                image_size=image_size)
     if int8:
-        # int8 serving path: quantize BOTH trunks once at load with
-        # calibrated STATIC activation scales — the ViT serves via the
-        # fused static int8 Pallas block kernels (models/vit.py q8s),
-        # the ResNet via int8 XLA convs (models/resnet_q8.py); activation
+        # int8 serving path: quantize BOTH trunks once at load — the ViT
+        # with DYNAMIC per-row activation quantization (fused_q8 Pallas
+        # block kernels; measured equal to the calibrated-static variant,
+        # see below), the ResNet via int8 XLA convs with STATIC activation
         # scales calibrated here on a random batch — real deployments
         # calibrate on their data (predict --int8 does).
         from dfu_multimodal_tpu.models.resnet_q8 import quantize_rgb_trunks

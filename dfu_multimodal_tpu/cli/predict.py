@@ -20,7 +20,7 @@ import numpy as np
 from dfu_multimodal_tpu import config as cfg_mod
 from dfu_multimodal_tpu.config import TrainConfig
 from dfu_multimodal_tpu.data.layout import list_images
-from dfu_multimodal_tpu.data.loader import ArrayDataset, _decode_all
+from dfu_multimodal_tpu.data.loader import ArrayDataset, decode_all
 from dfu_multimodal_tpu.train.engine import Trainer
 from dfu_multimodal_tpu.utils import checkpoint as ckpt_mod
 
@@ -51,6 +51,14 @@ def build_parser() -> argparse.ArgumentParser:
                              "activation scales calibrated on the inputs; "
                              "~2x MXU rate on TPU, <1%% typical accuracy "
                              "cost)")
+    parser.add_argument("--calib-images", type=Path, default=None,
+                        help="directory of images to calibrate the int8 "
+                             "ResNet activation scales on (first 32, sorted "
+                             "order). Default: the first <=32 inference "
+                             "inputs themselves — note that then a given "
+                             "image's probabilities depend on which other "
+                             "files are in --images; pin this for "
+                             "reproducible deployments")
     return parser
 
 
@@ -75,14 +83,14 @@ def main(argv=None):
         return {}
     arrays = {}
     primary = trainer.spec.inputs[0]
-    arrays[primary] = _decode_all(paths, args.image_size)
+    arrays[primary] = decode_all(paths, args.image_size)
     if len(trainer.spec.inputs) > 1:
         th_paths = list_images(args.thermal_images) if args.thermal_images \
             else paths
         n = min(len(paths), len(th_paths))
         paths = paths[:n]
         arrays = {trainer.spec.inputs[0]: arrays[primary][:n],
-                  "thermal": _decode_all(th_paths[:n], args.image_size)}
+                  "thermal": decode_all(th_paths[:n], args.image_size)}
 
     if args.int8 and model_name in ("thermal_only", "rgb_only", "multimodal"):
         # Quantize the restored fp32 trunks once, then rebuild the engine
@@ -104,9 +112,16 @@ def main(argv=None):
                         else "fused_q8_interpret")
         if "rgb" in trainer.spec.inputs:
             from dfu_multimodal_tpu.models.resnet_q8 import quantize_rgb_trunks
-            calib = eval_normalize(
-                jnp.asarray(arrays[primary][:min(32, len(paths))]),
-                modalities["rgb"], trainer.compute_dtype)
+            if args.calib_images is not None:
+                calib_paths = list_images(args.calib_images)[:32]
+                if not calib_paths:
+                    raise SystemExit(
+                        f"No calibration images under {args.calib_images}")
+                calib_u8 = decode_all(calib_paths, args.image_size)
+            else:
+                calib_u8 = arrays[primary][:min(32, len(paths))]
+            calib = eval_normalize(jnp.asarray(calib_u8),
+                                   modalities["rgb"], trainer.compute_dtype)
             qvars = quantize_rgb_trunks(qvars, [calib],
                                         dtype=trainer.compute_dtype)
             rgb_impl = "int8"

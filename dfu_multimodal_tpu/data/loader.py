@@ -61,7 +61,7 @@ class ArrayDataset:
         return np.bincount(self.labels, minlength=2)
 
 
-def _decode_all(paths: Sequence[Optional[Path]], image_size: int) -> np.ndarray:
+def decode_all(paths: Sequence[Optional[Path]], image_size: int) -> np.ndarray:
     out = np.zeros((len(paths), image_size, image_size, 3), np.uint8)
     for i, p in enumerate(paths):
         if p is not None:       # None = missing-modality black placeholder
@@ -76,7 +76,7 @@ def load_single_modality(modality_dir: Path, split: str,
     train_rgb_only.py:55-97)."""
     index: SplitIndex = scan_split(Path(modality_dir), split)
     return ArrayDataset(
-        arrays={modality: _decode_all(index.paths, image_size)},
+        arrays={modality: decode_all(index.paths, image_size)},
         labels=np.asarray(index.labels, np.int32),
         paths={modality: list(index.paths)},
     )
@@ -109,8 +109,8 @@ def load_paired(data_dir: Path, split: str, image_size: int = 224,
     labels = np.asarray([p.label for p in pairs], np.int32)
 
     return ArrayDataset(
-        arrays={"rgb": _decode_all(rgb_paths, image_size),
-                "thermal": _decode_all(th_paths, image_size)},
+        arrays={"rgb": decode_all(rgb_paths, image_size),
+                "thermal": decode_all(th_paths, image_size)},
         labels=labels,
         paths={"rgb": rgb_paths, "thermal": th_paths},
     )

@@ -319,15 +319,44 @@ def quantize_encoder_params(trunk_params, act_absmax=None):
                for k in block_scopes}}
 
 
+def vit_config_from_params(trunk_params, num_heads: int | None = None):
+    """Derive a ViT architecture dict from a trunk param tree so calibration
+    and conversion never assume ViT-B/16: ``hidden_dim`` and ``patch_size``
+    from the patch-embed kernel, ``depth`` from the scanned stack (or the
+    number of blockN scopes), ``mlp_ratio`` from fc1.  ``num_heads`` is not
+    recoverable from shapes — defaults to hidden_dim // 64 (the universal
+    ViT head size) unless given."""
+    pe = trunk_params["patch_embed"]["kernel"]
+    in_dim, hidden = int(pe.shape[0]), int(pe.shape[1])
+    patch = int(round((in_dim / 3) ** 0.5))
+    if patch * patch * 3 != in_dim:
+        raise ValueError(f"patch_embed input dim {in_dim} is not p*p*3")
+    if "encoder" in trunk_params:                       # scanned stack
+        fc1 = trunk_params["encoder"]["mlp_fc1"]["kernel"]
+        depth, mlp_hidden = int(fc1.shape[0]), int(fc1.shape[-1])
+    else:
+        blocks = [k for k in trunk_params if k.startswith("block")]
+        depth = len(blocks)
+        mlp_hidden = int(trunk_params[blocks[0]]["mlp_fc1"]["kernel"].shape[-1])
+    return dict(patch_size=patch, hidden_dim=hidden, depth=depth,
+                num_heads=num_heads or max(hidden // 64, 1),
+                mlp_ratio=mlp_hidden // hidden)
+
+
 def calibrate_vit_absmax(trunk_params, batches, dtype=jnp.float32,
-                         attention_impl: str = "xla"):
+                         attention_impl: str = "xla",
+                         num_heads: int | None = None):
     """Run NORMALIZED image batches through the fp32/bf16 flax trunk in
     calibration mode; returns the running-max ``calibration`` tree that
-    :func:`quantize_encoder_params` consumes as ``act_absmax``."""
+    :func:`quantize_encoder_params` consumes as ``act_absmax``.  The ViT
+    architecture is derived from ``trunk_params`` (any depth/width/patch
+    size), not assumed to be ViT-B/16."""
     import jax
 
-    vit = ViTBase16(dtype=dtype, attention_impl=attention_impl,
-                    block_impl="flax", calibrate=True)
+    vit = ViT(dtype=dtype, attention_impl=attention_impl,
+              block_impl="flax", calibrate=True,
+              scan_blocks="encoder" in trunk_params,
+              **vit_config_from_params(trunk_params, num_heads))
     merged = None
     for x in batches:
         _, aux = vit.apply({"params": trunk_params}, x, train=False,

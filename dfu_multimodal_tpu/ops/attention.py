@@ -85,7 +85,7 @@ def _attention_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref,
 
 def _batch_spec(h, n, d, interpret):
     return pl.BlockSpec((1, h, n, d), lambda i: (i, 0, 0, 0),
-                        memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+                        memory_space=pl.ANY if interpret else pltpu.VMEM)
 
 
 def _attention_fwd_call(q, k, v, interpret):
@@ -208,7 +208,7 @@ def _qkv_attention_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, num_heads: int,
 
 def _qkv_spec(n, width, interpret):
     return pl.BlockSpec((1, n, width), lambda i: (i, 0, 0),
-                        memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+                        memory_space=pl.ANY if interpret else pltpu.VMEM)
 
 
 def _qkv_attention_fwd_call(qkv, num_heads, interpret):

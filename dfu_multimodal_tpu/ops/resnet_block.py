@@ -171,7 +171,7 @@ def _pick_ipp(batch: int, hw: int, cout: int) -> int:
 
 
 def _vmem(interpret):
-    return pltpu.ANY if interpret else pltpu.VMEM
+    return pl.ANY if interpret else pltpu.VMEM
 
 
 def _const_spec(shape, interpret):

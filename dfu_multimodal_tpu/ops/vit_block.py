@@ -129,8 +129,12 @@ def _attn_block_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref,
 
 
 def _attn_block_ref(x, g1, b1, wqkv, bqkv, wproj, bproj, *, num_heads: int):
-    """Plain-jnp oracle with the kernel's exact numerics (fp32 LN/softmax,
-    compute-dtype matmul operands, fp32 accumulation)."""
+    """Plain-jnp oracle matching the kernel numerics (fp32 LN/softmax,
+    compute-dtype matmul operands, fp32 accumulation) up to one bf16-level
+    difference: the kernel defers the softmax division past e·V (casting the
+    un-normalized exp matrix to bf16), while this oracle normalizes first
+    and casts p — the two round differently at the compute dtype's epsilon.
+    Gradient tests budget for this (rtol 5e-3 in bf16 paths)."""
     b, n, c = x.shape
     d = c // num_heads
     scale = d ** -0.5
@@ -160,7 +164,7 @@ def _const_spec(shape, interpret):
     """Whole-array operand with a constant index map: Pallas loads it into
     VMEM once and keeps it resident across all grid steps."""
     return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
-                        memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+                        memory_space=pl.ANY if interpret else pltpu.VMEM)
 
 
 def _attn_block_call(x, g1, b1, wqkv, bqkv, wproj, bproj, num_heads,
@@ -178,7 +182,7 @@ def _attn_block_call(x, g1, b1, wqkv, bqkv, wproj, bproj, num_heads,
         grid=(b // ipp,),
         in_specs=[
             pl.BlockSpec((ipp, n, c), img_block,
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
             _const_spec((1, c), interpret), _const_spec((1, c), interpret),
             _const_spec((c, 3 * c), interpret),
             _const_spec((1, 3 * c), interpret),
@@ -186,7 +190,7 @@ def _attn_block_call(x, g1, b1, wqkv, bqkv, wproj, bproj, num_heads,
         ],
         out_specs=pl.BlockSpec(
             (ipp, n, c), img_block,
-            memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+            memory_space=pl.ANY if interpret else pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * c * (3 * c + c) + 4 * b * n * n * c,
@@ -203,6 +207,27 @@ def _attn_block(x, g1, b1, wqkv, bqkv, wproj, bproj, num_heads, interpret):
                             interpret)
 
 
+def _attn_block_remat(x, g1, b1, wqkv, bqkv, wproj, bproj, *, num_heads: int,
+                      interpret: bool):
+    """Remat target for the backward: same math as :func:`_attn_block_ref`
+    but attention runs through the packed-qkv Pallas op, whose custom VJP is
+    itself a fused kernel (ops/attention.py).  Under ``jax.vjp`` the
+    backward therefore never materializes an (N, N) score matrix or a
+    head-split transpose in HBM — measured 123 -> 69 ms for the 12-block
+    fwd+grad chain at b128 (docs/DESIGN.md round-2 table)."""
+    from dfu_multimodal_tpu.ops.attention import qkv_attention
+
+    y = _layernorm_f32(x, g1, b1).astype(x.dtype)
+    qkv = jnp.einsum("bnc,cm->bnm", y, wqkv,
+                     preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv.astype(jnp.float32)).astype(x.dtype)
+    attn = qkv_attention(qkv, num_heads, interpret=interpret)
+    o = jnp.einsum("bnc,cm->bnm", attn, wproj,
+                   preferred_element_type=jnp.float32)
+    o = (o + bproj.astype(jnp.float32)).astype(x.dtype)
+    return x + o
+
+
 def _attn_block_fwd(x, g1, b1, wqkv, bqkv, wproj, bproj, num_heads,
                     interpret):
     out = _attn_block_call(x, g1, b1, wqkv, bqkv, wproj, bproj, num_heads,
@@ -211,11 +236,12 @@ def _attn_block_fwd(x, g1, b1, wqkv, bqkv, wproj, bproj, num_heads,
 
 
 def _attn_block_bwd(num_heads, interpret, res, g):
-    # Rematerialized backward: re-run the jnp oracle under vjp.  XLA fuses
-    # this well (it is the hot-loop the flax path already runs), and no
-    # forward intermediates ever had to be saved to HBM.
+    # Rematerialized backward: re-run the block under vjp with the fused
+    # Pallas attention op inside (see _attn_block_remat).  No forward
+    # intermediates ever had to be saved to HBM.
     _, vjp = jax.vjp(
-        functools.partial(_attn_block_ref, num_heads=num_heads), *res)
+        functools.partial(_attn_block_remat, num_heads=num_heads,
+                          interpret=interpret), *res)
     return vjp(g)
 
 
@@ -297,7 +323,7 @@ def _mlp_block_call(x, g2, b2, w1, b1, w2, b2b, hidden_chunks, interpret):
         grid=(pl.cdiv(rows_total, rows),),
         in_specs=[
             pl.BlockSpec((rows, c), row_block,
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
             _const_spec((1, c), interpret), _const_spec((1, c), interpret),
             _const_spec((c, hidden), interpret),
             _const_spec((1, hidden), interpret),
@@ -306,7 +332,7 @@ def _mlp_block_call(x, g2, b2, w1, b1, w2, b2b, hidden_chunks, interpret):
         ],
         out_specs=pl.BlockSpec(
             (rows, c), row_block,
-            memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+            memory_space=pl.ANY if interpret else pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows_total, c), x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * n * c * hidden,

@@ -217,7 +217,7 @@ def _mlp_block_q8s_kernel(x_ref, g2_ref, b2_ref, w1_ref, s1_ref, b1_ref,
 
 
 def _vmem(interpret):
-    return pltpu.ANY if interpret else pltpu.VMEM
+    return pl.ANY if interpret else pltpu.VMEM
 
 
 def _const_spec(shape, interpret):

@@ -79,7 +79,10 @@ def hash_candidates(candidates: Sequence[Tuple[Path, str]]
     try:
         from dfu_multimodal_tpu.native import sha256_many
         hashes = sha256_many([str(p) for p, _ in candidates])
-    except (ImportError, OSError, Exception):
+    except (ImportError, OSError) as exc:
+        # Only build/load failures of the native hasher degrade to the
+        # Python path (a bug inside it should surface, not be swallowed).
+        print(f"native sha256 unavailable ({exc!r}); using hashlib")
         from dfu_multimodal_tpu.data.leakage import compute_sha256
         hashes = [compute_sha256(p) or "" for p, _ in candidates]
 

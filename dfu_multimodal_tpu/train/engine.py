@@ -105,6 +105,17 @@ class Trainer:
                 # the fused Pallas block kernels are opaque to the XLA
                 # partitioner, so TP runs the flax blocks (XLA inserts the
                 # collectives between the sharded Dense ops).
+                if block_impl not in ("auto", "flax"):
+                    # int8/fused params (e.g. the predict --int8 tree) would
+                    # fail inside the flax blocks with an opaque key/shape
+                    # error — reject the combination up front.
+                    raise ValueError(
+                        f"block_impl={block_impl!r} is incompatible with "
+                        f"tensor parallelism (model axis "
+                        f"{self.mesh.shape[mesh_mod.MODEL_AXIS]} > 1): the "
+                        "fused Pallas kernels are opaque to the XLA "
+                        "partitioner. Use block_impl='flax'/'auto' or a "
+                        "mesh with model axis 1.")
                 kwargs["block_impl"] = "flax"
         # int8 ResNet serving trunk (models/resnet_q8.py): the fusion model
         # takes it as rgb_impl, the standalone classifier as block_impl
