@@ -196,15 +196,36 @@ def device_prefetch(batches: Iterator[Dict[str, np.ndarray]],
                     sharding=None, depth: int = 2
                     ) -> Iterator[Dict[str, "np.ndarray"]]:
     """Double-buffered host->device transfer: keep ``depth`` batches in
-    flight so the H2D DMA overlaps the previous step's compute."""
+    flight so the H2D DMA overlaps the previous step's compute.
+
+    Multi-host: when ``jax.process_count() > 1`` each process feeds only
+    its slice of the (identically-generated) host-global batch and the
+    global array is stitched with ``jax.make_array_from_process_local_data``
+    — every process must therefore iterate the SAME batch stream (same
+    dataset + same epoch rng seed), which the Trainer guarantees by seeding
+    from the config (SURVEY.md §2.3 multi-host row)."""
     import jax
 
     queue: collections.deque = collections.deque()
+    multiproc = sharding is not None and jax.process_count() > 1
 
     def put(batch):
-        if sharding is not None:
+        if sharding is None:
+            return jax.device_put(batch)
+        if not multiproc:
             return jax.device_put(batch, sharding)
-        return jax.device_put(batch)
+        from dfu_multimodal_tpu.parallel.mesh import process_shard
+        n = len(batch["valid"])
+        if n % jax.process_count():
+            raise ValueError(
+                f"global batch size {n} must divide evenly over "
+                f"{jax.process_count()} processes — pick a batch size "
+                "divisible by process_count (pad_batch_to_mesh already "
+                "rounds to the data axis)")
+        lo, hi = process_shard(n)
+        return {k: jax.make_array_from_process_local_data(
+                    sharding, np.ascontiguousarray(v[lo:hi]), v.shape)
+                for k, v in batch.items()}
 
     for batch in batches:
         queue.append(put(batch))

@@ -164,6 +164,79 @@ def affine_warp(image: jnp.ndarray, inv_matrix: jnp.ndarray) -> jnp.ndarray:
                                               else jnp.float32)
 
 
+def dense_warp(image: jnp.ndarray, inv_matrix: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear affine warp with ZERO gathers: Catmull–Smith two-pass dense
+    resample.  Same contract as :func:`affine_warp` (centered inverse
+    matrix, fill 0 outside).
+
+    TPU rationale: the gather formulation is index-count bound (~7 ns/index
+    → 11.3 ms of a 13.9 ms b32 augmentation, docs/DESIGN.md "warp-gather
+    negative results" — two *gather* redesigns already failed).  This
+    escapes the bound entirely: each pass contracts a dense tent-weight
+    matrix against the rows/columns (relu(1-|u-i|) built by the VPU, the
+    contraction on the MXU), so the cost is dense flops, not index rate.
+
+    Pass 1 resamples every source row horizontally at
+    u(xo, yi) = (a - b·c/d)·xo + (b/d)·yi + const; pass 2 resamples every
+    column vertically at v(xo, yo) = c·xo + d·yo + f.  Requires |d| (the
+    y-y coefficient) bounded away from 0 — true for this config's worst
+    case (±50° total rotation, scale ≤1.25 → |d| ≥ 0.53).  For axis-aligned
+    transforms (flips/translate/scale, b=c=0) the result is EXACTLY direct
+    bilinear; with rotation the two-pass interpolates along the rotated
+    axes instead of the output axes — an equally valid bilinear
+    reconstruction (classic hardware warp), tested within tolerance of
+    :func:`affine_warp` on smooth images.
+
+    Out-of-range handling: a tap outside [0, W-1] simply has no tent
+    column, so its weight is dropped — identical to the gather path's
+    per-corner validity masking (fill 0).
+    """
+    h, w, c = image.shape
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    dtype = image.dtype if image.dtype in (jnp.bfloat16, jnp.float32) \
+        else jnp.float32
+    img = image.astype(dtype)
+
+    m = inv_matrix.astype(jnp.float32)
+    a, b = m[0, 0], m[0, 1]
+    cc, d = m[1, 0], m[1, 1]
+    # absolute-coordinate offsets (centering folded in)
+    e = m[0, 2] + cx - a * cx - b * cy
+    f = m[1, 2] + cy - cc * cx - d * cy
+
+    xs = jax.lax.broadcasted_iota(jnp.float32, (1, w), 1)       # (1, W)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, 1), 0)       # (H, 1)
+
+    # pass 1: horizontal resample of each SOURCE row yi at u(xo, yi)
+    u = (a - b * cc / d) * xs + (b / d) * ys + (e - b * f / d)  # (H, Wo)
+    t1 = jnp.maximum(
+        0.0, 1.0 - jnp.abs(u[:, :, None] - xs[0][None, None, :]))
+    tmp = jax.lax.dot_general(
+        t1.astype(dtype), img,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                     # (H, Wo, C)
+
+    # pass 2: vertical resample of each column xo at v(xo, yo)
+    v = cc * xs + d * ys + f                                    # (Ho, W)
+    t2 = jnp.maximum(
+        0.0, 1.0 - jnp.abs(v.T[:, :, None] - ys[:, 0][None, None, :]))
+    out = jax.lax.dot_general(
+        t2.astype(dtype), tmp.astype(dtype).transpose(1, 0, 2),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                     # (W, Ho, C)
+    return out.transpose(1, 0, 2).astype(
+        image.dtype if image.dtype != jnp.uint8 else jnp.float32)
+
+
+def resolve_warp(impl: str = "auto"):
+    """'gather' (affine_warp) | 'dense' (dense_warp) | 'auto' = dense on
+    TPU (escapes the gather index-rate bound), gather elsewhere (dense
+    flops are the worse trade on CPU)."""
+    if impl == "auto":
+        impl = "dense" if jax.devices()[0].platform == "tpu" else "gather"
+    return dense_warp if impl == "dense" else affine_warp
+
+
 def _color_jitter(key: jax.Array, image: jnp.ndarray,
                   cfg: AugmentConfig) -> jnp.ndarray:
     """Brightness/contrast/saturation jitter on a [0,255] float image,
@@ -209,10 +282,10 @@ def _gaussian_blur(key: jax.Array, image: jnp.ndarray,
 
 
 def _augment_one(key: jax.Array, image: jnp.ndarray, cfg: AugmentConfig,
-                 work_dtype=jnp.float32) -> jnp.ndarray:
+                 work_dtype=jnp.float32, warp=None) -> jnp.ndarray:
     """Augment a single (H, W, C) uint8 image -> [0,255] float.
 
-    ``work_dtype=bfloat16`` halves the gather bytes of the warp (the
+    ``work_dtype=bfloat16`` halves the gather/matmul bytes of the warp (the
     augmentation hot spot on TPU); interpolation at bf16 on [0,255] data
     keeps ~2 decimal digits — far inside augmentation noise."""
     h, w, _ = image.shape
@@ -221,22 +294,24 @@ def _augment_one(key: jax.Array, image: jnp.ndarray, cfg: AugmentConfig,
     if cfg.color_jitter:
         x = _color_jitter(k_color, x, cfg)
     inv = sample_inverse_affine(k_geom, cfg, h, w)
-    x = affine_warp(x, inv)
+    x = (warp or affine_warp)(x, inv)
     if cfg.gaussian_blur:
         x = _gaussian_blur(k_blur, x, cfg)
     return x
 
 
-@partial(jax.jit, static_argnames=("modality", "dtype"))
+@partial(jax.jit, static_argnames=("modality", "dtype", "warp_impl"))
 def augment_and_normalize(key: jax.Array, images: jnp.ndarray,
                           modality: ModalityConfig,
-                          dtype=jnp.float32) -> jnp.ndarray:
+                          dtype=jnp.float32,
+                          warp_impl: str = "auto") -> jnp.ndarray:
     """Train-time transform: per-sample random augment + normalize.
     ``images``: uint8 (B, H, W, C) -> normalized (B, H, W, C) ``dtype``."""
     keys = jax.random.split(key, images.shape[0])
     work = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
+    warp = resolve_warp(warp_impl)
     out = jax.vmap(
-        lambda k, im: _augment_one(k, im, modality.augment, work))(
+        lambda k, im: _augment_one(k, im, modality.augment, work, warp))(
         keys, images)
     return normalize(out, modality.mean, modality.std, dtype)
 

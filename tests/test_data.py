@@ -113,6 +113,58 @@ def test_affine_warp_matches_naive_reference(seed):
     np.testing.assert_allclose(ours, ref, atol=2e-5)
 
 
+def test_dense_warp_exact_for_axis_aligned():
+    """dense_warp (the TPU two-pass matmul warp) is EXACTLY direct bilinear
+    for every axis-aligned transform (b = c = 0 ⇒ the passes separate)."""
+    from dfu_multimodal_tpu.data.transforms import dense_warp
+    rng_ = np.random.default_rng(1)
+    img = jnp.asarray(rng_.random((12, 10, 3)).astype(np.float32)) * 255
+    cases = {
+        "identity": np.eye(3),
+        "hflip": np.diag([-1.0, 1.0, 1.0]),
+        "vflip": np.diag([1.0, -1.0, 1.0]),
+        "translate": np.array([[1, 0, 2.25], [0, 1, -3.5], [0, 0, 1.0]]),
+        "scale": np.diag([1 / 1.2, 1 / 1.2, 1.0]),
+    }
+    for name, m in cases.items():
+        a = np.asarray(affine_warp(img, jnp.asarray(m, jnp.float32)))
+        d = np.asarray(dense_warp(img, jnp.asarray(m, jnp.float32)))
+        np.testing.assert_allclose(d, a, atol=5e-3, err_msg=name)
+
+
+@pytest.mark.parametrize("deg", [5, 20, 40])
+def test_dense_warp_rotation_close_to_direct(deg):
+    """With rotation the two-pass warp interpolates along the rotated axes
+    (Catmull–Smith) — a valid bilinear reconstruction that agrees with the
+    direct warp on smooth content to well under augmentation noise."""
+    from dfu_multimodal_tpu.data.transforms import _rot_mat, dense_warp
+    yy, xx = np.meshgrid(np.arange(48), np.arange(48), indexing="ij")
+    smooth = np.stack([np.sin(xx / 9) * np.cos(yy / 7)] * 3, -1)
+    img = jnp.asarray(smooth.astype(np.float32)) * 100 + 128
+    m = _rot_mat(jnp.deg2rad(float(-deg)))
+    a = np.asarray(affine_warp(img, m))
+    d = np.asarray(dense_warp(img, m))
+    # compare where the bilinear support is fully interior — at the border
+    # the two formulations fade to the 0 fill along different axes
+    th = np.deg2rad(deg)
+    sx = np.cos(th) * (xx - 23.5) + np.sin(th) * (yy - 23.5) + 23.5
+    sy = -np.sin(th) * (xx - 23.5) + np.cos(th) * (yy - 23.5) + 23.5
+    mask = (sx > 3) & (sx < 44) & (sy > 3) & (sy < 44)
+    diff = np.abs(a - d)[mask]
+    assert diff.mean() < 0.5                   # mean within 0.2% of range
+    assert diff.max() < 2.0                    # interior worst pixel <1%
+
+
+def test_dense_warp_fill_zero_outside():
+    from dfu_multimodal_tpu.data.transforms import dense_warp
+    img = jnp.ones((8, 8, 3), jnp.float32) * 200
+    shift = jnp.asarray(np.array([[1, 0, 6.0], [0, 1, 0], [0, 0, 1]],
+                                 np.float32))
+    out = np.asarray(dense_warp(img, shift))
+    assert np.all(out[:, 3:] == 0)             # shifted-in region filled 0
+    assert np.all(out[:, :2] == 200)
+
+
 def test_augment_shapes_dtype_and_determinism():
     imgs = jnp.asarray(
         np.random.default_rng(0).integers(0, 255, (4, 32, 32, 3), np.uint8))

@@ -132,9 +132,39 @@ def test_multiprocess_execution_two_hosts():
                  stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                  text=True, env=env, cwd=repo)
              for r in range(2)]
-    outs = [p.communicate(timeout=240)[0] for p in procs]
+    outs = [p.communicate(timeout=480)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-2000:]
     sums = [line.split()[1] for out in outs for line in out.splitlines()
             if line.startswith("MULTIHOST_OK")]
     assert len(sums) == 2 and sums[0] == sums[1], outs
+
+    # Stage 2: the REAL Trainer epoch — both ranks must agree with each
+    # other AND with the identical epoch run single-process (this process,
+    # 8 virtual devices, same seeds): multi-host data feeding changes the
+    # batch formation, never the math.
+    losses = [line.split()[1] for out in outs for line in out.splitlines()
+              if line.startswith("MULTIHOST_TRAIN_OK")]
+    assert len(losses) == 2, outs
+    assert losses[0] == losses[1], outs
+
+    import jax.numpy  # noqa: F401  (jax already imported at module scope)
+    from dfu_multimodal_tpu import config
+    from dfu_multimodal_tpu.data.loader import ArrayDataset
+    from dfu_multimodal_tpu.train.engine import Trainer
+
+    rng_np = np.random.default_rng(42)
+    labels = np.tile(np.array([0, 1], np.int32), 8)
+    imgs = (labels[:, None, None, None] * 64
+            + rng_np.integers(0, 128, (16, 32, 32, 3))).astype(np.uint8)
+    ds = ArrayDataset(arrays={"thermal": imgs}, labels=labels)
+    cfg = config.TrainConfig(batch_size=8, compute_dtype="float32", seed=0,
+                             mesh=config.MeshConfig(data=8, model=1))
+    trainer = Trainer("thermal_only", cfg,
+                      {"thermal": config.thermal_modality()},
+                      attention_impl="xla")
+    state = trainer.init_state(jax.random.PRNGKey(0), image_size=32)
+    _, em = trainer.run_train_epoch(state, ds, np.random.default_rng(7),
+                                    jax.random.PRNGKey(3))
+    assert float(losses[0]) == pytest.approx(em.loss, rel=2e-4), (
+        losses, em.loss)
