@@ -54,6 +54,11 @@ def build_parser(recipe: TrainRecipe) -> argparse.ArgumentParser:
     parser.add_argument("--resume", action="store_true",
                         help="resume from this run's best checkpoint "
                              "(model + optimizer state)")
+    parser.add_argument("--init-from", type=Path, default=None,
+                        help="warm-start the model weights from a "
+                             "converted/pretrained checkpoint directory "
+                             "(cli.convert_checkpoint output) — fresh "
+                             "optimizer, epoch 1")
     parser.add_argument("--profile-dir", type=Path, default=None,
                         help="write a jax.profiler trace of epoch 2 here")
     parser.add_argument("--debug-nans", action="store_true",
@@ -115,7 +120,8 @@ def run_training(recipe: TrainRecipe,
     state, history, best_val_f1 = trainer.fit(
         datasets["train"], datasets["val"], checkpoint_dir=ckpt_dir,
         image_size=args.image_size, profile_dir=args.profile_dir,
-        resume_from=ckpt_dir if args.resume else None)
+        resume_from=ckpt_dir if args.resume else None,
+        init_from=args.init_from)
 
     print("\n" + "=" * 70)
     print(f"TRAINING COMPLETE - Best Val F1: {best_val_f1:.4f}")

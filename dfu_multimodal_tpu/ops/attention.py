@@ -271,3 +271,69 @@ def qkv_attention(qkv: jnp.ndarray, num_heads: int,
     """Packed-qkv fused attention: (B, N, 3C) -> (B, N, C), heads sliced
     in VMEM (no XLA-level layout changes). Trainable (custom VJP)."""
     return _qkv_attention(qkv, num_heads, interpret)
+
+
+# --------------------------------------------------------------------------
+# Combined forward+backward kernel for rematerialized block backwards.
+#
+# A remat backward needs BOTH the attention output (for the projection
+# weight gradient attnᵀ·do) and dqkv.  Running the fwd and bwd kernels
+# separately computes softmax(QKᵀ) twice; this kernel computes p once per
+# head and emits (attn, dqkv) together — one QKᵀ matmul and one softmax
+# fewer per block backward, and one less kernel launch.
+# --------------------------------------------------------------------------
+
+
+def _qkv_attention_fwdbwd_kernel(qkv_ref, do_ref, o_ref, dqkv_ref, *,
+                                 num_heads: int, scale: float):
+    c = do_ref.shape[-1]
+    d = c // num_heads
+    for h in range(num_heads):
+        q = qkv_ref[0, :, h * d:(h + 1) * d].astype(jnp.float32)
+        k = qkv_ref[0, :, c + h * d:c + (h + 1) * d].astype(jnp.float32)
+        v = qkv_ref[0, :, 2 * c + h * d:2 * c + (h + 1) * d].astype(
+            jnp.float32)
+        do = do_ref[0, :, h * d:(h + 1) * d].astype(jnp.float32)
+
+        p = _softmax_probs(q, k, scale)                # once per head
+        o_ref[0, :, h * d:(h + 1) * d] = jnp.dot(
+            p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+        dv = jax.lax.dot_general(
+            p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(
+            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+        dqkv_ref[0, :, h * d:(h + 1) * d] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, c + h * d:c + (h + 1) * d] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, 2 * c + h * d:2 * c + (h + 1) * d] = dv.astype(
+            dqkv_ref.dtype)
+
+
+def qkv_attention_fwdbwd(qkv: jnp.ndarray, do: jnp.ndarray, num_heads: int,
+                         interpret: bool = False):
+    """(qkv (B,N,3C), do (B,N,C)) -> (attn (B,N,C), dqkv (B,N,3C)) in one
+    kernel, softmax probabilities computed once per head."""
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    scale = (c // num_heads) ** -0.5
+    return pl.pallas_call(
+        functools.partial(_qkv_attention_fwdbwd_kernel, num_heads=num_heads,
+                          scale=scale),
+        grid=(b,),
+        in_specs=[_qkv_spec(n, c3, interpret), _qkv_spec(n, c, interpret)],
+        out_specs=(_qkv_spec(n, c, interpret), _qkv_spec(n, c3, interpret)),
+        out_shape=(jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+                   jax.ShapeDtypeStruct((b, n, c3), qkv.dtype)),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * b * n * n * c,
+            bytes_accessed=3 * (qkv.size + b * n * c) * qkv.dtype.itemsize,
+            transcendentals=b * num_heads * n * n),
+        interpret=interpret,
+    )(qkv, do)

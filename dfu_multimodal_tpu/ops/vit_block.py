@@ -207,27 +207,6 @@ def _attn_block(x, g1, b1, wqkv, bqkv, wproj, bproj, num_heads, interpret):
                             interpret)
 
 
-def _attn_block_remat(x, g1, b1, wqkv, bqkv, wproj, bproj, *, num_heads: int,
-                      interpret: bool):
-    """Remat target for the backward: same math as :func:`_attn_block_ref`
-    but attention runs through the packed-qkv Pallas op, whose custom VJP is
-    itself a fused kernel (ops/attention.py).  Under ``jax.vjp`` the
-    backward therefore never materializes an (N, N) score matrix or a
-    head-split transpose in HBM — measured 123 -> 69 ms for the 12-block
-    fwd+grad chain at b128 (docs/DESIGN.md round-2 table)."""
-    from dfu_multimodal_tpu.ops.attention import qkv_attention
-
-    y = _layernorm_f32(x, g1, b1).astype(x.dtype)
-    qkv = jnp.einsum("bnc,cm->bnm", y, wqkv,
-                     preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv.astype(jnp.float32)).astype(x.dtype)
-    attn = qkv_attention(qkv, num_heads, interpret=interpret)
-    o = jnp.einsum("bnc,cm->bnm", attn, wproj,
-                   preferred_element_type=jnp.float32)
-    o = (o + bproj.astype(jnp.float32)).astype(x.dtype)
-    return x + o
-
-
 def _attn_block_fwd(x, g1, b1, wqkv, bqkv, wproj, bproj, num_heads,
                     interpret):
     out = _attn_block_call(x, g1, b1, wqkv, bqkv, wproj, bproj, num_heads,
@@ -236,13 +215,60 @@ def _attn_block_fwd(x, g1, b1, wqkv, bqkv, wproj, bproj, num_heads,
 
 
 def _attn_block_bwd(num_heads, interpret, res, g):
-    # Rematerialized backward: re-run the block under vjp with the fused
-    # Pallas attention op inside (see _attn_block_remat).  No forward
-    # intermediates ever had to be saved to HBM.
-    _, vjp = jax.vjp(
-        functools.partial(_attn_block_remat, num_heads=num_heads,
-                          interpret=interpret), *res)
-    return vjp(g)
+    """Explicit chain-rule backward (rematerializing — only the block
+    inputs were saved).  Structure = :func:`_attn_block_ref` differentiated
+    by hand, with one improvement over ``jax.vjp`` of it: the attention
+    forward (needed for the projection weight grad) and attention backward
+    run as ONE Pallas kernel (``qkv_attention_fwdbwd``) that computes
+    softmax(QKᵀ) once per head instead of twice.  All matmuls accumulate
+    fp32; LN backward stays fp32 end-to-end."""
+    from dfu_multimodal_tpu.ops.attention import qkv_attention_fwdbwd
+
+    x, g1, b1, wqkv, bqkv, wproj, bproj = res
+
+    # --- recompute LN forward, keeping the normalization residuals
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + LN_EPS)
+    xhat = xc * rstd
+    g1f, b1f = g1.astype(jnp.float32), b1.astype(jnp.float32)
+    y_c = (xhat * g1f + b1f).astype(x.dtype)
+
+    # --- recompute qkv projection
+    qkv = (jnp.einsum("bnc,cm->bnm", y_c, wqkv,
+                      preferred_element_type=jnp.float32)
+           + bqkv.astype(jnp.float32)).astype(x.dtype)
+
+    # --- output projection backward (o = attn @ wproj + bproj; out = x + o)
+    gf = g.astype(jnp.float32)
+    dattn = jnp.einsum("bnm,cm->bnc", g, wproj,
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+    dbproj = jnp.sum(gf, axis=(0, 1)).astype(bproj.dtype)
+
+    # --- fused attention forward-for-weight-grad + backward
+    attn, dqkv = qkv_attention_fwdbwd(qkv, dattn, num_heads, interpret)
+    dwproj = jnp.einsum("bnc,bnm->cm", attn, g,
+                        preferred_element_type=jnp.float32).astype(
+        wproj.dtype)
+
+    # --- qkv projection backward
+    dy = jnp.einsum("bnm,cm->bnc", dqkv, wqkv,
+                    preferred_element_type=jnp.float32)
+    dwqkv = jnp.einsum("bnc,bnm->cm", y_c, dqkv,
+                       preferred_element_type=jnp.float32).astype(wqkv.dtype)
+    dbqkv = jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1)).astype(
+        bqkv.dtype)
+
+    # --- LayerNorm backward
+    dg1 = jnp.sum(dy * xhat, axis=(0, 1)).astype(g1.dtype)
+    db1 = jnp.sum(dy, axis=(0, 1)).astype(b1.dtype)
+    dxhat = dy * g1f
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = (gf + rstd * (dxhat - m1 - xhat * m2)).astype(x.dtype)
+    return dx, dg1, db1, dwqkv, dbqkv, dwproj, dbproj
 
 
 _attn_block.defvjp(_attn_block_fwd, _attn_block_bwd)
@@ -344,6 +370,137 @@ def _mlp_block_call(x, g2, b2, w1, b1, w2, b2b, hidden_chunks, interpret):
     return out.reshape(b, n, c)
 
 
+def _gelu_fast_grad(x):
+    """d/dx of :func:`_gelu_fast` (analytic), fp32 in/out."""
+    z = x * (1.5976 + 0.07056 * x * x)
+    s = jax.nn.sigmoid(z)
+    dz = 1.5976 + 3 * 0.07056 * x * x
+    return s + x * s * (1.0 - s) * dz
+
+
+def _mlp_block_bwd_kernel(x_ref, g_ref, g2_ref, b2_ref, w1_ref, b1_ref,
+                          w2_ref, dx_ref, y_ref, h_ref, dhpre_ref,
+                          dg2_ref, db2_ref, *, hidden_chunks: int):
+    """Fused MLP-block backward, one row-block per grid step.
+
+    Emits the data gradient dx (LN backward included) plus the three
+    VMEM-recomputed tensors the weight-gradient matmuls need — y = LN(x),
+    h = gelu(fc1), dh_pre — in the compute dtype, so XLA's big-K matmuls
+    (dw1 = yᵀ·dh_pre, dw2 = hᵀ·g) read clean bf16 operands and no fp32
+    GELU/LN intermediate ever reaches HBM.  dg2/db2 accumulate across the
+    whole grid in constant-index fp32 output blocks."""
+    rows, c = x_ref.shape
+    hidden = w1_ref.shape[-1]
+    chunk = hidden // hidden_chunks
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dg2_ref[...] = jnp.zeros_like(dg2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    x = x_ref[...]
+    g = g_ref[...]
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + LN_EPS)
+    xhat = xc * rstd
+    g2f = g2_ref[0].astype(jnp.float32)
+    y_c = (xhat * g2f + b2_ref[0].astype(jnp.float32)).astype(x.dtype)
+    y_ref[...] = y_c
+
+    dy = jnp.zeros((rows, c), jnp.float32)
+    for j in range(hidden_chunks):
+        sl = slice(j * chunk, (j + 1) * chunk)
+        hpre = jax.lax.dot_general(
+            y_c, w1_ref[:, sl],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        hpre = hpre + b1_ref[0, sl].astype(jnp.float32)
+        h_ref[:, sl] = _gelu_fast(hpre).astype(x.dtype)
+        dh = jax.lax.dot_general(
+            g, w2_ref[sl, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (rows, chunk)
+        dhpre = (dh * _gelu_fast_grad(hpre)).astype(x.dtype)
+        dhpre_ref[:, sl] = dhpre
+        dy = dy + jax.lax.dot_general(
+            dhpre, w1_ref[:, sl],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (rows, c)
+
+    dg2_ref[...] += jnp.sum(dy * xhat, axis=0, keepdims=True)
+    db2_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
+    dxhat = dy * g2f
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx_ref[...] = (g.astype(jnp.float32)
+                   + rstd * (dxhat - m1 - xhat * m2)).astype(x.dtype)
+
+
+def _mlp_block_bwd_call(x, g, g2, b2, w1, b1, w2, hidden_chunks, interpret):
+    b, n, c = x.shape
+    hidden = w1.shape[-1]
+    rows_total = b * n
+    # Row blocks must tile the grid evenly (a partial tail block would feed
+    # padding garbage into the dg2/db2 accumulators), so zero-pad to a
+    # multiple of the block size.  Zero x/g rows are gradient-neutral:
+    # g=0 ⇒ dh_pre=0 ⇒ they contribute nothing to any weight/bias grad,
+    # and the padded dx rows are sliced off below.
+    rows = min(128, rows_total)
+    padded = -(-rows_total // rows) * rows
+    xf_ = x.reshape(rows_total, c)
+    gf_ = g.reshape(rows_total, c)
+    if padded != rows_total:
+        pad = ((0, padded - rows_total), (0, 0))
+        xf_ = jnp.pad(xf_, pad)
+        gf_ = jnp.pad(gf_, pad)
+    padded_total = padded
+    g2r, b2r = g2.reshape(1, c), b2.reshape(1, c)
+    b1r = b1.reshape(1, hidden)
+
+    def row_block(i):
+        return (i, 0)
+
+    def rows_spec(width):
+        return pl.BlockSpec((rows, width), row_block,
+                            memory_space=pl.ANY if interpret else pltpu.VMEM)
+
+    dx, y, h, dhpre, dg2, db2 = pl.pallas_call(
+        functools.partial(_mlp_block_bwd_kernel,
+                          hidden_chunks=hidden_chunks),
+        grid=(padded_total // rows,),
+        in_specs=[
+            rows_spec(c), rows_spec(c),
+            _const_spec((1, c), interpret), _const_spec((1, c), interpret),
+            _const_spec((c, hidden), interpret),
+            _const_spec((1, hidden), interpret),
+            _const_spec((hidden, c), interpret),
+        ],
+        out_specs=(rows_spec(c), rows_spec(c), rows_spec(hidden),
+                   rows_spec(hidden),
+                   _const_spec((1, c), interpret),
+                   _const_spec((1, c), interpret)),
+        out_shape=(jax.ShapeDtypeStruct((padded_total, c), x.dtype),
+                   jax.ShapeDtypeStruct((padded_total, c), x.dtype),
+                   jax.ShapeDtypeStruct((padded_total, hidden), x.dtype),
+                   jax.ShapeDtypeStruct((padded_total, hidden), x.dtype),
+                   jax.ShapeDtypeStruct((1, c), jnp.float32),
+                   jax.ShapeDtypeStruct((1, c), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * n * c * hidden,
+            bytes_accessed=(4 * x.size + 2 * rows_total * hidden
+                            + w1.size + w2.size) * x.dtype.itemsize,
+            transcendentals=2 * b * n * hidden),
+        interpret=interpret,
+    )(xf_, gf_, g2r, b2r, w1, b1r, w2)
+    # y/h/dhpre keep their padded rows — the zero-padded g rows make them
+    # weight-grad-neutral, so the downstream einsums can consume them as-is.
+    return (dx[:rows_total].reshape(b, n, c), y, h, dhpre, dg2.reshape(c),
+            db2.reshape(c))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def _mlp_block(x, g2, b2, w1, b1, w2, b2b, hidden_chunks, interpret):
     return _mlp_block_call(x, g2, b2, w1, b1, w2, b2b, hidden_chunks,
@@ -357,8 +514,26 @@ def _mlp_block_fwd(x, g2, b2, w1, b1, w2, b2b, hidden_chunks, interpret):
 
 
 def _mlp_block_bwd(hidden_chunks, interpret, res, g):
-    _, vjp = jax.vjp(_mlp_block_ref, *res)
-    return vjp(g)
+    """Fused backward: the Pallas kernel produces dx + the bf16 operands
+    (y, h, dh_pre) for the weight-grad matmuls, which run as two big-K XLA
+    einsums.  5 matmul-equivalents total — same flops as ``jax.vjp`` of the
+    remat oracle, but zero fp32 LN/GELU intermediates in HBM."""
+    x, g2, b2, w1, b1, w2, b2b = res
+    b, n, c = x.shape
+    dx, y, h, dhpre, dg2, db2 = _mlp_block_bwd_call(
+        x, g, g2, b2, w1, b1, w2, hidden_chunks, interpret)
+    rows = b * n
+    g2d = g.reshape(rows, c)
+    if y.shape[0] != rows:       # kernel zero-padded the rows; match it
+        g2d = jnp.pad(g2d, ((0, y.shape[0] - rows), (0, 0)))
+    dw1 = jnp.einsum("rc,rh->ch", y, dhpre,
+                     preferred_element_type=jnp.float32).astype(w1.dtype)
+    db1 = jnp.sum(dhpre.astype(jnp.float32), axis=0).astype(b1.dtype)
+    dw2 = jnp.einsum("rh,rc->hc", h, g2d,
+                     preferred_element_type=jnp.float32).astype(w2.dtype)
+    db2b = jnp.sum(g2d.astype(jnp.float32), axis=0).astype(b2b.dtype)
+    return (dx, dg2.astype(g2.dtype), db2.astype(b2.dtype), dw1, db1, dw2,
+            db2b)
 
 
 _mlp_block.defvjp(_mlp_block_fwd, _mlp_block_bwd)

@@ -322,7 +322,8 @@ class Trainer:
             checkpoint_dir: Optional[Path] = None,
             image_size: int = 224, log: Callable[[str], None] = print,
             profile_dir: Optional[Path] = None,
-            resume_from: Optional[Path] = None
+            resume_from: Optional[Path] = None,
+            init_from: Optional[Path] = None
             ) -> Tuple[TrainState, Dict[str, List[float]], float]:
         """Full training run with the reference's epoch loop contract.
         Returns (final_state, history, best_val_f1).
@@ -330,7 +331,11 @@ class Trainer:
         ``profile_dir`` captures a jax.profiler trace of epoch 2 (first
         epoch is compile-dominated). ``resume_from`` restores model +
         optimizer state and continues — a capability the reference lacks
-        (it saves optimizer state but never reads it, SURVEY.md §5)."""
+        (it saves optimizer state but never reads it, SURVEY.md §5).
+        ``init_from`` warm-starts the model weights only (fresh optimizer,
+        epoch 1) from a converted/pretrained checkpoint directory — the
+        reference's fine-tune-from-torchvision/timm flow
+        (train_rgb_only.py:203-206; see docs/QUALITY_PARITY.md)."""
         from dfu_multimodal_tpu.utils.logging import (ThroughputMeter,
                                                       profile_trace)
 
@@ -344,6 +349,13 @@ class Trainer:
             "val_loss": [], "val_acc": [], "val_f1": []}
         best_val_f1 = 0.0
         start_epoch = 1
+
+        if init_from is not None and (resume_from is None
+                                      or not ckpt_mod.best_checkpoint_exists(
+                                          resume_from)):
+            state = self.restore(init_from, state=state,
+                                 image_size=image_size, with_opt_state=False)
+            log(f"Initialized model weights from {init_from}")
 
         if resume_from is not None and ckpt_mod.best_checkpoint_exists(
                 resume_from):

@@ -224,6 +224,98 @@ def test_vit_conversion_numeric_parity(scan_layout):
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
 
 
+def test_convert_checkpoint_file_real_torch_save(tmp_path):
+    """End-to-end on a GENUINE ``torch.save`` artifact (the reference's
+    best_model.pt layout, train_rgb_only.py:310-316): real torch tensors,
+    the ``backbone.*`` prefix quirk, a 1000-class ImageNet head to force
+    the shape-skip path, and the epoch/val_f1/history metadata."""
+    sd = make_resnet50_state_dict(num_classes=1000, prefix="backbone.")
+    # torchvision's pretrained head is "fc.weight" (no Sequential index)
+    sd["backbone.fc.weight"] = sd.pop("backbone.fc.1.weight")
+    sd["backbone.fc.bias"] = sd.pop("backbone.fc.1.bias")
+    ckpt = {"epoch": 7, "model_state_dict": sd, "val_f1": 0.913,
+            "history": {"train_loss": [0.5, 0.4], "val_f1": [0.8, 0.913]}}
+    path = tmp_path / "best_model.pt"
+    torch.save(ckpt, path)
+
+    module, spec = zoo.build("rgb_only", dtype=jnp.float32)
+    variables = zoo.init_model(module, spec, jax.random.PRNGKey(0),
+                               image_size=64)
+    merged, skipped, meta = cv.convert_checkpoint_file("rgb_only", path,
+                                                       variables)
+    assert skipped == 2                      # 1000-class head w + b skipped
+    assert meta == {"epoch": 7, "val_f1": 0.913,
+                    "history": ckpt["history"]}
+    # trunk converted bit-exactly (head left at init)
+    np.testing.assert_array_equal(
+        merged["params"]["ResNet_0"]["stem_conv"]["kernel"],
+        sd["backbone.conv1.weight"].numpy().transpose(2, 3, 1, 0))
+    # and the full converted model still runs
+    out = module.apply(merged, jnp.zeros((1, 64, 64, 3)), train=False)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_convert_save_restore_roundtrip_bit_exact(tmp_path):
+    """convert -> save_checkpoint -> load_checkpoint must preserve every
+    converted leaf bit-for-bit (VERDICT round-1 next #3c)."""
+    from flax import traverse_util
+
+    from dfu_multimodal_tpu.utils import checkpoint as ckpt_mod
+
+    sd = make_resnet50_state_dict()
+    module, spec = zoo.build("rgb_only", dtype=jnp.float32)
+    variables = zoo.init_model(module, spec, jax.random.PRNGKey(0),
+                               image_size=64)
+    merged, skipped = cv.convert_state_dict("rgb_only", sd, variables)
+    assert skipped == 0
+
+    ckpt_mod.save_checkpoint(
+        tmp_path, epoch=1,
+        model_state={"params": merged["params"],
+                     "batch_stats": merged["batch_stats"]},
+        opt_state=None, val_f1=0.5, history={})
+    payload, _ = ckpt_mod.load_checkpoint(tmp_path)
+    flat_a = traverse_util.flatten_dict(
+        {"params": merged["params"], "batch_stats": merged["batch_stats"]})
+    flat_b = traverse_util.flatten_dict(payload["model_state"])
+    assert set(flat_a) == set(flat_b)
+    for k, va in flat_a.items():
+        a, b = np.asarray(va), np.asarray(flat_b[k])
+        assert a.dtype == b.dtype, k
+        np.testing.assert_array_equal(a, b, err_msg=str(k))
+
+
+def test_train_cli_init_from_converted_checkpoint(tmp_path):
+    """The QUALITY_PARITY.md fine-tune flow: torch.save -> convert_checkpoint
+    CLI -> train CLI --init-from.  The trainer must start from the converted
+    weights (not re-init) and complete an epoch."""
+    import io
+    from contextlib import redirect_stdout
+
+    from dfu_multimodal_tpu.cli import convert_checkpoint as cc_cli
+    from dfu_multimodal_tpu.cli import train_rgb_only
+    from dfu_multimodal_tpu.data.synthetic import make_synthetic_dataset
+
+    sd = make_resnet50_state_dict(num_classes=1000, prefix="backbone.")
+    torch.save({"model_state_dict": sd}, tmp_path / "pretrained.pt")
+    cc_cli.main(["--model", "rgb_only",
+                 "--torch-checkpoint", str(tmp_path / "pretrained.pt"),
+                 "--output", str(tmp_path / "init_rgb"),
+                 "--image-size", "64"])
+
+    make_synthetic_dataset(tmp_path / "data", images_per_class=4)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        train_rgb_only.main([
+            "--data-dir", str(tmp_path / "data"),
+            "--checkpoint-root", str(tmp_path / "logs"),
+            "--epochs", "1", "--batch-size", "4", "--image-size", "64"]
+            + ["--init-from", str(tmp_path / "init_rgb")])
+    out = buf.getvalue()
+    assert "Initialized model weights from" in out, out[-2000:]
+    assert "TRAINING COMPLETE" in out
+
+
 def test_full_vit_b16_coverage():
     """All trunk leaves of the real ViT-B/16 get filled (nothing skipped)."""
     sd = make_vit_state_dict(depth=12, hidden=768, heads=12, patch=16,

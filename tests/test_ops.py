@@ -205,6 +205,33 @@ def test_fused_blocks_direct_vs_reference_impls():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_mlp_block_grads_padded_rows_path():
+    """Gradients through mlp_block when B*N is NOT a multiple of the 128-row
+    backward block (the kernel zero-pads the rows — b32 ViT hits this with
+    32*197 = 6304 rows).  Every gradient must match the jnp oracle."""
+    from dfu_multimodal_tpu.ops.vit_block import _mlp_block_ref, mlp_block
+    b, n, c = 2, 70, 32          # 140 rows -> padded to 256
+    key = jax.random.PRNGKey(11)
+    x = jax.random.normal(key, (b, n, c))
+    g2 = jax.random.normal(jax.random.fold_in(key, 1), (c,)) * 0.1 + 1.0
+    b2 = jax.random.normal(jax.random.fold_in(key, 2), (c,)) * 0.1
+    w1 = jax.random.normal(jax.random.fold_in(key, 3), (c, 4 * c)) * 0.1
+    bb1 = jax.random.normal(jax.random.fold_in(key, 4), (4 * c,)) * 0.1
+    w2 = jax.random.normal(jax.random.fold_in(key, 5), (4 * c, c)) * 0.1
+    bb2 = jax.random.normal(jax.random.fold_in(key, 6), (c,)) * 0.1
+    args = (x, g2, b2, w1, bb1, w2, bb2)
+
+    g_ref = jax.grad(lambda *a: jnp.sum(_mlp_block_ref(*a) ** 2),
+                     argnums=tuple(range(7)))(*args)
+    g_out = jax.grad(
+        lambda *a: jnp.sum(mlp_block(*a, interpret=True) ** 2),
+        argnums=tuple(range(7)))(*args)
+    for i, (r, o) in enumerate(zip(g_ref, g_out)):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"grad arg {i}")
+
+
 def test_quantize_weight_roundtrip():
     from dfu_multimodal_tpu.ops.vit_block_q8 import quantize_weight
     w = jax.random.normal(jax.random.PRNGKey(0), (32, 64)) * 0.3
