@@ -83,10 +83,15 @@ def evaluate_with_tta(trainer, state, dataset: ArrayDataset,
         return maj_pred, avg_prob
 
     rng = jax.random.PRNGKey(seed)
-    bs = max(trainer.cfg.eval_bs, 1)
+    # Same data path as the Trainer: mesh-padded batches, batch-sharded
+    # over the data axis, depth-2 async device prefetch.
+    from dfu_multimodal_tpu.parallel import mesh as mesh_mod
+    bs = mesh_mod.pad_batch_to_mesh(max(trainer.cfg.eval_bs, 1),
+                                    trainer.mesh)
     preds, probs = [], []
-    for bi, batch in enumerate(data_loader.batch_slices(
-            dataset, np.arange(len(dataset)), bs)):
+    for bi, batch in enumerate(data_loader.device_prefetch(
+            data_loader.batch_slices(dataset, np.arange(len(dataset)), bs),
+            trainer.batch_sharding)):
         p, pr = tta_step(variables, batch, jax.random.fold_in(rng, bi))
         preds.append(np.asarray(p))
         probs.append(np.asarray(pr))
