@@ -52,6 +52,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--cam-class", default="0",
                         help="'0' (reference quirk: class-0 logit), '1', "
                              "or 'pred'")
+    parser.add_argument("--multimodal-cam", default="fused",
+                        choices=["fused", "strict"],
+                        help="multimodal branch CAM semantics: 'fused' "
+                             "(default, d fused-logit/d branch) or 'strict' "
+                             "(reference parity: each trunk CAMed in "
+                             "isolation against its own first feature unit, "
+                             "grad_cam_visualization.py:575-580)")
     parser.add_argument("--models", nargs="*", default=None)
     parser.add_argument("--model-overrides", nargs="*", default=[],
                         metavar="NAME=ZOO")
@@ -125,7 +132,7 @@ def _figure_multimodal(rgb_u8, thermal_u8, rgb_cam, thermal_cam, pred: int,
 
 def visualize_model(trainer: Trainer, state, dataset: ArrayDataset,
                     out_dir: Path, display: str, cam_class,
-                    per_class: int) -> int:
+                    per_class: int, mm_cam: str = "fused") -> int:
     import matplotlib.pyplot as plt
 
     variables = trainer.variables(state)
@@ -146,7 +153,32 @@ def visualize_model(trainer: Trainer, state, dataset: ArrayDataset,
                                   trainer.modalities[m], jnp.float32)
                    for m in spec.inputs)
 
-    if spec.name == "multimodal":
+    if spec.name == "multimodal" and mm_cam == "strict":
+        # Reference parity: CAM each trunk in isolation, score = the
+        # trunk's own first feature unit (the reference's GradCAM wraps
+        # model.resnet / model.vit and backprops output[0, 0] regardless
+        # of class_idx, grad_cam_visualization.py:385-387, :575-580).
+        # Prediction/confidence still come from the fused model (:567-572).
+        import jax
+        from dfu_multimodal_tpu.models.resnet import ResNet50
+        from dfu_multimodal_tpu.models.vit import ViTBase16
+        rgb_outs = gradcam.compute_cam_batch(
+            ResNet50(dtype=jnp.float32),
+            gradcam.branch_variables(variables, "rgb_branch"),
+            (inputs[0],), "stage4", class_index=0)
+        th_outs = gradcam.compute_cam_batch(
+            ViTBase16(jnp.float32, module.attention_impl, module.block_impl),
+            gradcam.branch_variables(variables, "thermal_branch"),
+            (inputs[1],), "blocks", class_index=0)
+        probs = np.asarray(jax.nn.softmax(jnp.asarray(
+            module.apply(variables, *inputs, train=False),
+            jnp.float32), axis=-1))
+        for k in range(probs.shape[0]):
+            pred = int(probs[k].argmax())
+            for outs in (rgb_outs, th_outs):
+                outs[k]["pred"] = pred
+                outs[k]["confidence"] = float(probs[k][pred])
+    elif spec.name == "multimodal":
         rgb_outs = gradcam.compute_cam_batch(module, variables, inputs,
                                              "stage4", cam_class,
                                              input_index=0)
@@ -226,7 +258,7 @@ def main(argv=None) -> Dict[str, int]:
         state = trainer.restore(ckpt_dir, image_size=size)
         n = visualize_model(trainer, state, datasets[subdir],
                             out_root / subdir, display, cam_class,
-                            args.num_per_class)
+                            args.num_per_class, mm_cam=args.multimodal_cam)
         print(f"Saved {n} {display} visualizations to {out_root / subdir}")
         results[subdir] = n
     return results

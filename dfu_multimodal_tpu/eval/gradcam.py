@@ -22,7 +22,12 @@ branch against the branch's own first *feature unit* (it wraps
 ``model.resnet`` whose output is a 2048-d feature vector, so ``score =
 features[0]``, :575-580).  We instead differentiate the FUSED class logit
 w.r.t. each branch, which is the standard multimodal Grad-CAM and strictly
-more informative; the output artifact layout is identical.
+more informative; the output artifact layout is identical.  For exact
+artifact parity, ``--multimodal-cam strict`` in the CLI reproduces the
+reference semantics: CAM each branch trunk in isolation (via
+:func:`branch_variables`) with ``class_index=0`` — the trunk's first
+feature unit, exactly the reference's ``score = output[0, 0]`` on the
+wrapped branch module (:385-387).
 """
 
 from __future__ import annotations
@@ -45,6 +50,16 @@ def _find_intermediate(tree: Dict, name: str) -> Optional[jnp.ndarray]:
             if found is not None:
                 return found
     return None
+
+
+def branch_variables(variables: Dict, branch: str) -> Dict:
+    """Sub-collections of one named submodule, for CAMing a branch trunk in
+    isolation — the reference wraps ``model.resnet`` / ``model.vit``
+    directly (grad_cam_visualization.py:575-580); the flax equivalent is
+    applying the standalone trunk module with its params/batch_stats
+    subtrees."""
+    return {col: tree[branch] for col, tree in variables.items()
+            if isinstance(tree, dict) and branch in tree}
 
 
 def tap_shape(module, variables, inputs: Tuple[jnp.ndarray, ...],

@@ -121,3 +121,59 @@ def test_gradcam_cli(tmp_path):
     for name in ("healthy_00.png", "healthy_01.png", "ulcer_00.png",
                  "ulcer_01.png"):
         assert (out / name).exists()
+
+
+def test_multimodal_strict_parity_branch_cam():
+    """--multimodal-cam strict semantics: the branch CAM must equal the
+    manual ReLU(sum w_c A_c) of d(trunk_feats[:, 0])/d stage4 on the
+    ISOLATED trunk — the reference's score = output[0, 0] on the wrapped
+    branch module (grad_cam_visualization.py:385-387, :575-580)."""
+    from dfu_multimodal_tpu.models.resnet import ResNet50
+
+    module, spec = zoo.build("multimodal", dtype=jnp.float32)
+    variables = zoo.init_model(module, spec, jax.random.PRNGKey(0),
+                               image_size=32)
+    rgb = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+
+    trunk = ResNet50(dtype=jnp.float32)
+    bvars = gradcam.branch_variables(variables, "rgb_branch")
+    assert "params" in bvars and "batch_stats" in bvars
+
+    out = gradcam.compute_cam_batch(trunk, bvars, (rgb,), "stage4",
+                                    class_index=0)[0]
+    assert not out["used_saliency"]
+
+    # manual oracle on the isolated trunk
+    shape = gradcam.tap_shape(trunk, bvars, (rgb,), "stage4")
+    zero = jnp.zeros(shape.shape, shape.dtype)
+
+    def score(tap_val):
+        feats = trunk.apply(bvars, rgb, train=False,
+                            taps={"stage4": tap_val})
+        return feats[0, 0].astype(jnp.float32)
+
+    g = np.asarray(jax.grad(score)(zero), np.float32)
+    _, state = trunk.apply(bvars, rgb, train=False,
+                           mutable=["intermediates"])
+    act = np.asarray(gradcam._find_intermediate(
+        state["intermediates"], "stage4"), np.float32)
+    w = g.mean(axis=(1, 2))                                  # (1, C)
+    cam = np.maximum(np.einsum("bc,bhwc->bhw", w, act), 0.0)[0]
+    if cam.max() > 0:
+        cam = cam / cam.max()
+    np.testing.assert_allclose(out["cam"], cam, atol=1e-5)
+
+
+def test_multimodal_strict_vit_branch_uses_saliency():
+    from dfu_multimodal_tpu.models.vit import ViTBase16
+
+    module, spec = zoo.build("multimodal", dtype=jnp.float32)
+    variables = zoo.init_model(module, spec, jax.random.PRNGKey(0),
+                               image_size=32)
+    th = jax.random.normal(jax.random.PRNGKey(2), (1, 32, 32, 3))
+    out = gradcam.compute_cam_batch(
+        ViTBase16(jnp.float32, module.attention_impl, module.block_impl),
+        gradcam.branch_variables(variables, "thermal_branch"),
+        (th,), "blocks", class_index=0)[0]
+    assert out["used_saliency"]
+    assert out["cam"].shape == (32, 32)
