@@ -137,6 +137,13 @@ def measure(batch_size: int, iters: int, chain: int = 10,
         return outs
 
     run = jax.jit(chained)
+    flops_per_img = None
+    try:
+        cost = run.lower(variables, rgb, th).compile().cost_analysis()
+        if cost and cost.get("flops"):
+            flops_per_img = float(cost["flops"]) / (chain * batch_size)
+    except Exception:                             # pragma: no cover
+        pass
     np.asarray(run(variables, rgb, th))          # compile + warm
     times = []
     for _ in range(iters):
@@ -149,6 +156,7 @@ def measure(batch_size: int, iters: int, chain: int = 10,
     return {"platform": platform, "batch_size": batch_size,
             "images_per_sec_per_chip": batch_size / (per_iter_ms / 1e3),
             "p50_batch_latency_ms": per_iter_ms,
+            "flops_per_image": flops_per_img,
             "tunnel_rtt_ms": rtt_ms, "chain": chain, "iters": iters}
 
 
@@ -293,6 +301,28 @@ def main():
             print(f"int8-throughput measurement failed: {exc}",
                   file=sys.stderr)
 
+    # Clinical serving is batch-1-to-8: record small-batch p50 device
+    # latency of the same fused bf16 path (chained-scan method, RTT
+    # subtracted — device compute latency, not tunnel latency).
+    b1_ms = b8_ms = None
+    if (on_tpu and not args.int8
+            and not os.environ.get("DFU_BENCH_SKIP_LATENCY")):
+        try:
+            b1_ms = round(measure(1, 5, chain=20)["p50_batch_latency_ms"], 3)
+            b8_ms = round(measure(8, 5, chain=20)["p50_batch_latency_ms"], 3)
+        except Exception as exc:                      # pragma: no cover
+            print(f"latency measurement failed: {exc}", file=sys.stderr)
+
+    # Approximate serving MFU for context: XLA's own per-program flop
+    # count / measured time, against the chip's peak bf16 matmul rate
+    # (TPU v5e ≈ 197 TF/s). Honest-number context for the headline
+    # (full roofline tables live in docs/DESIGN.md).
+    mfu_pct = None
+    if on_tpu and result.get("flops_per_image"):
+        tf_per_s = (result["flops_per_image"]
+                    * result["images_per_sec_per_chip"] / 1e12)
+        mfu_pct = round(100.0 * tf_per_s / 197.0, 1)
+
     print(json.dumps({
         "metric": ("fused_rgb_thermal_int8_inference_images_per_sec_per_chip"
                    if args.int8 else
@@ -305,6 +335,9 @@ def main():
         "platform": result["platform"],
         "multimodal_train_images_per_sec_per_chip": train_ips,
         "int8_serving_images_per_sec_per_chip": int8_ips,
+        "b1_p50_latency_ms": b1_ms,
+        "b8_p50_latency_ms": b8_ms,
+        "approx_serving_mfu_pct": mfu_pct,
     }))
 
 

@@ -84,10 +84,10 @@ def _conv3x3_rows(y1, width, height, w2_ref):
     return acc
 
 
-def _bottleneck_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
-                       o_ref, *, height: int, width: int):
-    """Identity-shortcut bottleneck: Cin == Cout == 4*Cmid."""
-    x = x_ref[...]
+def _ident_block_body(x, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, *,
+                      height: int, width: int):
+    """One identity-shortcut bottleneck on VMEM-resident rows; returns the
+    new (rows, C) activation in compute dtype."""
     y1 = jax.lax.dot_general(
         x, w1_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -102,7 +102,29 @@ def _bottleneck_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     # residual add in compute dtype — matches the flax path, and halves the
     # fp32 VMEM pressure of the widest (rows, 4*Cmid) tensors
     y3 = (y3 + b3_ref[0].astype(jnp.float32)).astype(x.dtype)
-    o_ref[...] = jnp.maximum(x + y3, jnp.zeros_like(x))
+    return jnp.maximum(x + y3, jnp.zeros_like(x))
+
+
+def _bottleneck_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                       o_ref, *, height: int, width: int):
+    """Identity-shortcut bottleneck: Cin == Cout == 4*Cmid."""
+    o_ref[...] = _ident_block_body(x_ref[...], w1_ref, b1_ref, w2_ref,
+                                   b2_ref, w3_ref, b3_ref, height=height,
+                                   width=width)
+
+
+def _stage_kernel(*refs, height: int, width: int, nblocks: int):
+    """WHOLE-STAGE fusion: ``nblocks`` identity bottlenecks chained with
+    every inter-block activation VMEM-resident — HBM sees one read of x,
+    one read of each block's folded weights, one write of the output
+    (2*(nblocks-1) fewer activation round-trips than per-block calls)."""
+    x_ref, o_ref = refs[0], refs[-1]
+    wrefs = refs[1:-1]
+    x = x_ref[...]
+    for k in range(nblocks):
+        x = _ident_block_body(x, *wrefs[6 * k:6 * (k + 1)], height=height,
+                              width=width)
+    o_ref[...] = x
 
 
 def _bottleneck_proj_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
@@ -273,6 +295,86 @@ def _fbp_bwd(interpret, res, g):
 
 
 _fused_bottleneck_proj.defvjp(_fbp_fwd, _fbp_bwd)
+
+
+def _stage_call(x, block_weights, interpret):
+    b, h, w, c = x.shape
+    hw = h * w
+    ipp = _pick_ipp(b, hw, c)
+    xf = x.reshape(b * hw, c)
+
+    def row_block(i):
+        return (i, 0)
+
+    rows = ipp * hw
+    in_specs = [pl.BlockSpec((rows, c), row_block,
+                             memory_space=_vmem(interpret))]
+    flat = []
+    for (w1, b1, w2, b2, w3, b3) in block_weights:
+        for g in (w1, b1.reshape(1, -1), w2, b2.reshape(1, -1),
+                  w3, b3.reshape(1, -1)):
+            in_specs.append(_const_spec(g.shape, interpret))
+            flat.append(g)
+    cmid = block_weights[0][0].shape[1]
+    n = len(block_weights)
+    flops = 2 * b * hw * n * (c * cmid + 9 * cmid * cmid + cmid * c)
+    out = pl.pallas_call(
+        functools.partial(_stage_kernel, height=h, width=w, nblocks=n),
+        grid=(b // ipp,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((rows, c), row_block,
+                               memory_space=_vmem(interpret)),
+        out_shape=jax.ShapeDtypeStruct((b * hw, c), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(x.size + b * hw * c) * x.dtype.itemsize,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(xf, *flat)
+    return out.reshape(b, h, w, c)
+
+
+def _stage_ref(x, block_weights):
+    for (w1, b1, w2, b2, w3, b3) in block_weights:
+        x = _bottleneck_ref(x, w1, b1, w2, b2, w3, b3,
+                            height=x.shape[1], width=x.shape[2])
+    return x
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _fused_stage(x, block_weights, interpret):
+    return _stage_call(x, block_weights, interpret)
+
+
+def _fstage_fwd(x, block_weights, interpret):
+    return _stage_call(x, block_weights, interpret), (x, block_weights)
+
+
+def _fstage_bwd(interpret, res, g):
+    x, block_weights = res
+    _, vjp = jax.vjp(_stage_ref, x, block_weights)
+    return vjp(g)
+
+
+_fused_stage.defvjp(_fstage_fwd, _fstage_bwd)
+
+
+def fused_stage(x: jnp.ndarray, blocks, interpret: bool = False
+                ) -> jnp.ndarray:
+    """WHOLE-STAGE fusion experiment (ROADMAP item 5 / round-1 VERDICT
+    next #6): chain the stride-1 identity bottlenecks of one ResNet stage
+    inside ONE Pallas kernel, amortizing the per-block kernel's measured
+    MXU inefficiency (docs/DESIGN.md) against 2*(len(blocks)-1) fewer HBM
+    activation round-trips.
+
+    x: (B, H, W, C); ``blocks``: sequence of (w1, b1, w2, b2, w3, b3)
+    BN-folded weight tuples, each an identity-shortcut bottleneck with
+    Cin == Cout == C (reference torchvision layerN blocks 1.., used by
+    notebooks/train_rgb_only.py:200).  Trainable (rematerializing VJP).
+    """
+    return _fused_stage(x, tuple(tuple(bw) for bw in blocks), interpret)
 
 
 def fused_bottleneck(x: jnp.ndarray,

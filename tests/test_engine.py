@@ -155,3 +155,47 @@ def test_trainer_rgb_impl_int8_roundtrip(tmp_path):
     # freshly-initialized net: logits are small; int8 error stays bounded
     assert jnp.all(jnp.isfinite(logits_q8))
     assert float(jnp.max(jnp.abs(logits_q8 - logits_fp))) < 0.2
+
+
+def test_int8_decision_level_contract(synth):
+    """Decision-level int8 contract (round-1 VERDICT weak #4): on a TRAINED
+    checkpoint, the int8 ResNet path must agree with fp32 at the prediction
+    level — flip rate < 1% ("<1% typical accuracy cost", cli/predict.py).
+
+    This is the CPU regression twin of scripts_dev/int8_validation.py, which
+    validated ALL four serving paths on TPU at reference split sizes
+    (recorded in RESULTS_REHEARSAL.md): 0% flips, acc delta 0.0 on every
+    path (rgb int8 convs, thermal dynamic q8 + static q8s, multimodal both).
+    """
+    import jax.numpy as jnp
+
+    from dfu_multimodal_tpu.models.resnet_q8 import quantize_rgb_trunks
+
+    train, val = synth
+    cfg = config.TrainConfig(batch_size=8, eval_batch_size=8, num_epochs=2,
+                             learning_rate=3e-3, save_best_after_epoch=1,
+                             compute_dtype="float32", seed=0)
+    mods = {"rgb": config.rgb_modality()}
+    trainer = Trainer("rgb_only", cfg, mods)
+    state = trainer.init_state(jax.random.PRNGKey(0), image_size=32)
+    rng = np.random.default_rng(0)
+    for epoch in range(2):
+        state, _ = trainer.run_train_epoch(
+            state, train, rng, jax.random.PRNGKey(epoch))
+
+    _, out_fp = trainer.run_eval_epoch(state, val)
+
+    from dfu_multimodal_tpu.data.transforms import eval_normalize
+    calib = eval_normalize(jnp.asarray(train.arrays["rgb"][:8]),
+                           mods["rgb"], jnp.float32)
+    qvars = quantize_rgb_trunks(trainer.variables(state), [calib],
+                                dtype=jnp.float32)
+    q_trainer = Trainer("rgb_only", cfg, mods, rgb_impl="int8")
+    q_state = q_trainer.init_state(jax.random.PRNGKey(0), image_size=32)
+    q_state = q_state.replace(params=qvars["params"],
+                              batch_stats=qvars.get("batch_stats", {}))
+    _, out_q8 = q_trainer.run_eval_epoch(q_state, val)
+
+    flip_rate = float(np.mean(out_fp["y_pred"] != out_q8["y_pred"]))
+    assert flip_rate < 0.01, f"int8 flip rate {flip_rate} breaks <1% contract"
+    assert np.all(np.isfinite(out_q8["y_probs"]))

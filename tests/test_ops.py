@@ -457,3 +457,55 @@ def test_q8_static_vit_matches_fp32_within_quant_tolerance():
     rel = (float(jnp.max(jnp.abs(out - ref)))
            / max(float(jnp.max(jnp.abs(ref))), 1e-6))
     assert rel < 0.05, f"static int8 relative error too large: {rel}"
+
+
+def test_fused_stage_matches_chained_blocks():
+    """Whole-stage kernel (interpret) == jnp oracle == per-block kernels."""
+    from dfu_multimodal_tpu.ops.resnet_block import (_stage_ref,
+                                                     fused_bottleneck,
+                                                     fused_stage)
+    h = w = 6
+    cmid, c = 8, 32
+    key = jax.random.PRNGKey(5)
+    blocks = []
+    for k in range(3):
+        w1, b1, w2, b2, w3, b3, _, _ = _bottleneck_test_params(
+            jax.random.fold_in(key, k), c, cmid)
+        blocks.append((w1, b1, w2, b2, w3, b3))
+    x = jax.random.normal(jax.random.fold_in(key, 99), (2, h, w, c))
+
+    out = fused_stage(x, blocks, interpret=True)
+    ref = _stage_ref(x, tuple(tuple(b) for b in blocks))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    y = x
+    for bw in blocks:
+        y = fused_bottleneck(y, *bw, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(y),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_stage_gradients():
+    """Rematerializing VJP == oracle gradients (x and a mid-stage weight)."""
+    from dfu_multimodal_tpu.ops.resnet_block import _stage_ref, fused_stage
+    h = w = 4
+    cmid, c = 8, 16
+    key = jax.random.PRNGKey(7)
+    blocks = tuple(
+        tuple(_bottleneck_test_params(jax.random.fold_in(key, k),
+                                      c, cmid, cout=c)[:6])
+        for k in range(2))
+    x = jax.random.normal(jax.random.fold_in(key, 99), (2, h, w, c))
+
+    gx_k, gw_k = jax.grad(
+        lambda x, bw: jnp.sum(fused_stage(x, bw, interpret=True) ** 2),
+        argnums=(0, 1))(x, blocks)
+    gx_r, gw_r = jax.grad(
+        lambda x, bw: jnp.sum(_stage_ref(x, bw) ** 2),
+        argnums=(0, 1))(x, blocks)
+    np.testing.assert_allclose(np.asarray(gx_k), np.asarray(gx_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_k[1][2]),
+                               np.asarray(gw_r[1][2]),
+                               rtol=1e-4, atol=1e-4)
