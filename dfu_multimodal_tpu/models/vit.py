@@ -449,11 +449,14 @@ class ViT(nn.Module):
     # fused on TPU, flax elsewhere.  "fused_interpret" forces the fused
     # path through the Pallas interpreter (CPU numerics tests).
     block_impl: str = "auto"
-    # Scanned blocks are the TPU default (O(1) program size/compile time).
-    # DFU_VIT_SCAN_BLOCKS=0 unrolls them: XLA:CPU's thunk executor
-    # intermittently aborts executing the scanned train step (Eigen
-    # worker-pool race, observed on the 1-core CI host) — the CPU test
-    # harness sets this; TPU paths never need it.
+    # Scanned blocks are the default EVERYWHERE (O(1) program size and
+    # compile time) — the program shape TPU production runs. The
+    # DFU_VIT_SCAN_BLOCKS=0 unroll escape hatch remains for debugging;
+    # the historical XLA:CPU SIGABRT that used to force it in CI was
+    # root-caused to the virtual-device collective rendezvous terminate
+    # timeout under host oversubscription, fixed by raising
+    # --xla_cpu_collective_call_terminate_timeout_seconds (see
+    # tests/conftest.py for the analysis).
     scan_blocks: bool = field(
         default_factory=lambda: os.environ.get(
             "DFU_VIT_SCAN_BLOCKS", "1") != "0")
