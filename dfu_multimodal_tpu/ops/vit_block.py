@@ -71,8 +71,13 @@ def _gelu_fast(x):
 def _attention_head(q, k, v, scale):
     """One head of softmax attention with DEFERRED normalization: the
     softmax division is applied to the (N, D) output of e·V rather than the
-    (N, N) exp matrix — 3× fewer VPU normalization ops, identical math.
-    q, k fp32 (N, D); v compute dtype. Returns fp32 (N, D)."""
+    (N, N) exp matrix — 3× fewer VPU normalization ops.  Identical math in
+    exact arithmetic; at bf16 the deferred form rounds differently than
+    normalize-then-cast (the un-normalized exp matrix is cast before e·V
+    while the fp32 normalizer is summed from the uncast exp), a one-ulp
+    divergence from the jnp oracle that gradient tests budget for — see
+    :func:`_attn_block_ref`.  q, k fp32 (N, D); v compute dtype.  Returns
+    fp32 (N, D)."""
     scores = jax.lax.dot_general(
         q * scale, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -214,6 +219,219 @@ def _attn_block_fwd(x, g1, b1, wqkv, bqkv, wproj, bproj, num_heads,
     return out, (x, g1, b1, wqkv, bqkv, wproj, bproj)
 
 
+def _attn_block_bwd_kernel(x_ref, g_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref,
+                           wproj_ref, dx_ref, dwqkv_ref, dbqkv_ref,
+                           dwproj_ref, dbproj_ref, dg1_ref, db1_ref, *,
+                           num_heads: int):
+    """WHOLE attention-block backward in one kernel, one/two images per
+    grid step.  The round-2 v1 backward (the default,
+    :func:`_attn_block_bwd`) runs the chain rule as XLA matmuls around
+    a Pallas attention fwd+bwd kernel, which bounces qkv (B,N,3C), dattn,
+    attn and dqkv through HBM between every stage — ~0.7 GB per block at
+    b128.  Here the full chain (recompute LN → recompute qkv → attention
+    fwd-for-weight-grads + bwd per head → projection grads → qkv grads →
+    LN backward) stays VMEM-resident; HBM sees reads of x and g, the
+    weight operands (constant index maps — loaded once per launch), one
+    dx write, and the weight-gradient ACCUMULATORS, which live in
+    constant-index fp32 output blocks revisited across the whole grid
+    (the dg2/db2 pattern of :func:`_mlp_block_bwd_kernel`, scaled up to
+    the (C, 3C) qkv weight).
+
+    Precision: LN forward/backward and softmax statistics in fp32; the
+    q·kᵀ score matmul takes fp32 operands (score precision bounds the
+    whole gradient); all other matmuls take compute-dtype operands with
+    fp32 accumulation.  With fp32 inputs (CPU tests) every cast is a
+    no-op, so the kernel is exact against the jnp oracle there."""
+    ipp, n, c = x_ref.shape
+    d = c // num_heads
+    scale = d ** -0.5
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dwqkv_ref[...] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[...] = jnp.zeros_like(dbqkv_ref)
+        dwproj_ref[...] = jnp.zeros_like(dwproj_ref)
+        dbproj_ref[...] = jnp.zeros_like(dbproj_ref)
+        dg1_ref[...] = jnp.zeros_like(dg1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+
+    x = x_ref[...].reshape(ipp * n, c)
+    g = g_ref[...].reshape(ipp * n, c)
+
+    # --- recompute LN forward, keeping the normalization residuals
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + LN_EPS)
+    xhat = xc * rstd
+    g1f = g1_ref[0].astype(jnp.float32)
+    y_c = (xhat * g1f + b1_ref[0].astype(jnp.float32)).astype(x.dtype)
+
+    # --- recompute qkv projection (token-parallel over all ipp images)
+    qkv = jax.lax.dot_general(
+        y_c, wqkv_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(x.dtype)
+
+    # --- output-projection data gradient (o = attn @ wproj)
+    dattn = jax.lax.dot_general(
+        g, wproj_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+
+    # --- attention fwd (for the wproj grad) + bwd, heads sliced in VMEM
+    attn_rows, dqkv_rows = [], []
+    for i in range(ipp):
+        qkv_i = qkv[i * n:(i + 1) * n]
+        do_i = dattn[i * n:(i + 1) * n]
+        attn_h, dq_h, dk_h, dv_h = [], [], [], []
+        for h in range(num_heads):
+            q = qkv_i[:, h * d:(h + 1) * d].astype(jnp.float32)
+            k = qkv_i[:, c + h * d:c + (h + 1) * d].astype(jnp.float32)
+            v = qkv_i[:, 2 * c + h * d:2 * c + (h + 1) * d]
+            do = do_i[:, h * d:(h + 1) * d]
+
+            scores = jax.lax.dot_general(
+                q * scale, k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            p_c = p.astype(x.dtype)
+            attn_h.append(jax.lax.dot_general(
+                p_c, v, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(x.dtype))
+            dv = jax.lax.dot_general(
+                p_c, do, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(
+                do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+                  ).astype(x.dtype)
+            dq = jax.lax.dot_general(
+                ds, k.astype(x.dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            dk = jax.lax.dot_general(
+                ds, q.astype(x.dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            dq_h.append(dq.astype(x.dtype))
+            dk_h.append(dk.astype(x.dtype))
+            dv_h.append(dv.astype(x.dtype))
+        attn_rows.append(jnp.concatenate(attn_h, axis=-1))
+        dqkv_rows.append(jnp.concatenate(
+            [jnp.concatenate(dq_h, axis=-1),
+             jnp.concatenate(dk_h, axis=-1),
+             jnp.concatenate(dv_h, axis=-1)], axis=-1))
+    attn = jnp.concatenate(attn_rows, axis=0)           # (ipp·N, C)
+    dqkv = jnp.concatenate(dqkv_rows, axis=0)           # (ipp·N, 3C)
+
+    # --- weight/bias gradient accumulation (fp32, across the whole grid)
+    gf = g.astype(jnp.float32)
+    dwproj_ref[...] += jax.lax.dot_general(
+        attn, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbproj_ref[...] += jnp.sum(gf, axis=0, keepdims=True)
+    dwqkv_ref[...] += jax.lax.dot_general(
+        y_c, dqkv, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbqkv_ref[...] += jnp.sum(dqkv.astype(jnp.float32), axis=0,
+                              keepdims=True)
+
+    # --- qkv-projection data gradient + LayerNorm backward
+    dy = jax.lax.dot_general(
+        dqkv, wqkv_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dg1_ref[...] += jnp.sum(dy * xhat, axis=0, keepdims=True)
+    db1_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
+    dxhat = dy * g1f
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx_ref[...] = (gf + rstd * (dxhat - m1 - xhat * m2)).astype(
+        x.dtype).reshape(ipp, n, c)
+
+
+def _attn_block_bwd_call(x, g, g1, b1, wqkv, bqkv, wproj, num_heads,
+                         interpret):
+    b, n, c = x.shape
+    ipp = 2 if b % 2 == 0 else 1
+    g1r, b1r = g1.reshape(1, c), b1.reshape(1, c)
+    bqkvr = bqkv.reshape(1, 3 * c)
+
+    def img_block(i):
+        return (i, 0, 0)
+
+    io_spec = pl.BlockSpec((ipp, n, c), img_block,
+                           memory_space=pl.ANY if interpret else pltpu.VMEM)
+    dx, dwqkv, dbqkv, dwproj, dbproj, dg1, db1 = pl.pallas_call(
+        functools.partial(_attn_block_bwd_kernel, num_heads=num_heads),
+        grid=(b // ipp,),
+        in_specs=[
+            io_spec, io_spec,
+            _const_spec((1, c), interpret), _const_spec((1, c), interpret),
+            _const_spec((c, 3 * c), interpret),
+            _const_spec((1, 3 * c), interpret),
+            _const_spec((c, c), interpret),
+        ],
+        out_specs=(io_spec,
+                   _const_spec((c, 3 * c), interpret),
+                   _const_spec((1, 3 * c), interpret),
+                   _const_spec((c, c), interpret),
+                   _const_spec((1, c), interpret),
+                   _const_spec((1, c), interpret),
+                   _const_spec((1, c), interpret)),
+        out_shape=(jax.ShapeDtypeStruct((b, n, c), x.dtype),
+                   jax.ShapeDtypeStruct((c, 3 * c), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 3 * c), jnp.float32),
+                   jax.ShapeDtypeStruct((c, c), jnp.float32),
+                   jax.ShapeDtypeStruct((1, c), jnp.float32),
+                   jax.ShapeDtypeStruct((1, c), jnp.float32),
+                   jax.ShapeDtypeStruct((1, c), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * c * (3 * 3 * c + 3 * c) + 12 * b * n * n * c,
+            bytes_accessed=(3 * x.size + wqkv.size + wproj.size)
+            * x.dtype.itemsize,
+            transcendentals=b * num_heads * n * n),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(x, g, g1r, b1r, wqkv, bqkvr, wproj)
+    return dx, dwqkv, dbqkv.reshape(3 * c), dwproj, dbproj.reshape(c), \
+        dg1.reshape(c), db1.reshape(c)
+
+
+def _attn_block_bwd_fused(num_heads, interpret, res, g):
+    """Fully-fused backward (round 2 v2): one Pallas kernel produces dx
+    AND every weight/bias gradient — see :func:`_attn_block_bwd_kernel`.
+
+    MEASURED NEGATIVE RESULT (kept, not default — docs/DESIGN.md):
+    grad of the 12-block production chain is SLOWER than
+    :func:`_attn_block_bwd` at both training and serving batch:
+    b32 15.93 vs 12.91 ms, b128 65.88 vs 54.07 ms
+    (scripts_dev/bench_attn_bwd_ab.py).  The one-kernel form trades the
+    v1 chain's batched (B·N)-row projection matmuls for per-head
+    197×64·197 matmuls serialized inside one grid step, takes the score
+    matmul at fp32 operand rate (half MXU throughput on the largest
+    matmul of the chain), and its 9.5 MB of fp32 weight-grad accumulator
+    blocks (constant index maps revisited every grid step) eat the VMEM
+    that would otherwise double-buffer x/g block prefetch.  The HBM
+    round-trips it saves (~0.7 GB/block at b128) were already hidden
+    under the v1 chain's MXU work, so fusing bought bandwidth that was
+    not the bottleneck and paid compute for it."""
+    x, g1, b1, wqkv, bqkv, wproj, bproj = res
+    dx, dwqkv, dbqkv, dwproj, dbproj, dg1, db1 = _attn_block_bwd_call(
+        x, g, g1, b1, wqkv, bqkv, wproj, num_heads, interpret)
+    return (dx, dg1.astype(g1.dtype), db1.astype(b1.dtype),
+            dwqkv.astype(wqkv.dtype), dbqkv.astype(bqkv.dtype),
+            dwproj.astype(wproj.dtype), dbproj.astype(bproj.dtype))
+
+
 def _attn_block_bwd(num_heads, interpret, res, g):
     """Explicit chain-rule backward (rematerializing — only the block
     inputs were saved).  Structure = :func:`_attn_block_ref` differentiated
@@ -221,7 +439,10 @@ def _attn_block_bwd(num_heads, interpret, res, g):
     forward (needed for the projection weight grad) and attention backward
     run as ONE Pallas kernel (``qkv_attention_fwdbwd``) that computes
     softmax(QKᵀ) once per head instead of twice.  All matmuls accumulate
-    fp32; LN backward stays fp32 end-to-end."""
+    fp32; LN backward stays fp32 end-to-end.  This is the DEFAULT
+    backward: the fully-fused one-kernel variant
+    (:func:`_attn_block_bwd_fused`) was built and measured slower —
+    see its docstring for the analysis."""
     from dfu_multimodal_tpu.ops.attention import qkv_attention_fwdbwd
 
     x, g1, b1, wqkv, bqkv, wproj, bproj = res
@@ -448,7 +669,7 @@ def _mlp_block_bwd_call(x, g, g2, b2, w1, b1, w2, hidden_chunks, interpret):
     # multiple of the block size.  Zero x/g rows are gradient-neutral:
     # g=0 ⇒ dh_pre=0 ⇒ they contribute nothing to any weight/bias grad,
     # and the padded dx rows are sliced off below.
-    rows = min(128, rows_total)
+    rows = min(128, rows_total)   # 256/384 swept at b32: equal (±0.1 ms)
     padded = -(-rows_total // rows) * rows
     xf_ = x.reshape(rows_total, c)
     gf_ = g.reshape(rows_total, c)

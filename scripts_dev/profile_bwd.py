@@ -31,7 +31,10 @@ jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
 from dfu_multimodal_tpu.ops import vit_block
 from dfu_multimodal_tpu.ops.attention import qkv_attention
 
-B, N, C, H, HEADS = 128, 197, 768, 3072, 12
+import os
+
+B = int(os.environ.get("PROFILE_BWD_B", "128"))
+N, C, H, HEADS = 197, 768, 3072, 12
 DEPTH = 12
 DT = jnp.bfloat16
 

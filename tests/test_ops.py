@@ -205,6 +205,52 @@ def test_fused_blocks_direct_vs_reference_impls():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_attn_block_fused_bwd_matches_oracle():
+    """The fully-fused attention-block backward kernel (round 2 v2: dx +
+    ALL weight/bias grads from one Pallas kernel with grid-accumulated
+    fp32 weight-grad blocks) must match jax.grad of the jnp oracle for
+    every argument, including with several images per grid step.
+
+    The kernel is a measured NEGATIVE result (slower than the default
+    v1 chain at b32 and b128 — see its docstring) and is NOT wired as
+    the production VJP; this test keeps it correct as recorded."""
+    import functools as _ft
+
+    from dfu_multimodal_tpu.ops.vit_block import (
+        _attn_block_bwd_fused, _attn_block_fwd, _attn_block_ref)
+    b, n, c, heads = 4, 20, 32, 4     # b=4 -> ipp=2 path (two grid steps)
+    key = jax.random.PRNGKey(21)
+    x = jax.random.normal(key, (b, n, c))
+    g1 = jax.random.normal(jax.random.fold_in(key, 1), (c,)) * 0.1 + 1.0
+    b1 = jax.random.normal(jax.random.fold_in(key, 2), (c,)) * 0.1
+    wqkv = jax.random.normal(jax.random.fold_in(key, 3), (c, 3 * c)) * 0.1
+    bqkv = jax.random.normal(jax.random.fold_in(key, 4), (3 * c,)) * 0.1
+    wproj = jax.random.normal(jax.random.fold_in(key, 5), (c, c)) * 0.1
+    bproj = jax.random.normal(jax.random.fold_in(key, 6), (c,)) * 0.1
+    args = (x, g1, b1, wqkv, bqkv, wproj, bproj)
+
+    g_ref = jax.grad(
+        lambda *a: jnp.sum(_attn_block_ref(*a, num_heads=heads) ** 2),
+        argnums=tuple(range(7)))(*args)
+
+    @_ft.partial(jax.custom_vjp, nondiff_argnums=(7,))
+    def fused_bwd_block(x, g1, b1, wqkv, bqkv, wproj, bproj, num_heads):
+        return _attn_block_ref(x, g1, b1, wqkv, bqkv, wproj, bproj,
+                               num_heads=num_heads)
+
+    fused_bwd_block.defvjp(
+        lambda *a: _attn_block_fwd(*a[:7], a[7], True),
+        lambda nh, res, g: _attn_block_bwd_fused(nh, True, res, g))
+    g_out = jax.grad(
+        lambda *a: jnp.sum(fused_bwd_block(*a, heads) ** 2),
+        argnums=tuple(range(7)))(*args)
+    names = ("x", "g1", "b1", "wqkv", "bqkv", "wproj", "bproj")
+    for name, r, o in zip(names, g_ref, g_out):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"grad {name}")
+
+
 def test_mlp_block_grads_padded_rows_path():
     """Gradients through mlp_block when B*N is NOT a multiple of the 128-row
     backward block (the kernel zero-pads the rows — b32 ViT hits this with
