@@ -28,6 +28,13 @@ reference semantics: CAM each branch trunk in isolation (via
 :func:`branch_variables`) with ``class_index=0`` — the trunk's first
 feature unit, exactly the reference's ``score = output[0, 0]`` on the
 wrapped branch module (:385-387).
+
+Execution scale: the whole visualization set (5 healthy + 5 ulcer per
+model) is CAMed in ONE jitted forward+backward per tap on one chip.
+Unlike the TTA/metrics evaluators (which stream full test splits through
+the mesh-sharded ``device_prefetch`` path), mesh-sharding a ~10-sample
+batch would only add padding and collective latency, so single-chip is
+the deliberate choice here.
 """
 
 from __future__ import annotations
