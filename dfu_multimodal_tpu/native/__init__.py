@@ -1,8 +1,9 @@
-"""ctypes bindings for the native C++ fast path (fastio.cpp).
+"""ctypes bindings for the native C++ fast paths (fastio.cpp, decode.cpp).
 
-Builds the shared library with g++ on first use (cached next to the source);
-falls back cleanly if no compiler is available — callers catch ImportError/
-OSError and use the pure-Python path (data/leakage.py).
+Builds the shared libraries with g++ on first use (cached next to the
+source); falls back cleanly if no compiler (or libjpeg, for the decoder)
+is available — callers catch ImportError/OSError and use the pure-Python
+path (data/leakage.py, data/loader.py).
 """
 
 from __future__ import annotations
@@ -11,18 +12,23 @@ import ctypes
 import subprocess
 import threading
 from pathlib import Path
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
 
 _HERE = Path(__file__).resolve().parent
 _SRC = _HERE / "fastio.cpp"
 _SO = _HERE / "_fastio.so"
+_DECODE_SRC = _HERE / "decode.cpp"
+_DECODE_SO = _HERE / "_decode.so"
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
+_DECODE_LIB: Optional[ctypes.CDLL] = None
 
 
-def _build() -> None:
+def _build(src: Path, so: Path, *extra: str) -> None:
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-           str(_SRC), "-o", str(_SO)]
+           str(src), "-o", str(so), *extra]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -32,7 +38,7 @@ def _load() -> ctypes.CDLL:
         if _LIB is not None:
             return _LIB
         if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
-            _build()
+            _build(_SRC, _SO)
         lib = ctypes.CDLL(str(_SO))
         lib.sha256_files.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_char_p,
@@ -42,6 +48,24 @@ def _load() -> ctypes.CDLL:
             ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p]
         lib.sha256_bytes.restype = None
         _LIB = lib
+        return lib
+
+
+def _load_decode() -> ctypes.CDLL:
+    global _DECODE_LIB
+    with _LOCK:
+        if _DECODE_LIB is not None:
+            return _DECODE_LIB
+        if (not _DECODE_SO.exists()
+                or _DECODE_SO.stat().st_mtime < _DECODE_SRC.stat().st_mtime):
+            _build(_DECODE_SRC, _DECODE_SO, "-ljpeg")
+        lib = ctypes.CDLL(str(_DECODE_SO))
+        lib.decode_jpegs_resized.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int]
+        lib.decode_jpegs_resized.restype = None
+        _DECODE_LIB = lib
         return lib
 
 
@@ -63,3 +87,25 @@ def sha256_bytes(data: bytes) -> str:
     out = ctypes.create_string_buffer(65)
     lib.sha256_bytes(data, len(data), out)
     return out.value.decode()
+
+
+def decode_jpegs_resized(paths: Sequence[str], image_size: int,
+                         threads: int = 0
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """Threaded libjpeg decode + PIL-BILINEAR-exact resize to
+    ``(N, S, S, 3)`` uint8.  Returns ``(images, status)``; ``status[i]``
+    is 0 on success, nonzero for files the caller must PIL-decode instead
+    (non-JPEG, CMYK, corrupt).  Raises ImportError/OSError if g++ or
+    libjpeg is unavailable — callers fall back to pure PIL."""
+    n = len(paths)
+    out = np.zeros((n, image_size, image_size, 3), np.uint8)
+    status = np.zeros((n,), np.int32)
+    if n == 0:
+        return out, status
+    lib = _load_decode()
+    arr = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    lib.decode_jpegs_resized(
+        arr, n, image_size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), threads)
+    return out, status

@@ -1,5 +1,7 @@
 """Data layer: pairing semantics, transforms, loader, leakage gate."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -253,3 +255,71 @@ def test_leakage_gate(tmp_path):
     check_split_leakage({"train": [a], "val": [b]}, verbose=False)  # clean
     with pytest.raises(LeakageError):
         check_split_leakage({"train": [a], "test": [dup]}, verbose=False)
+
+
+# ---------- native threaded JPEG decode (native/decode.cpp) ----------
+
+def _native_decode_available():
+    try:
+        from dfu_multimodal_tpu import native
+        native.decode_jpegs_resized([], 32)
+        return True
+    except (ImportError, OSError):
+        return False
+
+
+@pytest.mark.skipif(not _native_decode_available(),
+                    reason="g++/libjpeg unavailable")
+def test_native_decode_bit_exact_vs_pil(tmp_path):
+    """The native libjpeg decode + fixed-point BILINEAR resample must be
+    BIT-IDENTICAL to the PIL oracle (load_image) — this is what lets the
+    loader default to it without perturbing converted-checkpoint eval
+    parity.  Covers downscale, upscale, no-op size, grayscale, q100."""
+    from PIL import Image
+
+    from dfu_multimodal_tpu import native
+    from dfu_multimodal_tpu.data.loader import load_image
+
+    rng = np.random.default_rng(7)
+    specs = [(300, 200, "RGB", 95), (64, 64, "RGB", 90),
+             (40, 80, "RGB", 85), (120, 90, "L", 90), (37, 53, "RGB", 100)]
+    paths = []
+    for i, (w, h, mode, q) in enumerate(specs):
+        shape = (h, w, 3) if mode == "RGB" else (h, w)
+        arr = rng.integers(0, 256, shape, np.uint8)
+        p = tmp_path / f"{i}.jpg"
+        Image.fromarray(arr, mode).save(p, quality=q)
+        paths.append(str(p))
+    imgs, status = native.decode_jpegs_resized(paths, 64, threads=2)
+    assert status.tolist() == [0] * len(paths)
+    for i, p in enumerate(paths):
+        ref = load_image(Path(p), 64)
+        np.testing.assert_array_equal(imgs[i], ref, err_msg=f"spec {i}")
+
+
+@pytest.mark.skipif(not _native_decode_available(),
+                    reason="g++/libjpeg unavailable")
+def test_decode_all_falls_back_per_file(tmp_path, monkeypatch):
+    """decode_all: native fast path for JPEGs, per-file PIL fallback for
+    files libjpeg rejects (PNG, corrupt), identical output either way."""
+    from PIL import Image
+
+    from dfu_multimodal_tpu.data.loader import decode_all
+
+    rng = np.random.default_rng(8)
+    jpg = tmp_path / "a.jpg"
+    Image.fromarray(rng.integers(0, 256, (50, 60, 3), np.uint8)).save(
+        jpg, quality=92)
+    png = tmp_path / "b.png"
+    Image.fromarray(rng.integers(0, 256, (30, 30, 3), np.uint8)).save(png)
+    bad = tmp_path / "c.jpg"
+    bad.write_bytes(b"not a jpeg at all")
+
+    with pytest.raises(Exception):      # corrupt file fails both paths
+        decode_all([jpg, png, bad], 32)
+
+    mixed = decode_all([jpg, None, png], 32)
+    monkeypatch.setenv("DFU_NATIVE_DECODE", "0")
+    pil_only = decode_all([jpg, None, png], 32)
+    np.testing.assert_array_equal(mixed, pil_only)
+    assert (mixed[1] == 0).all()        # None slot stays the placeholder
