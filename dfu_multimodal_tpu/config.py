@@ -110,6 +110,12 @@ class TrainConfig:
     seed: int = 42
     # TPU-native knobs (no reference equivalent)
     compute_dtype: str = "bfloat16"       # conv/matmul compute precision
+    # AdamW first-moment storage dtype.  bf16 halves the m read+write HBM
+    # traffic of the update (28 -> 24 B/param: measured 4.95 -> 4.23 ms on
+    # the 85.8 M-param thermal tree at b32, scripts_dev/bench_adamw2.py);
+    # the second moment stays fp32 (squares need the mantissa).  Standard
+    # large-scale practice; set "float32" for bit-level optax parity.
+    optimizer_mu_dtype: str = "bfloat16"
     eval_batch_size: Optional[int] = None  # defaults to batch_size
     weighted_sampling: bool = True         # WeightedRandomSampler equivalent
     class_weighted_loss: bool = True       # class-weighted CE equivalent

@@ -37,16 +37,33 @@ def _softmax_probs(q, k, scale):
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
+def _softmax_probs_c(q_c, k_c, scale):
+    """softmax(q·kᵀ·scale) with COMPUTE-DTYPE score-matmul operands and
+    fp32 accumulation + statistics — standard flash-attention precision.
+    fp32 operands run the MXU at half rate; with bf16 operands the only
+    extra rounding is of q/k themselves (already compute dtype), since
+    ``scale`` is applied to the fp32 scores after the matmul.  With fp32
+    inputs this differs from :func:`_softmax_probs` only by the fp32
+    rounding of scale-after vs scale-before (~1e-7 relative)."""
+    scores = jax.lax.dot_general(
+        q_c, k_c,
+        dimension_numbers=(((1,), (1,)), ((), ())),    # q @ k.T
+        preferred_element_type=jnp.float32) * scale    # (N, N)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
 def _attention_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     """One grid step per batch element, all heads unrolled inside: removes
     per-(batch,head) grid/DMA overhead that dominated the tiny-matmul
     variant (23ms -> per-head grid; see docs/DESIGN.md)."""
     n_heads = q_ref.shape[1]
     for h in range(n_heads):
-        q = q_ref[0, h].astype(jnp.float32)            # (N, D)
-        k = k_ref[0, h].astype(jnp.float32)
+        q = q_ref[0, h]                                # (N, D)
+        k = k_ref[0, h]
         v = v_ref[0, h]
-        p = _softmax_probs(q, k, scale)
+        p = _softmax_probs_c(q, k, scale)
         o_ref[0, h] = jnp.dot(
             p.astype(v.dtype), v,
             preferred_element_type=jnp.float32).astype(o_ref.dtype)
@@ -57,25 +74,35 @@ def _attention_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref,
     """Recompute-based backward: p is cheap to rebuild at N=197, so no
     residuals ever touch HBM. Standard softmax-attention gradients:
     dv = pᵀ·do; ds = p ∘ (do·vᵀ - rowsum(do·vᵀ ∘ p)); dq = ds·k·scale;
-    dk = dsᵀ·q·scale.  Heads unrolled per batch element like the forward."""
+    dk = dsᵀ·q·scale.  Heads unrolled per batch element like the forward.
+
+    Precision: the q·kᵀ score matmul and all softmax statistics run in
+    fp32 (score precision bounds the whole gradient); the five gradient
+    matmuls take compute-dtype operands with fp32 MXU accumulation —
+    fp32 operands run the MXU at half rate, and the operand rounding is
+    exactly the forward kernel's own p·v precision.  With fp32 inputs
+    (CPU tests) every cast is a no-op, so the kernel stays exact against
+    the jnp oracle there."""
     n_heads = q_ref.shape[1]
     for h in range(n_heads):
-        q = q_ref[0, h].astype(jnp.float32)
-        k = k_ref[0, h].astype(jnp.float32)
-        v = v_ref[0, h].astype(jnp.float32)
-        do = do_ref[0, h].astype(jnp.float32)
+        q_c = q_ref[0, h]
+        k_c = k_ref[0, h]
+        v = v_ref[0, h]
+        do = do_ref[0, h]
 
-        p = _softmax_probs(q, k, scale)                # (N, N)
+        p = _softmax_probs_c(q_c, k_c, scale)            # (N, N)
+        p_c = p.astype(v.dtype)
         dv = jax.lax.dot_general(
-            p, do, dimension_numbers=(((0,), (0,)), ((), ())),   # pᵀ @ do
+            p_c, do, dimension_numbers=(((0,), (0,)), ((), ())),  # pᵀ @ do
             preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(
             do, v, dimension_numbers=(((1,), (1,)), ((), ())),   # do @ vᵀ
             preferred_element_type=jnp.float32)
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+        ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+              ).astype(v.dtype)
+        dq = jnp.dot(ds, k_c, preferred_element_type=jnp.float32) * scale
         dk = jax.lax.dot_general(
-            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),   # dsᵀ @ q
+            ds, q_c, dimension_numbers=(((0,), (0,)), ((), ())),  # dsᵀ @ q
             preferred_element_type=jnp.float32) * scale
 
         dq_ref[0, h] = dq.astype(dq_ref.dtype)
@@ -167,10 +194,10 @@ def _qkv_attention_fwd_kernel(qkv_ref, o_ref, *, num_heads: int,
     c = o_ref.shape[-1]
     d = c // num_heads
     for h in range(num_heads):
-        q = qkv_ref[0, :, h * d:(h + 1) * d].astype(jnp.float32)
-        k = qkv_ref[0, :, c + h * d:c + (h + 1) * d].astype(jnp.float32)
+        q = qkv_ref[0, :, h * d:(h + 1) * d]
+        k = qkv_ref[0, :, c + h * d:c + (h + 1) * d]
         v = qkv_ref[0, :, 2 * c + h * d:2 * c + (h + 1) * d]
-        p = _softmax_probs(q, k, scale)
+        p = _softmax_probs_c(q, k, scale)
         o_ref[0, :, h * d:(h + 1) * d] = jnp.dot(
             p.astype(v.dtype), v,
             preferred_element_type=jnp.float32).astype(o_ref.dtype)
@@ -178,26 +205,30 @@ def _qkv_attention_fwd_kernel(qkv_ref, o_ref, *, num_heads: int,
 
 def _qkv_attention_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, num_heads: int,
                               scale: float):
+    """Compute-dtype gradient-matmul operands with fp32 accumulation; the
+    score matmul and softmax statistics stay fp32 (see
+    :func:`_attention_bwd_kernel`)."""
     c = do_ref.shape[-1]
     d = c // num_heads
     for h in range(num_heads):
-        q = qkv_ref[0, :, h * d:(h + 1) * d].astype(jnp.float32)
-        k = qkv_ref[0, :, c + h * d:c + (h + 1) * d].astype(jnp.float32)
-        v = qkv_ref[0, :, 2 * c + h * d:2 * c + (h + 1) * d].astype(
-            jnp.float32)
-        do = do_ref[0, :, h * d:(h + 1) * d].astype(jnp.float32)
+        q_c = qkv_ref[0, :, h * d:(h + 1) * d]
+        k_c = qkv_ref[0, :, c + h * d:c + (h + 1) * d]
+        v = qkv_ref[0, :, 2 * c + h * d:2 * c + (h + 1) * d]
+        do = do_ref[0, :, h * d:(h + 1) * d]
 
-        p = _softmax_probs(q, k, scale)
+        p = _softmax_probs_c(q_c, k_c, scale)
+        p_c = p.astype(v.dtype)
         dv = jax.lax.dot_general(
-            p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+            p_c, do, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(
             do, v, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+        ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+              ).astype(v.dtype)
+        dq = jnp.dot(ds, k_c, preferred_element_type=jnp.float32) * scale
         dk = jax.lax.dot_general(
-            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            ds, q_c, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
 
         dqkv_ref[0, :, h * d:(h + 1) * d] = dq.astype(dqkv_ref.dtype)
@@ -289,25 +320,26 @@ def _qkv_attention_fwdbwd_kernel(qkv_ref, do_ref, o_ref, dqkv_ref, *,
     c = do_ref.shape[-1]
     d = c // num_heads
     for h in range(num_heads):
-        q = qkv_ref[0, :, h * d:(h + 1) * d].astype(jnp.float32)
-        k = qkv_ref[0, :, c + h * d:c + (h + 1) * d].astype(jnp.float32)
-        v = qkv_ref[0, :, 2 * c + h * d:2 * c + (h + 1) * d].astype(
-            jnp.float32)
-        do = do_ref[0, :, h * d:(h + 1) * d].astype(jnp.float32)
+        q_c = qkv_ref[0, :, h * d:(h + 1) * d]
+        k_c = qkv_ref[0, :, c + h * d:c + (h + 1) * d]
+        v = qkv_ref[0, :, 2 * c + h * d:2 * c + (h + 1) * d]
+        do = do_ref[0, :, h * d:(h + 1) * d]
 
-        p = _softmax_probs(q, k, scale)                # once per head
+        p = _softmax_probs_c(q_c, k_c, scale)            # once per head
+        p_c = p.astype(v.dtype)
         o_ref[0, :, h * d:(h + 1) * d] = jnp.dot(
-            p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+            p_c, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
         dv = jax.lax.dot_general(
-            p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+            p_c, do, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(
             do, v, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+        ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+              ).astype(v.dtype)
+        dq = jnp.dot(ds, k_c, preferred_element_type=jnp.float32) * scale
         dk = jax.lax.dot_general(
-            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            ds, q_c, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
 
         dqkv_ref[0, :, h * d:(h + 1) * d] = dq.astype(dqkv_ref.dtype)
@@ -319,7 +351,10 @@ def _qkv_attention_fwdbwd_kernel(qkv_ref, do_ref, o_ref, dqkv_ref, *,
 def qkv_attention_fwdbwd(qkv: jnp.ndarray, do: jnp.ndarray, num_heads: int,
                          interpret: bool = False):
     """(qkv (B,N,3C), do (B,N,C)) -> (attn (B,N,C), dqkv (B,N,3C)) in one
-    kernel, softmax probabilities computed once per head."""
+    kernel, softmax probabilities computed once per head.  Score matmul +
+    softmax statistics fp32; the five gradient matmuls take compute-dtype
+    operands with fp32 accumulation (fp32 operands would halve MXU rate —
+    see :func:`_attention_bwd_kernel`)."""
     b, n, c3 = qkv.shape
     c = c3 // 3
     scale = (c // num_heads) ** -0.5

@@ -68,7 +68,7 @@ def _gelu_fast(x):
     return x * jax.nn.sigmoid(z)
 
 
-def _attention_head(q, k, v, scale):
+def _attention_head(q_c, k_c, v, scale):
     """One head of softmax attention with DEFERRED normalization: the
     softmax division is applied to the (N, D) output of e·V rather than the
     (N, N) exp matrix — 3× fewer VPU normalization ops.  Identical math in
@@ -76,12 +76,20 @@ def _attention_head(q, k, v, scale):
     normalize-then-cast (the un-normalized exp matrix is cast before e·V
     while the fp32 normalizer is summed from the uncast exp), a one-ulp
     divergence from the jnp oracle that gradient tests budget for — see
-    :func:`_attn_block_ref`.  q, k fp32 (N, D); v compute dtype.  Returns
-    fp32 (N, D)."""
+    :func:`_attn_block_ref`.
+
+    Precision: q, k, v stay in the COMPUTE dtype as score-matmul operands
+    with fp32 accumulation — fp32 operands would run the MXU at half rate
+    (measured 12.30 -> 11.44 ms on the 12-block grad chain at b32,
+    scripts_dev/bench_attn_bwd_ab.py); ``scale`` multiplies the fp32
+    scores after the matmul, so no extra operand rounding is introduced.
+    Softmax statistics fp32.  With fp32 inputs (CPU tests) the only
+    divergence from the oracle is scale-after vs scale-before fp32
+    rounding (~1e-7 relative).  Returns fp32 (N, D)."""
     scores = jax.lax.dot_general(
-        q * scale, k,
+        q_c, k_c,
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32) * scale
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)                           # rows in (0, 1]
     s = jnp.sum(e, axis=-1, keepdims=True)
@@ -118,8 +126,8 @@ def _attn_block_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref,
         qkv_i = qkv[i * n:(i + 1) * n]
         heads = []
         for h in range(num_heads):
-            q = qkv_i[:, h * d:(h + 1) * d].astype(jnp.float32)
-            k = qkv_i[:, c + h * d:c + (h + 1) * d].astype(jnp.float32)
+            q = qkv_i[:, h * d:(h + 1) * d]
+            k = qkv_i[:, c + h * d:c + (h + 1) * d]
             v = qkv_i[:, 2 * c + h * d:2 * c + (h + 1) * d]
             heads.append(_attention_head(q, k, v, scale))
         outs.append(jnp.concatenate(heads, axis=-1))
@@ -288,15 +296,15 @@ def _attn_block_bwd_kernel(x_ref, g_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref,
         do_i = dattn[i * n:(i + 1) * n]
         attn_h, dq_h, dk_h, dv_h = [], [], [], []
         for h in range(num_heads):
-            q = qkv_i[:, h * d:(h + 1) * d].astype(jnp.float32)
-            k = qkv_i[:, c + h * d:c + (h + 1) * d].astype(jnp.float32)
+            q = qkv_i[:, h * d:(h + 1) * d]
+            k = qkv_i[:, c + h * d:c + (h + 1) * d]
             v = qkv_i[:, 2 * c + h * d:2 * c + (h + 1) * d]
             do = do_i[:, h * d:(h + 1) * d]
 
             scores = jax.lax.dot_general(
-                q * scale, k,
+                q, k,
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32) * scale
             m = jnp.max(scores, axis=-1, keepdims=True)
             e = jnp.exp(scores - m)
             p = e / jnp.sum(e, axis=-1, keepdims=True)

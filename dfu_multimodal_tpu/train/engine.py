@@ -132,7 +132,9 @@ class Trainer:
         self.replicated = mesh_mod.replicated(self.mesh)
 
         self.tx = optax.adamw(cfg.learning_rate, b1=0.9, b2=0.999, eps=1e-8,
-                              weight_decay=cfg.weight_decay)
+                              weight_decay=cfg.weight_decay,
+                              mu_dtype=jnp.dtype(getattr(
+                                  cfg, "optimizer_mu_dtype", "bfloat16")))
         self._train_step = None
         self._eval_step = None
 

@@ -10,6 +10,10 @@ Measured (v5e, 2026-08-17): v2 SLOWER at both batches —
   b128: v1 54.07 ms vs v2 65.88 ms
 Analysis in docs/DESIGN.md (fused-backward negative result).
 
+Round-2b (compute-dtype matmul operands in the bwd kernels):
+  b32 v1: 12.91 -> 12.30 (bf16 gradient-matmul operands)
+             -> 11.44 ms (bf16-operand score matmul, scale-after)
+
 Usage: python scripts_dev/bench_attn_bwd_ab.py [batch]
 """
 from __future__ import annotations

@@ -124,6 +124,30 @@ def test_data_parallel_8dev_mesh_matches_single(synth):
     assert m1.f1 == pytest.approx(m8.f1, abs=1e-6)
 
 
+def test_bf16_first_moment_tracks_fp32_adamw(synth):
+    """The TPU default stores AdamW's first moment in bf16
+    (config.TrainConfig.optimizer_mu_dtype — 28 -> 24 B/param of update
+    HBM traffic).  The training trajectory must track the fp32-moment
+    optimizer closely: same data, same seed, loss within 1% after an
+    epoch."""
+    train, _ = synth
+    t16 = make_trainer()                                  # default bf16 mu
+    t32 = make_trainer(optimizer_mu_dtype="float32")
+    import jax.numpy as jnp
+    mu16 = jax.tree.leaves(
+        t16.tx.init(t16.init_state(jax.random.PRNGKey(0),
+                                   image_size=32).params))
+    assert any(x.dtype == jnp.bfloat16 for x in mu16)
+
+    s16 = t16.init_state(jax.random.PRNGKey(0), image_size=32)
+    s32 = t32.init_state(jax.random.PRNGKey(0), image_size=32)
+    rng = jax.random.PRNGKey(1)
+    s16, m16 = t16.run_train_epoch(s16, train, np.random.default_rng(0), rng)
+    s32, m32 = t32.run_train_epoch(s32, train, np.random.default_rng(0), rng)
+    assert np.isfinite(m16.loss)
+    assert m16.loss == pytest.approx(m32.loss, rel=1e-2)
+
+
 def test_trainer_rgb_impl_int8_roundtrip(tmp_path):
     """Trainer(rgb_impl='int8') must accept params produced by
     quantize_rgb_trunks from a trained fp32 state (the predict --int8
