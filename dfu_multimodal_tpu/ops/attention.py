@@ -37,18 +37,34 @@ def _softmax_probs(q, k, scale):
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
+def _is_pow2(x: float) -> bool:
+    import math
+    return math.frexp(x)[0] == 0.5
+
+
 def _softmax_probs_c(q_c, k_c, scale):
     """softmax(q·kᵀ·scale) with COMPUTE-DTYPE score-matmul operands and
     fp32 accumulation + statistics — standard flash-attention precision.
     fp32 operands run the MXU at half rate; with bf16 operands the only
-    extra rounding is of q/k themselves (already compute dtype), since
-    ``scale`` is applied to the fp32 scores after the matmul.  With fp32
-    inputs this differs from :func:`_softmax_probs` only by the fp32
-    rounding of scale-after vs scale-before (~1e-7 relative)."""
-    scores = jax.lax.dot_general(
-        q_c, k_c,
-        dimension_numbers=(((1,), (1,)), ((), ())),    # q @ k.T
-        preferred_element_type=jnp.float32) * scale    # (N, N)
+    extra rounding is of q/k themselves (already compute dtype).
+
+    ``scale = d^-0.5`` is an exact power of two for every power-of-4 head
+    dim (d=64 -> 1/8), so scaling q in the compute dtype is LOSSLESS (an
+    exponent shift) and costs N·D VPU multiplies.  Scaling the fp32
+    scores after the matmul instead costs N² multiplies — measured as a
+    ~1.5% serving regression on the VPU-heavier int8 path.  Non-pow2
+    scales (non-power-of-4 head dims) fall back to scale-after-matmul to
+    avoid bf16-rounding the operand."""
+    if _is_pow2(scale):
+        scores = jax.lax.dot_general(
+            q_c * jnp.asarray(scale, q_c.dtype), k_c,
+            dimension_numbers=(((1,), (1,)), ((), ())),  # q @ k.T
+            preferred_element_type=jnp.float32)          # (N, N)
+    else:
+        scores = jax.lax.dot_general(
+            q_c, k_c,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     return e / jnp.sum(e, axis=-1, keepdims=True)
@@ -317,35 +333,45 @@ def qkv_attention(qkv: jnp.ndarray, num_heads: int,
 
 def _qkv_attention_fwdbwd_kernel(qkv_ref, do_ref, o_ref, dqkv_ref, *,
                                  num_heads: int, scale: float):
+    ipp = qkv_ref.shape[0]
     c = do_ref.shape[-1]
     d = c // num_heads
-    for h in range(num_heads):
-        q_c = qkv_ref[0, :, h * d:(h + 1) * d]
-        k_c = qkv_ref[0, :, c + h * d:c + (h + 1) * d]
-        v = qkv_ref[0, :, 2 * c + h * d:2 * c + (h + 1) * d]
-        do = do_ref[0, :, h * d:(h + 1) * d]
+    for i in range(ipp):
+        for h in range(num_heads):
+            q_c = qkv_ref[i, :, h * d:(h + 1) * d]
+            k_c = qkv_ref[i, :, c + h * d:c + (h + 1) * d]
+            v = qkv_ref[i, :, 2 * c + h * d:2 * c + (h + 1) * d]
+            do = do_ref[i, :, h * d:(h + 1) * d]
 
-        p = _softmax_probs_c(q_c, k_c, scale)            # once per head
-        p_c = p.astype(v.dtype)
-        o_ref[0, :, h * d:(h + 1) * d] = jnp.dot(
-            p_c, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
-        dv = jax.lax.dot_general(
-            p_c, do, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(
-            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-              ).astype(v.dtype)
-        dq = jnp.dot(ds, k_c, preferred_element_type=jnp.float32) * scale
-        dk = jax.lax.dot_general(
-            ds, q_c, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+            p = _softmax_probs_c(q_c, k_c, scale)        # once per head
+            p_c = p.astype(v.dtype)
+            o_ref[i, :, h * d:(h + 1) * d] = jnp.dot(
+                p_c, v,
+                preferred_element_type=jnp.float32).astype(o_ref.dtype)
+            dv = jax.lax.dot_general(
+                p_c, do, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(
+                do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+                  ).astype(v.dtype)
+            dq = jnp.dot(ds, k_c,
+                         preferred_element_type=jnp.float32) * scale
+            dk = jax.lax.dot_general(
+                ds, q_c, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
 
-        dqkv_ref[0, :, h * d:(h + 1) * d] = dq.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, c + h * d:c + (h + 1) * d] = dk.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, 2 * c + h * d:2 * c + (h + 1) * d] = dv.astype(
-            dqkv_ref.dtype)
+            dqkv_ref[i, :, h * d:(h + 1) * d] = dq.astype(dqkv_ref.dtype)
+            dqkv_ref[i, :, c + h * d:c + (h + 1) * d] = dk.astype(
+                dqkv_ref.dtype)
+            dqkv_ref[i, :, 2 * c + h * d:2 * c + (h + 1) * d] = dv.astype(
+                dqkv_ref.dtype)
+
+
+def _qkv_spec_ipp(ipp, n, width, interpret):
+    return pl.BlockSpec((ipp, n, width), lambda i: (i, 0, 0),
+                        memory_space=pl.ANY if interpret else pltpu.VMEM)
 
 
 def qkv_attention_fwdbwd(qkv: jnp.ndarray, do: jnp.ndarray, num_heads: int,
@@ -354,16 +380,22 @@ def qkv_attention_fwdbwd(qkv: jnp.ndarray, do: jnp.ndarray, num_heads: int,
     kernel, softmax probabilities computed once per head.  Score matmul +
     softmax statistics fp32; the five gradient matmuls take compute-dtype
     operands with fp32 accumulation (fp32 operands would halve MXU rate —
-    see :func:`_attention_bwd_kernel`)."""
+    see :func:`_attention_bwd_kernel`).  One image per grid step: ipp=2
+    was measured SLOWER on the 12-block grad chain (11.79 vs 11.44 ms at
+    b32) — the fatter blocks rob double-buffering VMEM, the same
+    end-to-end lesson as the forward tile sweep (docs/DESIGN.md)."""
     b, n, c3 = qkv.shape
     c = c3 // 3
     scale = (c // num_heads) ** -0.5
+    ipp = 1
     return pl.pallas_call(
         functools.partial(_qkv_attention_fwdbwd_kernel, num_heads=num_heads,
                           scale=scale),
-        grid=(b,),
-        in_specs=[_qkv_spec(n, c3, interpret), _qkv_spec(n, c, interpret)],
-        out_specs=(_qkv_spec(n, c, interpret), _qkv_spec(n, c3, interpret)),
+        grid=(b // ipp,),
+        in_specs=[_qkv_spec_ipp(ipp, n, c3, interpret),
+                  _qkv_spec_ipp(ipp, n, c, interpret)],
+        out_specs=(_qkv_spec_ipp(ipp, n, c, interpret),
+                   _qkv_spec_ipp(ipp, n, c3, interpret)),
         out_shape=(jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
                    jax.ShapeDtypeStruct((b, n, c3), qkv.dtype)),
         cost_estimate=pl.CostEstimate(

@@ -81,15 +81,25 @@ def _attention_head(q_c, k_c, v, scale):
     Precision: q, k, v stay in the COMPUTE dtype as score-matmul operands
     with fp32 accumulation — fp32 operands would run the MXU at half rate
     (measured 12.30 -> 11.44 ms on the 12-block grad chain at b32,
-    scripts_dev/bench_attn_bwd_ab.py); ``scale`` multiplies the fp32
-    scores after the matmul, so no extra operand rounding is introduced.
-    Softmax statistics fp32.  With fp32 inputs (CPU tests) the only
-    divergence from the oracle is scale-after vs scale-before fp32
-    rounding (~1e-7 relative).  Returns fp32 (N, D)."""
-    scores = jax.lax.dot_general(
-        q_c, k_c,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
+    scripts_dev/bench_attn_bwd_ab.py).  ``scale`` is applied to q in the
+    compute dtype: it is an exact power of two for power-of-4 head dims
+    (1/8 at d=64), so the multiply is a lossless exponent shift on N·D
+    elements (scaling the fp32 scores instead costs N² VPU multiplies —
+    a measured ~1.5% int8-serving regression); non-pow2 scales fall back
+    to scaling the fp32 scores.  Softmax statistics fp32.  With fp32
+    inputs (CPU tests) every cast is a no-op and the kernel matches the
+    jnp oracle exactly.  Returns fp32 (N, D)."""
+    from dfu_multimodal_tpu.ops.attention import _is_pow2
+    if _is_pow2(scale):
+        scores = jax.lax.dot_general(
+            q_c * jnp.asarray(scale, q_c.dtype), k_c,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        scores = jax.lax.dot_general(
+            q_c, k_c,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)                           # rows in (0, 1]
     s = jnp.sum(e, axis=-1, keepdims=True)
@@ -302,9 +312,9 @@ def _attn_block_bwd_kernel(x_ref, g_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref,
             do = do_i[:, h * d:(h + 1) * d]
 
             scores = jax.lax.dot_general(
-                q, k,
+                q * jnp.asarray(scale, q.dtype), k,
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
+                preferred_element_type=jnp.float32)   # scale=1/8: exact
             m = jnp.max(scores, axis=-1, keepdims=True)
             e = jnp.exp(scores - m)
             p = e / jnp.sum(e, axis=-1, keepdims=True)

@@ -84,8 +84,8 @@ def _attn_block_q8_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, sqkv_ref,
         qkv_i = qkv[i * n:(i + 1) * n]
         heads = []
         for h in range(num_heads):
-            q = qkv_i[:, h * d:(h + 1) * d].astype(jnp.float32)
-            k = qkv_i[:, c + h * d:c + (h + 1) * d].astype(jnp.float32)
+            q = qkv_i[:, h * d:(h + 1) * d]
+            k = qkv_i[:, c + h * d:c + (h + 1) * d]
             v = qkv_i[:, 2 * c + h * d:2 * c + (h + 1) * d]
             heads.append(_attention_head(q, k, v, scale))
         outs.append(jnp.concatenate(heads, axis=-1))
@@ -169,8 +169,8 @@ def _attn_block_q8s_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, sqkv_ref,
         qkv_i = qkv[i * n:(i + 1) * n]
         heads = []
         for h in range(num_heads):
-            q = qkv_i[:, h * d:(h + 1) * d].astype(jnp.float32)
-            k = qkv_i[:, c + h * d:c + (h + 1) * d].astype(jnp.float32)
+            q = qkv_i[:, h * d:(h + 1) * d]
+            k = qkv_i[:, c + h * d:c + (h + 1) * d]
             v = qkv_i[:, 2 * c + h * d:2 * c + (h + 1) * d]
             heads.append(_attention_head(q, k, v, scale))
         outs.append(jnp.concatenate(heads, axis=-1))

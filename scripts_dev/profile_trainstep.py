@@ -26,7 +26,8 @@ jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
 from dfu_multimodal_tpu import config
 from dfu_multimodal_tpu.train.engine import Trainer
 
-B = 32
+ARGS = sys.argv[1:]
+B = next((int(a) for a in ARGS if a.isdigit()), 32)
 MODEL = "thermal_only"
 
 
@@ -121,7 +122,7 @@ def main():
                 "fwd_only": fwd_only}
     chain = 8
 
-    for name in (sys.argv[1:] or list(variants)):
+    for name in ([a for a in ARGS if not a.isdigit()] or list(variants)):
         fn = variants[name]
 
         @jax.jit
