@@ -274,15 +274,17 @@ def main():
     # in the same artifact line (full train step: device-side augmentation
     # + fwd + bwd + AdamW). Guarded: the headline inference metric survives
     # any secondary-measurement failure.
-    train_ips = None
+    train_ips = {}
     if (on_tpu and not args.int8
             and not os.environ.get("DFU_BENCH_SKIP_TRAIN")):
-        try:
-            t = measure_training(32, 3, chain=8, model="multimodal")
-            train_ips = round(t["train_images_per_sec_per_chip"], 2)
-        except Exception as exc:                      # pragma: no cover
-            print(f"train-throughput measurement failed: {exc}",
-                  file=sys.stderr)
+        for model in ("multimodal", "thermal_only", "rgb_only"):
+            try:
+                t = measure_training(32, 3, chain=8, model=model)
+                train_ips[model] = round(
+                    t["train_images_per_sec_per_chip"], 2)
+            except Exception as exc:                  # pragma: no cover
+                print(f"train-throughput measurement failed ({model}): "
+                      f"{exc}", file=sys.stderr)
     int8_ips = None
     if on_tpu and not args.int8 and not os.environ.get("DFU_BENCH_SKIP_INT8"):
         try:
@@ -328,7 +330,11 @@ def main():
         "p50_batch_latency_ms": round(result["p50_batch_latency_ms"], 2),
         "batch_size": result["batch_size"],
         "platform": result["platform"],
-        "multimodal_train_images_per_sec_per_chip": train_ips,
+        "multimodal_train_images_per_sec_per_chip":
+            train_ips.get("multimodal"),
+        "thermal_train_images_per_sec_per_chip":
+            train_ips.get("thermal_only"),
+        "rgb_train_images_per_sec_per_chip": train_ips.get("rgb_only"),
         "int8_serving_images_per_sec_per_chip": int8_ips,
         "b1_p50_latency_ms": b1_ms,
         "b8_p50_latency_ms": b8_ms,

@@ -150,6 +150,11 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                              "(reference: 3)")
     parser.add_argument("--compute-dtype", choices=["bfloat16", "float32"],
                         default="bfloat16")
+    parser.add_argument("--optimizer-mu-dtype",
+                        choices=["bfloat16", "float32"], default="bfloat16",
+                        help="AdamW first-moment storage dtype (bf16 halves "
+                             "the m-state HBM traffic; float32 for "
+                             "bit-level optax parity)")
     parser.add_argument("--mesh-data", type=int, default=-1,
                         help="DP axis size (-1 = all devices)")
 
@@ -169,6 +174,7 @@ def train_config_from_args(args: argparse.Namespace,
         updates["save_best_after_epoch"] = args.save_best_after
     updates["seed"] = args.seed
     updates["compute_dtype"] = args.compute_dtype
+    updates["optimizer_mu_dtype"] = args.optimizer_mu_dtype
     updates["mesh"] = MeshConfig(data=args.mesh_data)
     return dataclasses.replace(defaults, **updates)
 

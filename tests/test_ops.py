@@ -24,6 +24,27 @@ def test_flash_attention_forward_matches_xla(shape):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_softmax_probs_compute_dtype_scaling():
+    """The compute-dtype score-matmul helper scales q by ``scale`` when it
+    is an exact power of two (lossless exponent shift; d = 16 -> 1/4) and
+    falls back to scaling the fp32 scores otherwise (d = 8 -> 8^-0.5).
+    In fp32 the pow2 branch must match the fp32 oracle BITWISE; the
+    fallback differs only by scale-after vs scale-before rounding."""
+    from dfu_multimodal_tpu.ops.attention import (_is_pow2, _softmax_probs,
+                                                  _softmax_probs_c)
+    key = jax.random.PRNGKey(3)
+    q = jax.random.normal(key, (24, 16))
+    k = jax.random.normal(jax.random.fold_in(key, 1), (24, 16))
+    assert _is_pow2(16 ** -0.5) and not _is_pow2(8 ** -0.5)
+    exact = np.asarray(_softmax_probs(q, k, 16 ** -0.5))
+    np.testing.assert_array_equal(
+        np.asarray(_softmax_probs_c(q, k, 16 ** -0.5)), exact)
+    close = np.asarray(_softmax_probs_c(q[:, :8], k[:, :8], 8 ** -0.5))
+    np.testing.assert_allclose(
+        close, np.asarray(_softmax_probs(q[:, :8], k[:, :8], 8 ** -0.5)),
+        rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.parametrize("shape", SHAPES[:1])
 def test_flash_attention_gradients_match_xla(shape):
     key = jax.random.PRNGKey(1)
