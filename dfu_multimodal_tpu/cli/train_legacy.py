@@ -62,8 +62,11 @@ def main(argv=None):
         name=f"legacy_{pre_args.variant}",
         model=variant["model"],
         title=f"Training legacy variant: {pre_args.variant}",
-        modalities={"rgb": config.rgb_modality(),
-                    "thermal": config.thermal_modality(blur=False)},
+        # Early-files transform pipelines: flip/flip/rotate ±15° applied
+        # after Normalize (mean fill), no jitter/affine/blur (reference
+        # scripts/early files/dataloader.py:123-147).
+        modalities={"rgb": config.legacy_rgb_modality(),
+                    "thermal": config.legacy_thermal_modality()},
         defaults=config.TrainConfig(
             batch_size=16, num_epochs=variant["epochs"],
             # legacy trainers use plain CE + plain shuffling

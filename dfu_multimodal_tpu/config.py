@@ -57,6 +57,12 @@ class AugmentConfig:
     gaussian_blur: bool = False
     blur_kernel_size: int = 3
     blur_sigma: Tuple[float, float] = (0.1, 0.5)
+    # Early-files lineage quirk: those pipelines apply the geometric augs
+    # AFTER Normalize (reference scripts/early files/dataloader.py:123-147),
+    # so torchvision's zero rotation fill lands at the normalization MEAN in
+    # image space.  True = fill out-of-coverage pixels with the modality
+    # mean instead of black (exact equivalent, see transforms._augment_one).
+    fill_with_mean: bool = False
 
 
 def rgb_augment() -> AugmentConfig:
@@ -67,6 +73,16 @@ def thermal_augment(blur: bool = True) -> AugmentConfig:
     # train_thermal_only.py uses blur; the multimodal trainer's thermal
     # pipeline uses affine only (train_multimodal_fusion.py:191-199).
     return AugmentConfig(color_jitter=False, gaussian_blur=blur)
+
+
+def legacy_augment() -> AugmentConfig:
+    """Early-files transform pipeline (reference scripts/early
+    files/dataloader.py:123-147): h/v flip p=0.5 + rotation ±15° only — no
+    jitter, no affine, no blur — applied after Normalize, hence the
+    mean-valued rotation fill."""
+    return AugmentConfig(rotation_degrees=15.0, color_jitter=False,
+                         affine=False, gaussian_blur=False,
+                         fill_with_mean=True)
 
 
 @dataclass(frozen=True)
@@ -83,6 +99,15 @@ def rgb_modality() -> ModalityConfig:
 
 def thermal_modality(blur: bool = True) -> ModalityConfig:
     return ModalityConfig("thermal", THERMAL_MEAN, THERMAL_STD, thermal_augment(blur))
+
+
+def legacy_rgb_modality() -> ModalityConfig:
+    return ModalityConfig("rgb", RGB_MEAN, RGB_STD, legacy_augment())
+
+
+def legacy_thermal_modality() -> ModalityConfig:
+    return ModalityConfig("thermal", THERMAL_MEAN, THERMAL_STD,
+                          legacy_augment())
 
 
 @dataclass(frozen=True)

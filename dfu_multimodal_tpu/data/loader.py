@@ -141,26 +141,42 @@ def load_paired(data_dir: Path, split: str, image_size: int = 224,
 
 def get_dataloaders(data_dir: Path, batch_size: int = 12,
                     image_size: int = 224, strategy: str = "aligned",
-                    seed: Optional[int] = None):
-    """Convenience: paired datasets + batch-iterator factories per split —
-    the reference's ``get_dataloaders`` contract (scripts/dataloader.py:
-    203-244) expressed as (datasets, make_batches(split, rng)).
+                    seed: Optional[int] = None, modality: str = "both"):
+    """Convenience: datasets + batch-iterator factories per split — the
+    reference's ``get_dataloaders`` contract (scripts/dataloader.py:203-244)
+    expressed as (datasets, make_batches(split, rng)).
+
+    ``modality`` reproduces the early-files surface
+    (scripts/early files/dataloader.py:210-262): ``"both"`` (default)
+    pairs the modalities; ``"rgb"``/``"thermal"`` return single-modality
+    datasets, and — as in that lineage — eval splits batch at
+    ``max(16, batch_size // 2)``.
 
     ``make_batches`` yields fixed-shape masked batch dicts; training splits
     shuffle, eval splits are sequential.
     """
-    datasets = {split: load_paired(data_dir, split, image_size,
-                                   strategy=strategy, seed=seed)
-                for split in ("train", "val", "test")}
+    if modality not in ("rgb", "thermal", "both"):
+        raise ValueError(f"Unknown modality: {modality}")
+    if modality == "both":
+        datasets = {split: load_paired(data_dir, split, image_size,
+                                       strategy=strategy, seed=seed)
+                    for split in ("train", "val", "test")}
+    else:
+        datasets = {split: load_single_modality(
+            Path(data_dir) / modality, split, image_size, modality)
+            for split in ("train", "val", "test")}
 
     def make_batches(split: str, rng: Optional[np.random.Generator] = None):
         ds = datasets[split]
+        bs = batch_size
         if split == "train":
             rng = rng or np.random.default_rng(seed)
             order = rng.permutation(len(ds))
         else:
             order = np.arange(len(ds))
-        return batch_slices(ds, order, batch_size)
+            if modality != "both":
+                bs = max(16, batch_size // 2)
+        return batch_slices(ds, order, bs)
 
     return datasets, make_batches
 

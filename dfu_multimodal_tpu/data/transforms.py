@@ -282,19 +282,33 @@ def _gaussian_blur(key: jax.Array, image: jnp.ndarray,
 
 
 def _augment_one(key: jax.Array, image: jnp.ndarray, cfg: AugmentConfig,
-                 work_dtype=jnp.float32, warp=None) -> jnp.ndarray:
+                 work_dtype=jnp.float32, warp=None,
+                 fill=None) -> jnp.ndarray:
     """Augment a single (H, W, C) uint8 image -> [0,255] float.
 
     ``work_dtype=bfloat16`` halves the gather/matmul bytes of the warp (the
     augmentation hot spot on TPU); interpolation at bf16 on [0,255] data
-    keeps ~2 decimal digits — far inside augmentation noise."""
+    keeps ~2 decimal digits — far inside augmentation noise.
+
+    ``fill``: per-channel constant for out-of-coverage pixels (the warp
+    itself fills with 0).  Because the bilinear resample is linear in pixel
+    values and maps constants to constants inside coverage,
+    ``warp(x - fill) + fill == warp(x) + fill * (1 - coverage)`` exactly —
+    a constant fill costs zero extra passes.  Used by the early-files
+    lineage whose rotation runs after Normalize (fill = modality mean,
+    reference scripts/early files/dataloader.py:123-147)."""
     h, w, _ = image.shape
     k_geom, k_color, k_blur = jax.random.split(key, 3)
     x = image.astype(work_dtype)
     if cfg.color_jitter:
         x = _color_jitter(k_color, x, cfg)
     inv = sample_inverse_affine(k_geom, cfg, h, w)
-    x = (warp or affine_warp)(x, inv)
+    warp = warp or affine_warp
+    if fill is not None:
+        f = jnp.asarray(fill, x.dtype)
+        x = warp(x - f, inv) + f
+    else:
+        x = warp(x, inv)
     if cfg.gaussian_blur:
         x = _gaussian_blur(k_blur, x, cfg)
     return x
@@ -310,9 +324,11 @@ def augment_and_normalize(key: jax.Array, images: jnp.ndarray,
     keys = jax.random.split(key, images.shape[0])
     work = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
     warp = resolve_warp(warp_impl)
+    fill = (tuple(255.0 * m for m in modality.mean)
+            if modality.augment.fill_with_mean else None)
     out = jax.vmap(
-        lambda k, im: _augment_one(k, im, modality.augment, work, warp))(
-        keys, images)
+        lambda k, im: _augment_one(k, im, modality.augment, work, warp,
+                                   fill))(keys, images)
     return normalize(out, modality.mean, modality.std, dtype)
 
 

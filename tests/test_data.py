@@ -246,6 +246,55 @@ def test_get_dataloaders_contract(synth_root):
     np.testing.assert_array_equal(b1["label"], b2["label"])
 
 
+def test_get_dataloaders_modality_surface(synth_root):
+    """Early-files surface (reference scripts/early files/dataloader.py:
+    210-262): single-modality selection + the max(16, batch//2) eval-batch
+    quirk."""
+    from dfu_multimodal_tpu.data import get_dataloaders
+    datasets, make_batches = get_dataloaders(synth_root, batch_size=40,
+                                             image_size=32, modality="rgb")
+    batch = next(iter(make_batches("train")))
+    assert set(batch) == {"rgb", "label", "valid"}
+    assert batch["rgb"].shape == (40, 32, 32, 3)
+    ev = next(iter(make_batches("val")))
+    assert ev["rgb"].shape[0] == max(16, 40 // 2)
+    with pytest.raises(ValueError):
+        get_dataloaders(synth_root, modality="depth")
+
+
+# ---------- early-files aug-after-normalize fill quirk ----------
+
+def test_mean_fill_matches_rotate_after_normalize():
+    """The early-files pipelines rotate AFTER Normalize with torchvision's
+    zero fill (scripts/early files/dataloader.py:123-147).  Our pipeline
+    augments before normalize; filling with the modality mean via
+    warp(x - fill) + fill must reproduce normalize-then-rotate exactly
+    (bilinear warps are linear in pixel values)."""
+    from dfu_multimodal_tpu.data.transforms import _rot_mat, affine_warp
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.integers(0, 255, (16, 16, 3)).astype(np.float32))
+    inv = _rot_mat(jnp.float32(25 * np.pi / 180))
+    mean, std = config.RGB_MEAN, config.RGB_STD
+    fill = jnp.asarray([255.0 * m for m in mean], jnp.float32)
+    ours = normalize(affine_warp(img - fill, inv) + fill, mean, std)
+    ref = affine_warp(normalize(img, mean, std), inv)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_legacy_augment_config_and_fill_plumbing():
+    mod = config.legacy_rgb_modality()
+    aug = mod.augment
+    assert aug.rotation_degrees == 15.0 and aug.fill_with_mean
+    assert not (aug.color_jitter or aug.affine or aug.gaussian_blur)
+    # an image equal to the fill constant is invariant under any rotation,
+    # so the normalized output must be ~0 everywhere (uint8 rounding only)
+    px = np.round(np.asarray(mod.mean) * 255.0).astype(np.uint8)
+    imgs = jnp.asarray(np.broadcast_to(px, (2, 16, 16, 3)))
+    out = np.asarray(augment_and_normalize(jax.random.PRNGKey(3), imgs, mod))
+    assert np.abs(out).max() < 0.03
+
+
 # ---------- leakage gate ----------
 
 def test_leakage_gate(tmp_path):
