@@ -6,7 +6,8 @@ profiler's trace.json.gz carries per-op device durations even under the
 axon tunnel — this script runs one traced train step and prints the
 device-op ranking.
 
-Usage: python scripts_dev/profile_ops.py [batch]
+Usage: python scripts_dev/profile_ops.py [batch] [model]
+(model in {thermal_only, rgb_only, multimodal}; default thermal_only)
 """
 from __future__ import annotations
 
@@ -31,13 +32,14 @@ from dfu_multimodal_tpu import config
 from dfu_multimodal_tpu.train.engine import Trainer
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+MODEL = sys.argv[2] if len(sys.argv) > 2 else "thermal_only"
 
 
 def main():
     cfg = config.TrainConfig(batch_size=B, compute_dtype="bfloat16")
     modalities = {"rgb": config.rgb_modality(),
                   "thermal": config.thermal_modality(blur=False)}
-    trainer = Trainer("thermal_only", cfg, modalities,
+    trainer = Trainer(MODEL, cfg, modalities,
                       class_weights=np.array([1.0, 1.0], np.float32))
     state = trainer.init_state(jax.random.PRNGKey(0), image_size=224)
     rng0 = np.random.default_rng(0)
