@@ -141,6 +141,13 @@ class TrainConfig:
     # the second moment stays fp32 (squares need the mantissa).  Standard
     # large-scale practice; set "float32" for bit-level optax parity.
     optimizer_mu_dtype: str = "bfloat16"
+    # Gradient accumulation: split each global batch into this many
+    # microbatches inside ONE jitted step (a lax.scan), summing the
+    # unnormalized weighted-CE and Σw separately so the accumulated
+    # gradient is EXACTLY the full-batch gradient (train/engine.py).
+    # Peak activation memory drops ~grad_accum×; BatchNorm models update
+    # running stats once per microbatch (standard accumulation semantics).
+    grad_accum: int = 1
     eval_batch_size: Optional[int] = None  # defaults to batch_size
     weighted_sampling: bool = True         # WeightedRandomSampler equivalent
     class_weighted_loss: bool = True       # class-weighted CE equivalent
@@ -182,6 +189,10 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                              "bit-level optax parity)")
     parser.add_argument("--mesh-data", type=int, default=-1,
                         help="DP axis size (-1 = all devices)")
+    parser.add_argument("--grad-accum", type=int, default=1,
+                        help="microbatches per optimizer step (exact "
+                             "full-batch gradients, ~N× lower activation "
+                             "memory; batch size must divide evenly)")
 
 
 def train_config_from_args(args: argparse.Namespace,
@@ -200,6 +211,7 @@ def train_config_from_args(args: argparse.Namespace,
     updates["seed"] = args.seed
     updates["compute_dtype"] = args.compute_dtype
     updates["optimizer_mu_dtype"] = args.optimizer_mu_dtype
+    updates["grad_accum"] = args.grad_accum
     updates["mesh"] = MeshConfig(data=args.mesh_data)
     return dataclasses.replace(defaults, **updates)
 

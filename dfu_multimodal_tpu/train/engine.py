@@ -193,6 +193,20 @@ class Trainer:
 
     def build_train_step(self, jit: bool = True) -> Callable:
         module, spec, tx = self.module, self.spec, self.tx
+        accum = max(1, int(getattr(self.cfg, "grad_accum", 1)))
+
+        def apply_model(params, batch_stats, inputs, drop_rng):
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+                logits, new_state = module.apply(
+                    variables, *inputs, train=True,
+                    rngs={"dropout": drop_rng}, mutable=["batch_stats"])
+                return logits, new_state["batch_stats"]
+            # e.g. the pure-LayerNorm ViT: nothing mutable
+            logits = module.apply(variables, *inputs, train=True,
+                                  rngs={"dropout": drop_rng})
+            return logits, batch_stats
 
         def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                        rng: jax.Array):
@@ -203,17 +217,8 @@ class Trainer:
             weights = self._sample_weights(labels, batch["valid"])
 
             def loss_fn(params):
-                variables = {"params": params}
-                if state.batch_stats:
-                    variables["batch_stats"] = state.batch_stats
-                    logits, new_state = module.apply(
-                        variables, *inputs, train=True,
-                        rngs={"dropout": drop_rng}, mutable=["batch_stats"])
-                    new_bs = new_state["batch_stats"]
-                else:     # e.g. the pure-LayerNorm ViT: nothing mutable
-                    logits = module.apply(variables, *inputs, train=True,
-                                          rngs={"dropout": drop_rng})
-                    new_bs = state.batch_stats
+                logits, new_bs = apply_model(params, state.batch_stats,
+                                             inputs, drop_rng)
                 loss = weighted_ce(logits, labels, weights)
                 return loss, (logits, new_bs)
 
@@ -228,9 +233,69 @@ class Trainer:
                                                   batch["valid"])
             return new_state, {"loss": loss, "counts": counts}
 
+        def train_step_accum(state: TrainState,
+                             batch: Dict[str, jnp.ndarray], rng: jax.Array):
+            """One optimizer step from ``accum`` sequential microbatches
+            (lax.scan), EXACTLY reproducing the full-batch gradient: the
+            weighted-CE numerator Σ wᵢ·ceᵢ and denominator Σ wᵢ accumulate
+            separately, and ∇(N/W) = (Σ ∇Nₖ)/W because W is
+            parameter-independent.  Peak activation memory is one
+            microbatch.  BatchNorm running stats thread through the scan
+            (one EMA update per microbatch — standard accumulation
+            semantics, same as a torch accumulate loop); dropout draws a
+            fresh key per microbatch."""
+            aug_rng, drop_rng = jax.random.split(jax.random.fold_in(
+                rng, state.step))
+            inputs = self._preprocess_train(aug_rng, batch)
+            labels = batch["label"]
+            weights = self._sample_weights(labels, batch["valid"])
+            b = labels.shape[0]
+            if b % accum:
+                raise ValueError(f"batch {b} not divisible by "
+                                 f"grad_accum={accum}")
+            mb = b // accum
+
+            def split(x):
+                return x.reshape(accum, mb, *x.shape[1:])
+
+            mb_inputs = tuple(split(x) for x in inputs)
+            scan_xs = (mb_inputs, split(labels), split(weights),
+                       split(batch["valid"]),
+                       jax.random.split(drop_rng, accum))
+
+            def unnorm_loss(params, bs, xs, ys, ws, dr):
+                logits, new_bs = apply_model(params, bs, xs, dr)
+                ce = optax.softmax_cross_entropy_with_integer_labels(
+                    logits.astype(jnp.float32), ys)
+                return jnp.sum(ws * ce), (logits, new_bs)
+
+            def body(carry, x):
+                gacc, bs = carry
+                xs, ys, ws, vd, dr = x
+                (numer, (logits, new_bs)), g = jax.value_and_grad(
+                    unnorm_loss, has_aux=True)(state.params, bs, xs, ys,
+                                               ws, dr)
+                gacc = jax.tree.map(jnp.add, gacc, g)
+                counts = metrics_mod.confusion_counts(
+                    jnp.argmax(logits, axis=-1), ys, vd)
+                return (gacc, new_bs), (numer, jnp.sum(ws), counts)
+
+            gacc0 = jax.tree.map(jnp.zeros_like, state.params)
+            (gacc, new_bs), (numers, wsums, counts) = jax.lax.scan(
+                body, (gacc0, state.batch_stats), scan_xs)
+            wtotal = jnp.maximum(jnp.sum(wsums), 1e-12)
+            grads = jax.tree.map(lambda g: g / wtotal, gacc)
+            loss = jnp.sum(numers) / wtotal
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(step=state.step + 1, params=new_params,
+                                      batch_stats=new_bs, opt_state=new_opt)
+            return new_state, {"loss": loss, "counts": counts.sum(axis=0)}
+
+        step = train_step_accum if accum > 1 else train_step
         if not jit:
-            return train_step       # raw body (e.g. for scanned benchmarks)
-        return jax.jit(train_step, donate_argnums=(0,))
+            return step             # raw body (e.g. for scanned benchmarks)
+        return jax.jit(step, donate_argnums=(0,))
 
     def build_eval_step(self) -> Callable:
         module, spec = self.module, self.spec

@@ -148,6 +148,64 @@ def test_bf16_first_moment_tracks_fp32_adamw(synth):
     assert m16.loss == pytest.approx(m32.loss, rel=1e-2)
 
 
+def test_grad_accum_matches_full_batch(synth):
+    """grad_accum=4 must reproduce the grad_accum=1 optimizer step EXACTLY
+    (up to fp32 reduction order): the step accumulates the unnormalized
+    weighted-CE numerator and Σw separately, so ∇(N/W) = (Σ∇Nₖ)/W
+    (train/engine.py::train_step_accum).  Uses the no-BN, no-dropout ViT
+    so the only difference between paths is the microbatch split."""
+    train, _ = synth
+    from dfu_multimodal_tpu.data.loader import ArrayDataset
+    ds = ArrayDataset(arrays={"thermal": train.arrays["rgb"][:8]},
+                      labels=train.labels[:8])
+    states, metrics, = {}, {}
+    for accum in (1, 4):
+        cfg = config.TrainConfig(batch_size=8, num_epochs=1,
+                                 compute_dtype="float32", drop_rate=0.0,
+                                 optimizer_mu_dtype="float32", seed=0,
+                                 grad_accum=accum)
+        trainer = Trainer("thermal_only", cfg,
+                          {"thermal": config.thermal_modality()},
+                          attention_impl="xla")
+        state = trainer.init_state(jax.random.PRNGKey(0), image_size=32)
+        batch = {"thermal": ds.arrays["thermal"], "label": ds.labels,
+                 "valid": np.ones(8, np.float32)}
+        batch = jax.device_put(batch, trainer.batch_sharding)
+        states[accum], metrics[accum] = trainer.train_step(
+            state, batch, jax.random.PRNGKey(1))
+    assert float(metrics[4]["loss"]) == pytest.approx(
+        float(metrics[1]["loss"]), rel=1e-6)
+    np.testing.assert_array_equal(np.asarray(metrics[4]["counts"]),
+                                  np.asarray(metrics[1]["counts"]))
+    flat1 = jax.tree_util.tree_leaves_with_path(states[1].params)
+    flat4 = dict(jax.tree_util.tree_leaves_with_path(states[4].params))
+    # atol covers AdamW's amplification of fp32 reduction-order noise on
+    # near-zero gradients (update ~ lr*g/(sqrt(g^2)+eps): a 1e-10 grad
+    # wiggle moves the param by ~lr*g/eps ~ 1e-6); the exact-accumulation
+    # claim itself is pinned by the rel-1e-6 loss match above.
+    for path, leaf in flat1:
+        np.testing.assert_allclose(
+            np.asarray(flat4[path]), np.asarray(leaf), rtol=1e-5,
+            atol=1e-5, err_msg=jax.tree_util.keystr(path))
+
+
+def test_grad_accum_batchnorm_epoch(synth):
+    """BatchNorm models train under accumulation (stats thread through the
+    scan, one EMA update per microbatch) — smoke an epoch and check the
+    running stats moved."""
+    train, _ = synth
+    trainer = make_trainer(grad_accum=2)
+    state = trainer.init_state(jax.random.PRNGKey(0), image_size=32)
+    bs_before = jax.tree.map(np.asarray, state.batch_stats)
+    state, m = trainer.run_train_epoch(state, train,
+                                       np.random.default_rng(0),
+                                       jax.random.PRNGKey(1))
+    assert np.isfinite(m.loss)
+    moved = jax.tree.map(lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+                         state.batch_stats, bs_before)
+    assert max(jax.tree.leaves(moved)) > 0
+
+
 def test_trainer_rgb_impl_int8_roundtrip(tmp_path):
     """Trainer(rgb_impl='int8') must accept params produced by
     quantize_rgb_trunks from a trained fp32 state (the predict --int8
