@@ -94,44 +94,24 @@ def main(argv=None):
 
     if args.int8 and model_name in ("thermal_only", "rgb_only", "multimodal"):
         # Quantize the restored fp32 trunks once, then rebuild the engine
-        # around the int8 serving paths: fused int8 Pallas blocks for the
-        # ViT, calibrated static-scale int8 XLA convs for the ResNet
-        # (activation scales calibrated on the actual inference inputs).
-        import jax
-        import jax.numpy as jnp
+        # around the int8 serving paths (serve/engine.py): fused int8
+        # Pallas blocks for the ViT, calibrated static-scale int8 XLA
+        # convs for the ResNet.
+        from dfu_multimodal_tpu.serve.engine import quantize_for_serving
 
-        from dfu_multimodal_tpu.data.transforms import eval_normalize
-
-        qvars = trainer.variables(state)
-        vit_impl = "auto"
-        rgb_impl = "auto"
-        if "thermal" in trainer.spec.inputs:
-            from dfu_multimodal_tpu.models.vit import quantize_variables
-            qvars = quantize_variables(qvars)
-            vit_impl = ("fused_q8" if jax.devices()[0].platform == "tpu"
-                        else "fused_q8_interpret")
+        calib_u8 = None
         if "rgb" in trainer.spec.inputs:
-            from dfu_multimodal_tpu.models.resnet_q8 import quantize_rgb_trunks
             if args.calib_images is not None:
                 calib_paths = list_images(args.calib_images)[:32]
                 if not calib_paths:
                     raise SystemExit(
                         f"No calibration images under {args.calib_images}")
                 calib_u8 = decode_all(calib_paths, args.image_size)
-            else:
+            else:       # default: the first <=32 inference inputs
                 calib_u8 = arrays[primary][:min(32, len(paths))]
-            calib = eval_normalize(jnp.asarray(calib_u8),
-                                   modalities["rgb"], trainer.compute_dtype)
-            qvars = quantize_rgb_trunks(qvars, [calib],
-                                        dtype=trainer.compute_dtype)
-            rgb_impl = "int8"
-        trainer = Trainer(model_name, cfg, modalities,
-                          attention_impl=args.attention_impl,
-                          block_impl=vit_impl, rgb_impl=rgb_impl)
-        qstate = trainer.init_state(jax.random.PRNGKey(0),
-                                    image_size=args.image_size)
-        state = qstate.replace(params=qvars["params"],
-                               batch_stats=qvars.get("batch_stats", {}))
+        trainer, state = quantize_for_serving(
+            trainer, state, image_size=args.image_size, calib_u8=calib_u8,
+            attention_impl=args.attention_impl)
 
     n = len(paths)
     ds = ArrayDataset(arrays=arrays, labels=np.zeros(n, np.int32))

@@ -1,0 +1,127 @@
+"""Online serving daemon: dynamic-batching HTTP inference on a checkpoint.
+
+No reference counterpart (the reference ends at offline evaluation of
+labeled split directories); this is the production deployment entry point:
+
+    python -m dfu_multimodal_tpu.cli.serve \
+        --checkpoint logs/checkpoints_multimodal --port 8000 \
+        [--int8 --calib-images <dir>] [--max-batch 64] [--max-wait-ms 2]
+
+Then:
+
+    curl -X POST --data-binary @foot.jpg -H 'Content-Type: image/jpeg' \
+        http://localhost:8000/v1/predict
+    curl http://localhost:8000/metrics
+
+Single-image p50 on the fused bf16 path is ~0.6 ms of device compute
+(docs/DESIGN.md latency row); the batcher coalesces concurrent requests
+into power-of-two buckets so throughput under load approaches the b128
+serving numbers (3307 img/s bf16 / 4125 img/s int8 per chip).
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Serving daemon")
+    parser.add_argument("--checkpoint", type=Path, required=True)
+    parser.add_argument("--model", default=None,
+                        help="zoo name; default: checkpoint metadata")
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--image-size", type=int, default=224)
+    parser.add_argument("--max-batch", type=int, default=64,
+                        help="largest coalesced batch (top bucket)")
+    parser.add_argument("--max-wait-ms", type=float, default=2.0,
+                        help="batching window after the first queued "
+                             "request")
+    parser.add_argument("--compute-dtype", default="bfloat16",
+                        choices=["bfloat16", "float32"])
+    parser.add_argument("--attention-impl", default="auto",
+                        choices=["auto", "xla", "pallas"])
+    parser.add_argument("--int8", action="store_true",
+                        help="serve the int8 paths (fused int8 ViT blocks "
+                             "+ calibrated int8-conv ResNet; measured 0%% "
+                             "prediction flips, RESULTS_REHEARSAL.md)")
+    parser.add_argument("--calib-images", type=Path, default=None,
+                        help="REQUIRED with --int8 for models with an RGB "
+                             "trunk: directory of images (first 32, sorted) "
+                             "fixing the static int8 activation scales")
+    parser.add_argument("--no-warmup", action="store_true",
+                        help="skip pre-compiling the batch buckets "
+                             "(first requests then pay XLA compiles)")
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from dfu_multimodal_tpu import config as cfg_mod
+    from dfu_multimodal_tpu.config import TrainConfig
+    from dfu_multimodal_tpu.serve.engine import (ServingEngine,
+                                                 quantize_for_serving)
+    from dfu_multimodal_tpu.serve.http import make_server
+    from dfu_multimodal_tpu.train.engine import Trainer
+    from dfu_multimodal_tpu.utils import checkpoint as ckpt_mod
+
+    model_name = args.model or ckpt_mod.load_meta(args.checkpoint).get(
+        "model", "rgb_only")
+    cfg = TrainConfig(batch_size=args.max_batch,
+                      eval_batch_size=args.max_batch,
+                      compute_dtype=args.compute_dtype,
+                      mesh=cfg_mod.MeshConfig(data=-1))
+    modalities = {"rgb": cfg_mod.rgb_modality(),
+                  "thermal": cfg_mod.thermal_modality()}
+    trainer = Trainer(model_name, cfg, modalities,
+                      attention_impl=args.attention_impl)
+    state = trainer.restore(args.checkpoint, image_size=args.image_size)
+
+    if args.int8:
+        calib_u8 = None
+        if "rgb" in trainer.spec.inputs:
+            from dfu_multimodal_tpu.data.layout import list_images
+            from dfu_multimodal_tpu.data.loader import decode_all
+
+            if args.calib_images is None:
+                raise SystemExit("--int8 with an RGB trunk requires "
+                                 "--calib-images (static activation-scale "
+                                 "calibration set)")
+            paths = list_images(args.calib_images)[:32]
+            if not paths:
+                raise SystemExit(
+                    f"No calibration images under {args.calib_images}")
+            calib_u8 = decode_all(paths, args.image_size)
+        trainer, state = quantize_for_serving(
+            trainer, state, image_size=args.image_size, calib_u8=calib_u8,
+            attention_impl=args.attention_impl)
+
+    engine = ServingEngine(trainer, state, image_size=args.image_size,
+                           max_batch=args.max_batch,
+                           max_wait_ms=args.max_wait_ms)
+    if not args.no_warmup:
+        print(f"warming {len(engine.buckets)} batch buckets "
+              f"{list(engine.buckets)} ...", flush=True)
+        engine.warmup()
+    engine.start()
+
+    server = make_server(engine, args.host, args.port)
+    mode = "int8" if args.int8 else args.compute_dtype
+    print(f"serving {model_name} ({mode}) on "
+          f"http://{args.host}:{server.server_address[1]}  "
+          f"[max_batch={engine.max_batch}, wait={args.max_wait_ms}ms]",
+          flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+        engine.stop()
+    return engine.stats()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,288 @@
+"""Dynamic micro-batching serving engine over the jitted eval step.
+
+TPU-native online serving design (no reference counterpart — the reference
+repo's inference surface is offline evaluation of labeled split dirs, e.g.
+reference notebooks/evaluate_rgb_only.py):
+
+- ONE thread owns the device.  Request threads enqueue (inputs, Future)
+  pairs; the batcher thread drains the queue, coalescing up to
+  ``max_batch`` requests or waiting at most ``max_wait_ms`` after the
+  first, then runs a single forward and fans the rows back out.
+- Batches are padded to POWER-OF-TWO buckets (each rounded up to the mesh
+  data-axis multiple).  XLA compiles one program per static shape, so a
+  fixed bucket ladder bounds compile count; :meth:`warmup` pre-compiles
+  every bucket so no request ever pays a compile.  Padding rows carry
+  ``valid=0`` — the same masked-batch convention the training loader uses
+  (data/loader.py).
+- The forward is the Trainer's own jitted eval step (train/engine.py):
+  uint8 host batch -> device normalize -> fused bf16 (or int8 Pallas /
+  int8-conv) trunks -> probabilities.  fp32<->uint8 conversion and
+  normalization stay inside the compiled program; the host only stacks
+  uint8 rows.
+- Latency accounting is end-to-end per request (submit -> result on the
+  caller's future), kept in a bounded reservoir for p50/p99.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from collections import Counter, deque
+from concurrent.futures import Future
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from dfu_multimodal_tpu.parallel import mesh as mesh_mod
+
+
+def quantize_for_serving(trainer, state, image_size: int = 224,
+                         calib_u8: Optional[np.ndarray] = None,
+                         attention_impl: str = "auto"):
+    """Rebuild a restored fp32/bf16 (trainer, state) around the int8
+    serving paths: fused int8 Pallas blocks for the ViT branch
+    (models/vit.py::quantize_variables), calibrated static-scale int8 XLA
+    convs for the ResNet branch (models/resnet_q8.py).
+
+    ``calib_u8``: (N, S, S, 3) uint8 images used to calibrate the ResNet
+    activation scales (first 32 used).  Required when the model has an RGB
+    trunk; pin a fixed set for reproducible deployments.
+
+    Returns the new (trainer, state).  Decision-level cost of this path is
+    measured at 0% prediction flips on all four serving configurations
+    (RESULTS_REHEARSAL.md).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from dfu_multimodal_tpu.train.engine import Trainer
+
+    model_name = trainer.spec.name
+    qvars = trainer.variables(state)
+    vit_impl = "auto"
+    rgb_impl = "auto"
+    if "thermal" in trainer.spec.inputs:
+        from dfu_multimodal_tpu.models.vit import quantize_variables
+
+        qvars = quantize_variables(qvars)
+        vit_impl = ("fused_q8" if jax.devices()[0].platform == "tpu"
+                    else "fused_q8_interpret")
+    if "rgb" in trainer.spec.inputs:
+        from dfu_multimodal_tpu.data.transforms import eval_normalize
+        from dfu_multimodal_tpu.models.resnet_q8 import quantize_rgb_trunks
+
+        if calib_u8 is None or len(calib_u8) == 0:
+            raise ValueError(
+                "int8 serving of an RGB trunk needs calibration images "
+                "(calib_u8) to fix the static activation scales")
+        calib = eval_normalize(jnp.asarray(calib_u8[:32]),
+                               trainer.modalities["rgb"],
+                               trainer.compute_dtype)
+        qvars = quantize_rgb_trunks(qvars, [calib],
+                                    dtype=trainer.compute_dtype)
+        rgb_impl = "int8"
+
+    qtrainer = Trainer(model_name, trainer.cfg, trainer.modalities,
+                       attention_impl=attention_impl,
+                       block_impl=vit_impl, rgb_impl=rgb_impl)
+    qstate = qtrainer.init_state(jax.random.PRNGKey(0),
+                                 image_size=image_size)
+    qstate = qstate.replace(params=qvars["params"],
+                            batch_stats=qvars.get("batch_stats", {}))
+    return qtrainer, qstate
+
+
+class ServingEngine:
+    """Coalesce concurrent single-image requests into bucketed batches.
+
+    Thread-safe entry points:
+
+    - :meth:`submit` — enqueue one sample, get a ``Future`` resolving to
+      ``(prob_ulcer, prediction)``.
+    - :meth:`predict` — synchronous convenience over :meth:`submit` for a
+      host batch (used by tests and warmup).
+    - :meth:`stats` — counters + latency percentiles.
+
+    Use as a context manager (``with ServingEngine(...) as eng``) or call
+    :meth:`start`/:meth:`stop`.
+    """
+
+    def __init__(self, trainer, state, *, image_size: int = 224,
+                 max_batch: int = 64, max_wait_ms: float = 2.0,
+                 latency_window: int = 4096):
+        self.trainer = trainer
+        self.image_size = int(image_size)
+        self.inputs: Tuple[str, ...] = tuple(trainer.spec.inputs)
+        self.model_name: str = trainer.spec.name
+        self._variables = trainer.variables(state)
+        self._eval_step = trainer.eval_step          # jitted, shape-cached
+        self.max_wait_s = float(max_wait_ms) * 1e-3
+        # Power-of-two ladder, each rounded up to the mesh multiple so
+        # device_put with the data-axis sharding always divides evenly.
+        self.max_batch = mesh_mod.pad_batch_to_mesh(int(max_batch),
+                                                    trainer.mesh)
+        ladder: List[int] = []
+        b = 1
+        while b < self.max_batch:
+            ladder.append(mesh_mod.pad_batch_to_mesh(b, trainer.mesh))
+            b *= 2
+        ladder.append(self.max_batch)
+        self.buckets: Tuple[int, ...] = tuple(sorted(set(ladder)))
+
+        self._queue: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._lock = threading.Lock()
+        self._latencies = deque(maxlen=latency_window)
+        self._batch_sizes: Counter = Counter()
+        self._requests = 0
+        self._errors = 0
+
+    # ------------------------------------------------------------ lifecycle
+
+    def start(self) -> "ServingEngine":
+        if self._thread is None:
+            self._stop.clear()
+            self._thread = threading.Thread(target=self._loop,
+                                            name="dfu-serve-batcher",
+                                            daemon=True)
+            self._thread.start()
+        return self
+
+    def stop(self, timeout: float = 5.0) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=timeout)
+            self._thread = None
+        # fail any stragglers enqueued after the drain
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            item[1].set_exception(RuntimeError("serving engine stopped"))
+
+    def __enter__(self) -> "ServingEngine":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    # ------------------------------------------------------------- serving
+
+    def submit(self, sample: Dict[str, np.ndarray]) -> Future:
+        """Enqueue one sample (``{modality: (S, S, 3) uint8}``; missing
+        modalities fill black, matching the loader's masked-modality
+        convention).  Returns a Future of ``(prob_ulcer, pred_int)``."""
+        fut: Future = Future()
+        self._queue.put((sample, fut, time.monotonic()))
+        return fut
+
+    def predict(self, samples: Sequence[Dict[str, np.ndarray]]
+                ) -> List[Tuple[float, int]]:
+        """Synchronous batch convenience: submit all, wait for all."""
+        futs = [self.submit(s) for s in samples]
+        return [f.result() for f in futs]
+
+    def warmup(self) -> None:
+        """Compile every bucket's program before taking traffic (first
+        compile is seconds; steady-state must never pay it)."""
+        zero = {m: np.zeros((self.image_size, self.image_size, 3), np.uint8)
+                for m in self.inputs}
+        for bucket in self.buckets:
+            self._execute([(dict(zero), Future(), time.monotonic())
+                           for _ in range(bucket)], record=False)
+
+    # ------------------------------------------------------------- batcher
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            items = [first]
+            deadline = time.monotonic() + self.max_wait_s
+            while len(items) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    # drain anything already queued, but stop waiting
+                    try:
+                        items.append(self._queue.get_nowait())
+                        continue
+                    except queue.Empty:
+                        break
+                try:
+                    items.append(self._queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            self._execute(items)
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if b >= n:
+                return b
+        return self.max_batch
+
+    def _execute(self, items, record: bool = True) -> None:
+        import jax
+
+        n = len(items)
+        bucket = self._bucket(n)
+        S = self.image_size
+        try:
+            batch = {m: np.zeros((bucket, S, S, 3), np.uint8)
+                     for m in self.inputs}
+            for i, (sample, _, _) in enumerate(items):
+                for m in self.inputs:
+                    if m in sample:
+                        batch[m][i] = sample[m]
+            batch["label"] = np.zeros(bucket, np.int32)
+            batch["valid"] = (np.arange(bucket) < n).astype(np.float32)
+            batch = jax.device_put(batch, self.trainer.batch_sharding)
+            out = self._eval_step(self._variables, batch)
+            probs = np.asarray(out["probs"])[:n]
+            preds = np.asarray(out["preds"])[:n]
+        except Exception as exc:                     # fan the failure out
+            for _, fut, _ in items:
+                if not fut.done():
+                    fut.set_exception(exc)
+            if record:
+                with self._lock:
+                    self._errors += n
+            return
+        now = time.monotonic()
+        for (_, fut, t0), prob, pred in zip(items, probs, preds):
+            if not fut.done():
+                fut.set_result((float(prob), int(pred)))
+            if record:
+                with self._lock:
+                    self._latencies.append(now - t0)
+        if record:
+            with self._lock:
+                self._requests += n
+                self._batch_sizes[n] += 1
+
+    # ------------------------------------------------------------- metrics
+
+    def stats(self) -> Dict:
+        with self._lock:
+            lat = np.asarray(self._latencies, np.float64) * 1e3
+            sizes = dict(sorted(self._batch_sizes.items()))
+            requests, errors = self._requests, self._errors
+        out = {"model": self.model_name,
+               "inputs": list(self.inputs),
+               "requests": requests,
+               "errors": errors,
+               "queue_depth": self._queue.qsize(),
+               "buckets": list(self.buckets),
+               "batch_size_hist": sizes}
+        if lat.size:
+            out["latency_ms"] = {
+                "p50": round(float(np.percentile(lat, 50)), 3),
+                "p90": round(float(np.percentile(lat, 90)), 3),
+                "p99": round(float(np.percentile(lat, 99)), 3),
+                "mean": round(float(lat.mean()), 3),
+                "window": int(lat.size)}
+        return out

@@ -1,0 +1,174 @@
+"""Serving subsystem: dynamic batcher parity/coalescing + the HTTP front
+end, on the CPU mesh with a single-device trainer (the serving topology —
+one chip, one batcher thread — is single-device by construction)."""
+
+import base64
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from dfu_multimodal_tpu import config
+from dfu_multimodal_tpu.data.loader import ArrayDataset
+from dfu_multimodal_tpu.serve.engine import (ServingEngine,
+                                             quantize_for_serving)
+from dfu_multimodal_tpu.serve.http import decode_image_bytes, make_server
+from dfu_multimodal_tpu.train.engine import Trainer
+
+SIZE = 32
+
+
+def make_serving_trainer():
+    cfg = config.TrainConfig(batch_size=8, eval_batch_size=8,
+                             compute_dtype="float32",
+                             mesh=config.MeshConfig(data=1))
+    trainer = Trainer("tiny_rgb", cfg, {"rgb": config.rgb_modality()})
+    state = trainer.init_state(jax.random.PRNGKey(0), image_size=SIZE)
+    return trainer, state
+
+
+@pytest.fixture(scope="module")
+def served():
+    trainer, state = make_serving_trainer()
+    engine = ServingEngine(trainer, state, image_size=SIZE, max_batch=8,
+                           max_wait_ms=100.0)
+    engine.warmup()
+    with engine:
+        yield trainer, state, engine
+
+
+def rand_images(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(n, SIZE, SIZE, 3), dtype=np.uint8)
+
+
+def test_engine_matches_eval_epoch(served):
+    """Row-for-row parity with the offline eval path: the batcher pads to
+    buckets and masks with valid=0, which must not change any real row's
+    probability."""
+    trainer, state, engine = served
+    imgs = rand_images(12)
+    _, out = trainer.run_eval_epoch(
+        state, ArrayDataset(arrays={"rgb": imgs},
+                            labels=np.zeros(12, np.int32)))
+    got = engine.predict([{"rgb": img} for img in imgs])
+    np.testing.assert_allclose([p for p, _ in got], out["y_probs"],
+                               rtol=1e-5, atol=1e-6)
+    assert [p for _, p in got] == list(out["y_pred"])
+
+
+def test_batcher_coalesces_concurrent_requests(served):
+    """8 requests submitted inside one batching window must not run as 8
+    singleton batches (the whole point of the dynamic batcher)."""
+    _, _, engine = served
+    before = sum(engine.stats()["batch_size_hist"].values())
+    futs = [engine.submit({"rgb": img}) for img in rand_images(8, seed=1)]
+    for f in futs:
+        prob, pred = f.result(timeout=30)
+        assert 0.0 <= prob <= 1.0 and pred in (0, 1)
+    stats = engine.stats()
+    n_batches = sum(stats["batch_size_hist"].values()) - before
+    assert n_batches < 8, f"no coalescing: {stats['batch_size_hist']}"
+    assert max(int(k) for k in stats["batch_size_hist"]) > 1
+    assert stats["latency_ms"]["p50"] > 0
+
+
+def test_bucket_ladder_and_padding(served):
+    """Buckets are powers of two padded to the mesh multiple; any request
+    count maps to the smallest covering bucket."""
+    _, _, engine = served
+    assert engine.buckets == (1, 2, 4, 8)
+    assert engine._bucket(3) == 4
+    assert engine._bucket(8) == 8
+    assert engine._bucket(9) == 8        # clamped to max_batch
+
+
+def test_quantize_for_serving_requires_calibration():
+    trainer, state = make_serving_trainer()
+    with pytest.raises(ValueError, match="calib"):
+        quantize_for_serving(trainer, state, image_size=SIZE)
+
+
+def _encode_png(img: np.ndarray) -> bytes:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_decode_image_bytes_matches_loader_contract():
+    img = rand_images(1, seed=2)[0]
+    out = decode_image_bytes(_encode_png(img), SIZE)
+    np.testing.assert_array_equal(out, img)      # PNG is lossless
+    # resize path: a 2x image comes back at the serving size
+    big = np.kron(img, np.ones((2, 2, 1))).astype(np.uint8)
+    assert decode_image_bytes(_encode_png(big), SIZE).shape == (SIZE, SIZE, 3)
+
+
+@pytest.fixture(scope="module")
+def http_url(served):
+    _, _, engine = served
+    server = make_server(engine, host="127.0.0.1", port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{server.server_address[1]}"
+    server.shutdown()
+    server.server_close()
+
+
+def _post(url, data, ctype):
+    req = urllib.request.Request(url, data=data,
+                                 headers={"Content-Type": ctype})
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        return json.loads(resp.read())
+
+
+def test_http_predict_binary_and_json(served, http_url):
+    trainer, state, engine = served
+    img = rand_images(1, seed=3)[0]
+    png = _encode_png(img)
+
+    out_bin = _post(f"{http_url}/v1/predict", png, "image/png")
+    assert out_bin["prediction"] in ("ulcer", "healthy")
+    assert out_bin["model"] == "tiny_rgb"
+
+    payload = json.dumps(
+        {"image": base64.b64encode(png).decode()}).encode()
+    out_json = _post(f"{http_url}/v1/predict", payload, "application/json")
+    assert out_json["prob_ulcer"] == pytest.approx(out_bin["prob_ulcer"],
+                                                   abs=1e-6)
+
+    # parity with the engine's direct path
+    (prob, _), = engine.predict([{"rgb": img}])
+    assert out_bin["prob_ulcer"] == pytest.approx(prob, abs=1e-5)
+
+
+def test_http_health_metrics_and_errors(http_url):
+    with urllib.request.urlopen(f"{http_url}/healthz", timeout=30) as r:
+        health = json.loads(r.read())
+    assert health == {"status": "ok", "model": "tiny_rgb",
+                      "inputs": ["rgb"]}
+
+    with urllib.request.urlopen(f"{http_url}/metrics", timeout=30) as r:
+        metrics = json.loads(r.read())
+    assert metrics["requests"] > 0 and metrics["errors"] == 0
+
+    for data, ctype in ((b"", "image/png"),
+                        (b"not an image", "text/plain"),
+                        (json.dumps({"rgb": "!!!"}).encode(),
+                         "application/json"),
+                        (json.dumps({"other": "x"}).encode(),
+                         "application/json")):
+        with pytest.raises(urllib.error.HTTPError) as err:
+            _post(f"{http_url}/v1/predict", data, ctype)
+        assert err.value.code == 400
+
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _post(f"{http_url}/nope", b"{}", "application/json")
+    assert err.value.code == 404
