@@ -148,6 +148,11 @@ class TrainConfig:
     # Peak activation memory drops ~grad_accum×; BatchNorm models update
     # running stats once per microbatch (standard accumulation semantics).
     grad_accum: int = 1
+    # Quantization-aware training (train/qat.py): compute the loss through
+    # ViT encoder kernels snapped to the int8 serving grid (straight-
+    # through estimator), so quantize_variables() at deployment is
+    # essentially lossless.  No-op for models without a ViT trunk.
+    qat: bool = False
     eval_batch_size: Optional[int] = None  # defaults to batch_size
     weighted_sampling: bool = True         # WeightedRandomSampler equivalent
     class_weighted_loss: bool = True       # class-weighted CE equivalent
@@ -193,6 +198,11 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                         help="microbatches per optimizer step (exact "
                              "full-batch gradients, ~N× lower activation "
                              "memory; batch size must divide evenly)")
+    parser.add_argument("--qat", action="store_true",
+                        help="quantization-aware training: loss through "
+                             "ViT kernels snapped to the int8 serving "
+                             "grid (straight-through estimator), making "
+                             "predict --int8 conversion ~lossless")
 
 
 def train_config_from_args(args: argparse.Namespace,
@@ -212,6 +222,7 @@ def train_config_from_args(args: argparse.Namespace,
     updates["compute_dtype"] = args.compute_dtype
     updates["optimizer_mu_dtype"] = args.optimizer_mu_dtype
     updates["grad_accum"] = args.grad_accum
+    updates["qat"] = args.qat
     updates["mesh"] = MeshConfig(data=args.mesh_data)
     return dataclasses.replace(defaults, **updates)
 

@@ -47,6 +47,7 @@ from dfu_multimodal_tpu.data.transforms import (augment_and_normalize,
 from dfu_multimodal_tpu.eval import metrics as metrics_mod
 from dfu_multimodal_tpu.models import zoo
 from dfu_multimodal_tpu.parallel import mesh as mesh_mod
+from dfu_multimodal_tpu.train import qat as qat_mod
 from dfu_multimodal_tpu.utils import checkpoint as ckpt_mod
 
 
@@ -194,8 +195,11 @@ class Trainer:
     def build_train_step(self, jit: bool = True) -> Callable:
         module, spec, tx = self.module, self.spec, self.tx
         accum = max(1, int(getattr(self.cfg, "grad_accum", 1)))
+        qat = bool(getattr(self.cfg, "qat", False))
 
         def apply_model(params, batch_stats, inputs, drop_rng):
+            if qat:    # loss through serving-grid weights, STE gradients
+                params = qat_mod.fake_quant_vit_trunks(params)
             variables = {"params": params}
             if batch_stats:
                 variables["batch_stats"] = batch_stats
@@ -300,7 +304,13 @@ class Trainer:
     def build_eval_step(self) -> Callable:
         module, spec = self.module, self.spec
 
+        qat = bool(getattr(self.cfg, "qat", False))
+
         def eval_step(variables: Dict, batch: Dict[str, jnp.ndarray]):
+            if qat:     # validate on the same serving-grid weights QAT
+                variables = {**variables,       # trains through
+                             "params": qat_mod.fake_quant_vit_trunks(
+                                 variables["params"])}
             inputs = self._preprocess_eval(batch)
             labels = batch["label"]
             logits = module.apply(variables, *inputs, train=False)
