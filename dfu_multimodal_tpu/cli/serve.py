@@ -38,6 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--max-wait-ms", type=float, default=2.0,
                         help="batching window after the first queued "
                              "request")
+    parser.add_argument("--pipeline-depth", type=int, default=1,
+                        help="2 overlaps next-batch transfer+dispatch with "
+                             "the previous batch's result fetch (helps on "
+                             "direct-attached hosts; measured SLOWER over "
+                             "a tunneled link, serve/engine.py)")
     parser.add_argument("--compute-dtype", default="bfloat16",
                         choices=["bfloat16", "float32"])
     parser.add_argument("--attention-impl", default="auto",
@@ -100,7 +105,8 @@ def main(argv=None):
 
     engine = ServingEngine(trainer, state, image_size=args.image_size,
                            max_batch=args.max_batch,
-                           max_wait_ms=args.max_wait_ms)
+                           max_wait_ms=args.max_wait_ms,
+                           pipeline_depth=args.pipeline_depth)
     if not args.no_warmup:
         print(f"warming {len(engine.buckets)} batch buckets "
               f"{list(engine.buckets)} ...", flush=True)

@@ -110,7 +110,7 @@ class ServingEngine:
 
     def __init__(self, trainer, state, *, image_size: int = 224,
                  max_batch: int = 64, max_wait_ms: float = 2.0,
-                 latency_window: int = 4096):
+                 pipeline_depth: int = 1, latency_window: int = 4096):
         self.trainer = trainer
         self.image_size = int(image_size)
         self.inputs: Tuple[str, ...] = tuple(trainer.spec.inputs)
@@ -130,6 +130,7 @@ class ServingEngine:
         ladder.append(self.max_batch)
         self.buckets: Tuple[int, ...] = tuple(sorted(set(ladder)))
 
+        self.pipeline_depth = max(1, int(pipeline_depth))
         self._queue: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -196,28 +197,61 @@ class ServingEngine:
 
     # ------------------------------------------------------------- batcher
 
-    def _loop(self) -> None:
-        while not self._stop.is_set():
-            try:
-                first = self._queue.get(timeout=0.05)
-            except queue.Empty:
-                continue
-            items = [first]
-            deadline = time.monotonic() + self.max_wait_s
-            while len(items) < self.max_batch:
-                remaining = deadline - time.monotonic()
-                if remaining <= 0:
-                    # drain anything already queued, but stop waiting
-                    try:
-                        items.append(self._queue.get_nowait())
-                        continue
-                    except queue.Empty:
-                        break
+    def _collect(self, first_timeout: float):
+        """Coalesce up to ``max_batch`` queued requests: block up to
+        ``first_timeout`` for the first, then keep the window open
+        ``max_wait_ms`` after it.  Returns [] on timeout."""
+        try:
+            first = self._queue.get(timeout=first_timeout)
+        except queue.Empty:
+            return []
+        items = [first]
+        deadline = time.monotonic() + self.max_wait_s
+        while len(items) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                # drain anything already queued, but stop waiting
                 try:
-                    items.append(self._queue.get(timeout=remaining))
+                    items.append(self._queue.get_nowait())
+                    continue
                 except queue.Empty:
                     break
-            self._execute(items)
+            try:
+                items.append(self._queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return items
+
+    def _loop(self) -> None:
+        """Sequential by default (``pipeline_depth=1``): collect, dispatch,
+        fetch, repeat — requests queue up during the fetch, which is what
+        produces full buckets under load.
+
+        ``pipeline_depth=2`` enables a software pipeline: dispatch batch
+        N+1 (host assembly + async device_put + async jit dispatch) BEFORE
+        fetching batch N's results, overlapping input transfer with the
+        result wait.  MEASURED NEGATIVE under the axon tunnel (2026-08-18,
+        multimodal b128 load test, scripts_dev/bench_serve.py): 165 req/s
+        sequential vs 79-49 req/s pipelined — interleaving the next
+        batch's ~38.5 MB upload with the previous batch's result RPC
+        head-of-line-blocks the tunnel link, which is already the
+        bottleneck (~30-60 MB/s H2D; device compute is 38.7 ms/batch).
+        Kept as an opt-in for direct-attached hosts, where input DMA is
+        GB/s and overlap can only help."""
+        pending = None
+        while not self._stop.is_set():
+            # With a batch in flight, don't sleep waiting for more work —
+            # grab whatever is already queued and get back to fetching.
+            items = self._collect(0.0 if pending else 0.05)
+            handle = self._dispatch(items) if items else None
+            if self.pipeline_depth < 2 and handle is not None:
+                self._resolve(*handle)
+                handle = None
+            if pending is not None:
+                self._resolve(*pending)
+            pending = handle
+        if pending is not None:
+            self._resolve(*pending)
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
@@ -225,7 +259,10 @@ class ServingEngine:
                 return b
         return self.max_batch
 
-    def _execute(self, items, record: bool = True) -> None:
+    def _dispatch(self, items, record: bool = True):
+        """Assemble + enqueue one batch on the device (non-blocking).
+        Returns (items, out, record) for :meth:`_resolve`, or None if the
+        dispatch itself failed (futures already failed)."""
         import jax
 
         n = len(items)
@@ -242,15 +279,20 @@ class ServingEngine:
             batch["valid"] = (np.arange(bucket) < n).astype(np.float32)
             batch = jax.device_put(batch, self.trainer.batch_sharding)
             out = self._eval_step(self._variables, batch)
+        except Exception as exc:                     # fan the failure out
+            self._fail(items, exc, record)
+            return None
+        return items, out, record
+
+    def _resolve(self, items, out, record: bool = True) -> None:
+        """Fetch a dispatched batch's results (blocks on device + link)
+        and fan them out to the request futures."""
+        n = len(items)
+        try:
             probs = np.asarray(out["probs"])[:n]
             preds = np.asarray(out["preds"])[:n]
-        except Exception as exc:                     # fan the failure out
-            for _, fut, _ in items:
-                if not fut.done():
-                    fut.set_exception(exc)
-            if record:
-                with self._lock:
-                    self._errors += n
+        except Exception as exc:
+            self._fail(items, exc, record)
             return
         now = time.monotonic()
         for (_, fut, t0), prob, pred in zip(items, probs, preds):
@@ -263,6 +305,20 @@ class ServingEngine:
             with self._lock:
                 self._requests += n
                 self._batch_sizes[n] += 1
+
+    def _fail(self, items, exc, record: bool) -> None:
+        for _, fut, _ in items:
+            if not fut.done():
+                fut.set_exception(exc)
+        if record:
+            with self._lock:
+                self._errors += len(items)
+
+    def _execute(self, items, record: bool = True) -> None:
+        """Synchronous dispatch+resolve (warmup and tests)."""
+        handle = self._dispatch(items, record)
+        if handle is not None:
+            self._resolve(*handle)
 
     # ------------------------------------------------------------- metrics
 

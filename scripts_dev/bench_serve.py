@@ -39,6 +39,7 @@ def main():
     ap.add_argument("--max-batch", type=int, default=128)
     ap.add_argument("--max-wait-ms", type=float, default=2.0)
     ap.add_argument("--image-size", type=int, default=224)
+    ap.add_argument("--pipeline-depth", type=int, default=1)
     ap.add_argument("--int8", action="store_true")
     args = ap.parse_args()
 
@@ -72,7 +73,8 @@ def main():
 
     engine = ServingEngine(trainer, state, image_size=args.image_size,
                            max_batch=args.max_batch,
-                           max_wait_ms=args.max_wait_ms)
+                           max_wait_ms=args.max_wait_ms,
+                           pipeline_depth=args.pipeline_depth)
     print(f"model={args.model} int8={args.int8} buckets={engine.buckets}",
           flush=True)
     t0 = time.monotonic()

@@ -88,6 +88,21 @@ def test_bucket_ladder_and_padding(served):
     assert engine._bucket(9) == 8        # clamped to max_batch
 
 
+def test_pipelined_batcher_matches_sequential(served):
+    """pipeline_depth=2 (dispatch N+1 before fetching N) must return the
+    same row results as the default sequential batcher."""
+    trainer, state, engine = served
+    imgs = rand_images(24, seed=4)
+    want = engine.predict([{"rgb": img} for img in imgs])
+    pipelined = ServingEngine(trainer, state, image_size=SIZE, max_batch=8,
+                              max_wait_ms=5.0, pipeline_depth=2)
+    with pipelined:
+        got = pipelined.predict([{"rgb": img} for img in imgs])
+    assert pipelined.stats()["errors"] == 0
+    np.testing.assert_allclose([p for p, _ in got], [p for p, _ in want],
+                               rtol=1e-6, atol=1e-7)
+
+
 def test_quantize_for_serving_requires_calibration():
     trainer, state = make_serving_trainer()
     with pytest.raises(ValueError, match="calib"):
