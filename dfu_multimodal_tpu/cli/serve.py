@@ -1,11 +1,17 @@
-"""Online serving daemon: dynamic-batching HTTP inference on a checkpoint.
+"""Online serving daemon: dynamic-batching HTTP inference on checkpoints.
 
 No reference counterpart (the reference ends at offline evaluation of
 labeled split directories); this is the production deployment entry point:
 
+    # one model
     python -m dfu_multimodal_tpu.cli.serve \
         --checkpoint logs/checkpoints_multimodal --port 8000 \
         [--int8 --calib-images <dir>] [--max-batch 64] [--max-wait-ms 2]
+
+    # the full clinical router: every checkpoints_* under logs/ is served,
+    # and each request routes to the model matching its modalities
+    # (rgb photo alone -> rgb_only, rgb+thermal -> multimodal, ...)
+    python -m dfu_multimodal_tpu.cli.serve --checkpoint-root logs
 
 Then:
 
@@ -27,9 +33,16 @@ from pathlib import Path
 
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="Serving daemon")
-    parser.add_argument("--checkpoint", type=Path, required=True)
+    parser.add_argument("--checkpoint", type=Path, action="append",
+                        default=None,
+                        help="checkpoint dir; repeat to serve several "
+                             "models behind one modality router")
+    parser.add_argument("--checkpoint-root", type=Path, default=None,
+                        help="serve every checkpoints_* directory under "
+                             "this root (the trainers' layout)")
     parser.add_argument("--model", default=None,
-                        help="zoo name; default: checkpoint metadata")
+                        help="zoo name for a SINGLE --checkpoint; "
+                             "default: checkpoint metadata")
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--image-size", type=int, default=224)
@@ -61,28 +74,17 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
-def main(argv=None):
-    args = build_parser().parse_args(argv)
-
-    from dfu_multimodal_tpu import config as cfg_mod
-    from dfu_multimodal_tpu.config import TrainConfig
+def _load_engine(ckpt: Path, model_name, args, cfg, modalities):
     from dfu_multimodal_tpu.serve.engine import (ServingEngine,
                                                  quantize_for_serving)
-    from dfu_multimodal_tpu.serve.http import make_server
     from dfu_multimodal_tpu.train.engine import Trainer
     from dfu_multimodal_tpu.utils import checkpoint as ckpt_mod
 
-    model_name = args.model or ckpt_mod.load_meta(args.checkpoint).get(
+    model_name = model_name or ckpt_mod.load_meta(ckpt).get(
         "model", "rgb_only")
-    cfg = TrainConfig(batch_size=args.max_batch,
-                      eval_batch_size=args.max_batch,
-                      compute_dtype=args.compute_dtype,
-                      mesh=cfg_mod.MeshConfig(data=-1))
-    modalities = {"rgb": cfg_mod.rgb_modality(),
-                  "thermal": cfg_mod.thermal_modality()}
     trainer = Trainer(model_name, cfg, modalities,
                       attention_impl=args.attention_impl)
-    state = trainer.restore(args.checkpoint, image_size=args.image_size)
+    state = trainer.restore(ckpt, image_size=args.image_size)
 
     if args.int8:
         calib_u8 = None
@@ -103,21 +105,68 @@ def main(argv=None):
             trainer, state, image_size=args.image_size, calib_u8=calib_u8,
             attention_impl=args.attention_impl)
 
-    engine = ServingEngine(trainer, state, image_size=args.image_size,
-                           max_batch=args.max_batch,
-                           max_wait_ms=args.max_wait_ms,
-                           pipeline_depth=args.pipeline_depth)
-    if not args.no_warmup:
-        print(f"warming {len(engine.buckets)} batch buckets "
-              f"{list(engine.buckets)} ...", flush=True)
-        engine.warmup()
-    engine.start()
+    return model_name, ServingEngine(
+        trainer, state, image_size=args.image_size,
+        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        pipeline_depth=args.pipeline_depth)
 
-    server = make_server(engine, args.host, args.port)
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from dfu_multimodal_tpu import config as cfg_mod
+    from dfu_multimodal_tpu.config import TrainConfig
+    from dfu_multimodal_tpu.serve.engine import ModelRouter
+    from dfu_multimodal_tpu.serve.http import make_server
+
+    ckpts = list(args.checkpoint or [])
+    if args.checkpoint_root is not None:
+        ckpts += sorted(p for p in args.checkpoint_root.glob("checkpoints_*")
+                        if p.is_dir())
+    if not ckpts:
+        raise SystemExit("need --checkpoint (repeatable) and/or "
+                         "--checkpoint-root")
+    if args.model and len(ckpts) > 1:
+        raise SystemExit("--model only applies to a single --checkpoint")
+
+    cfg = TrainConfig(batch_size=args.max_batch,
+                      eval_batch_size=args.max_batch,
+                      compute_dtype=args.compute_dtype,
+                      mesh=cfg_mod.MeshConfig(data=-1))
+    modalities = {"rgb": cfg_mod.rgb_modality(),
+                  "thermal": cfg_mod.thermal_modality()}
+
+    engines = {}
+    for ckpt in ckpts:
+        name, engine = _load_engine(ckpt, args.model, args, cfg, modalities)
+        if name in engines:
+            raise SystemExit(f"model {name!r} served twice ({ckpt})")
+        engines[name] = engine
+    router = ModelRouter(engines)
+
+    if not args.no_warmup:
+        for name, engine in engines.items():
+            print(f"warming {name}: buckets {list(engine.buckets)} ...",
+                  flush=True)
+        router.warmup()
+    router.start()
+
+    server = make_server(router, args.host, args.port)
+    # SIGTERM (the orchestrator's stop signal) drains like Ctrl-C: stop
+    # accepting, finish in-flight batches, then exit 0.  shutdown() must
+    # run off the serve_forever thread, hence the helper thread.
+    import signal
+    import threading
+
+    signal.signal(signal.SIGTERM,
+                  lambda *_: threading.Thread(target=server.shutdown,
+                                              daemon=True).start())
+
     mode = "int8" if args.int8 else args.compute_dtype
-    print(f"serving {model_name} ({mode}) on "
+    served = ", ".join(f"{n}{list(e.inputs)}" for n, e in engines.items())
+    print(f"serving {served} ({mode}) on "
           f"http://{args.host}:{server.server_address[1]}  "
-          f"[max_batch={engine.max_batch}, wait={args.max_wait_ms}ms]",
+          f"[max_batch={args.max_batch}, wait={args.max_wait_ms}ms]",
           flush=True)
     try:
         server.serve_forever()
@@ -125,8 +174,9 @@ def main(argv=None):
         pass
     finally:
         server.server_close()
-        engine.stop()
-    return engine.stats()
+        router.stop()
+        print(f"shutdown: {router.stats()}", flush=True)
+    return router.stats()
 
 
 if __name__ == "__main__":

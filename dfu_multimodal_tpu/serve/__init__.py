@@ -9,4 +9,4 @@ HTTP server.
 """
 
 from dfu_multimodal_tpu.serve.engine import (     # noqa: F401
-    ServingEngine, quantize_for_serving)
+    ModelRouter, ServingEngine, quantize_for_serving)

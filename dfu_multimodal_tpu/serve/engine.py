@@ -342,3 +342,86 @@ class ServingEngine:
                 "mean": round(float(lat.mean()), 3),
                 "window": int(lat.size)}
         return out
+
+
+class ModelRouter:
+    """Serve several models from one daemon, routing each request to the
+    engine whose input set matches the modalities the request carries.
+
+    The clinical deployment shape: one box holds the rgb_only,
+    thermal_only and multimodal checkpoints; a request with only an RGB
+    photo hits the RGB model, one with both modalities hits the fusion
+    model — no client-side model selection needed (an explicit
+    ``/v1/predict/<model>`` path still forces one).  Each engine keeps its
+    own batcher thread and queue; the XLA runtime serializes their device
+    programs, so mixed traffic shares the chip fairly without any
+    cross-engine locking.
+    """
+
+    def __init__(self, engines: Dict[str, "ServingEngine"]):
+        if not engines:
+            raise ValueError("ModelRouter needs at least one engine")
+        self.engines = dict(engines)
+
+    # Lifecycle fans out to every engine.
+    def start(self) -> "ModelRouter":
+        for e in self.engines.values():
+            e.start()
+        return self
+
+    def stop(self, timeout: float = 5.0) -> None:
+        for e in self.engines.values():
+            e.stop(timeout=timeout)
+
+    def warmup(self) -> None:
+        for e in self.engines.values():
+            e.warmup()
+
+    def __enter__(self) -> "ModelRouter":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    @property
+    def single(self) -> Optional["ServingEngine"]:
+        """The one engine when exactly one is registered, else None."""
+        if len(self.engines) == 1:
+            return next(iter(self.engines.values()))
+        return None
+
+    def select(self, modalities, explicit: Optional[str] = None
+               ) -> "ServingEngine":
+        """Explicit model name wins; otherwise prefer the engine whose
+        inputs EXACTLY match the provided modalities, then the
+        largest-input engine fully covered by them."""
+        if explicit is not None:
+            try:
+                return self.engines[explicit]
+            except KeyError:
+                raise KeyError(
+                    f"unknown model {explicit!r}; serving "
+                    f"{sorted(self.engines)}") from None
+        if self.single is not None:
+            return self.single
+        mods = set(modalities)
+        exact = [e for e in self.engines.values()
+                 if set(e.inputs) == mods]
+        if exact:
+            return exact[0]
+        covered = [e for e in self.engines.values()
+                   if set(e.inputs) <= mods]
+        if covered:
+            return max(covered, key=lambda e: len(e.inputs))
+        raise KeyError(
+            f"no served model accepts modalities {sorted(mods)}; "
+            f"serving " + ", ".join(
+                f"{n}={list(e.inputs)}" for n, e in self.engines.items()))
+
+    def stats(self) -> Dict:
+        if self.single is not None:     # back-compat single-model shape
+            return self.single.stats()
+        per = {n: e.stats() for n, e in self.engines.items()}
+        return {"models": per,
+                "requests": sum(s["requests"] for s in per.values()),
+                "errors": sum(s["errors"] for s in per.values())}

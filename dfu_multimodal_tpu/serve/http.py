@@ -8,16 +8,21 @@ coalescing, not from parallel device access.
 
 Endpoints:
 
-- ``POST /v1/predict`` —
-  * body ``image/jpeg`` / ``image/png``: one image for the model's primary
-    modality (single-modality models);
+- ``POST /v1/predict[/<model>]`` —
+  * body ``image/jpeg`` / ``image/png``: one image (the primary modality
+    of the addressed model, or ``rgb`` when routing among several);
   * body ``application/json``: ``{"<modality>": <base64 image bytes>}``
     per model input (``"image"`` accepted as an alias for the primary
     modality).  Missing modalities fill black, the loader's
     masked-modality convention.
+  With several models served (:class:`ModelRouter`), the request routes
+  to the model whose inputs match the modalities provided — rgb photo
+  alone hits rgb_only, both modalities hit the fusion model — unless the
+  path names one explicitly.
   Response: ``{"prob_ulcer", "prediction", "model", "latency_ms"}``.
-- ``GET /healthz`` — liveness + model identity.
-- ``GET /metrics`` — engine counters and latency percentiles (JSON).
+- ``GET /healthz`` — liveness + served model identities.
+- ``GET /metrics`` — engine counters and latency percentiles (JSON;
+  per-model when serving several).
 """
 
 from __future__ import annotations
@@ -28,11 +33,11 @@ import io
 import json
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Dict
+from typing import Dict, Union
 
 import numpy as np
 
-from dfu_multimodal_tpu.serve.engine import ServingEngine
+from dfu_multimodal_tpu.serve.engine import ModelRouter, ServingEngine
 
 
 def decode_image_bytes(data: bytes, image_size: int) -> np.ndarray:
@@ -51,8 +56,11 @@ class _BadRequest(ValueError):
     pass
 
 
+MODALITIES = ("rgb", "thermal")
+
+
 class PredictHandler(BaseHTTPRequestHandler):
-    """One instance per request (stdlib contract); the shared engine hangs
+    """One instance per request (stdlib contract); the shared router hangs
     off the server object (:func:`make_server`)."""
 
     server_version = "dfu-serve/1.0"
@@ -61,8 +69,8 @@ class PredictHandler(BaseHTTPRequestHandler):
         pass
 
     @property
-    def engine(self) -> ServingEngine:
-        return self.server.engine               # type: ignore[attr-defined]
+    def router(self) -> ModelRouter:
+        return self.server.router               # type: ignore[attr-defined]
 
     def _send_json(self, code: int, payload: Dict) -> None:
         body = json.dumps(payload).encode()
@@ -74,29 +82,45 @@ class PredictHandler(BaseHTTPRequestHandler):
 
     def do_GET(self) -> None:                   # noqa: N802
         if self.path == "/healthz":
-            self._send_json(200, {"status": "ok",
-                                  "model": self.engine.model_name,
-                                  "inputs": list(self.engine.inputs)})
+            health = {"status": "ok",
+                      "models": {n: list(e.inputs)
+                                 for n, e in self.router.engines.items()}}
+            single = self.router.single
+            if single is not None:      # original single-model shape
+                health["model"] = single.model_name
+                health["inputs"] = list(single.inputs)
+            self._send_json(200, health)
         elif self.path == "/metrics":
-            self._send_json(200, self.engine.stats())
+            self._send_json(200, self.router.stats())
         else:
             self._send_json(404, {"error": f"unknown path {self.path}"})
 
-    def _parse_sample(self) -> Dict[str, np.ndarray]:
+    # Largest accepted request body.  A full-resolution JPEG is <5 MB;
+    # this guards the decode path (and the shared host RAM) against
+    # accidental or hostile multi-GB uploads.
+    MAX_BODY_BYTES = 32 * 1024 * 1024
+
+    def _read_payload(self) -> Dict[str, bytes]:
+        """Body -> {modality: raw image bytes}. Binary bodies map to the
+        single served model's primary modality (or ``rgb`` when routing
+        among several); JSON bodies carry named base64 fields."""
         length = int(self.headers.get("Content-Length", 0))
         if length <= 0:
             raise _BadRequest("empty body")
+        if length > self.MAX_BODY_BYTES:
+            raise _BadRequest(
+                f"body {length} bytes exceeds limit {self.MAX_BODY_BYTES}")
         data = self.rfile.read(length)
         ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
-        size = self.engine.image_size
+        single = self.router.single
+        primary = single.inputs[0] if single is not None else "rgb"
         if ctype.startswith("image/"):
-            primary = self.engine.inputs[0]
-            if len(self.engine.inputs) > 1:
+            if single is not None and len(single.inputs) > 1:
                 raise _BadRequest(
-                    f"model {self.engine.model_name!r} needs "
-                    f"{list(self.engine.inputs)} — send application/json "
+                    f"model {single.model_name!r} needs "
+                    f"{list(single.inputs)} — send application/json "
                     "with one base64 image per modality")
-            return {primary: decode_image_bytes(data, size)}
+            return {primary: data}
         if ctype == "application/json":
             try:
                 payload = json.loads(data)
@@ -104,56 +128,76 @@ class PredictHandler(BaseHTTPRequestHandler):
                 raise _BadRequest(f"bad JSON: {exc}") from exc
             if not isinstance(payload, dict):
                 raise _BadRequest("JSON body must be an object")
-            if "image" in payload and self.engine.inputs[0] not in payload:
-                payload[self.engine.inputs[0]] = payload.pop("image")
-            sample = {}
-            for m in self.engine.inputs:
+            if "image" in payload and primary not in payload:
+                payload[primary] = payload.pop("image")
+            raws = {}
+            for m in MODALITIES:
                 if m not in payload:
                     continue
                 try:
-                    raw = base64.b64decode(payload[m], validate=True)
+                    raws[m] = base64.b64decode(payload[m], validate=True)
                 except (binascii.Error, TypeError) as exc:
                     raise _BadRequest(
                         f"field {m!r} is not valid base64") from exc
-                try:
-                    sample[m] = decode_image_bytes(raw, size)
-                except Exception as exc:
-                    raise _BadRequest(
-                        f"field {m!r} is not a decodable image: "
-                        f"{exc}") from exc
-            if not sample:
+            if not raws:
                 raise _BadRequest(
-                    f"no model input present; expected one of "
-                    f"{list(self.engine.inputs)}")
-            return sample
+                    f"no model input present; expected fields from "
+                    f"{list(MODALITIES)}")
+            return raws
         raise _BadRequest(f"unsupported Content-Type {ctype!r}")
 
     def do_POST(self) -> None:                  # noqa: N802
-        if self.path not in ("/v1/predict", "/predict"):
+        parts = [p for p in self.path.split("/") if p]
+        if parts[:1] == ["v1"]:
+            parts = parts[1:]
+        if not parts or parts[0] != "predict" or len(parts) > 2:
             self._send_json(404, {"error": f"unknown path {self.path}"})
             return
+        explicit = parts[1] if len(parts) == 2 else None
         t0 = time.monotonic()
         try:
-            sample = self._parse_sample()
+            raws = self._read_payload()
+            engine = self.router.select(raws.keys(), explicit)
         except _BadRequest as exc:
             self._send_json(400, {"error": str(exc)})
             return
+        except KeyError as exc:
+            self._send_json(404 if explicit else 400,
+                            {"error": str(exc).strip("'\"")})
+            return
         try:
-            prob, pred = self.engine.submit(sample).result(timeout=60.0)
+            sample = {m: decode_image_bytes(raw, engine.image_size)
+                      for m, raw in raws.items() if m in engine.inputs}
+            if not sample:
+                raise _BadRequest(
+                    f"model {engine.model_name!r} needs inputs from "
+                    f"{list(engine.inputs)}")
+        except _BadRequest as exc:
+            self._send_json(400, {"error": str(exc)})
+            return
+        except Exception as exc:
+            self._send_json(400, {"error": f"undecodable image: {exc}"})
+            return
+        try:
+            prob, pred = engine.submit(sample).result(timeout=60.0)
         except Exception as exc:
             self._send_json(500, {"error": f"inference failed: {exc}"})
             return
         self._send_json(200, {
             "prob_ulcer": round(prob, 6),
             "prediction": "ulcer" if pred == 1 else "healthy",
-            "model": self.engine.model_name,
+            "model": engine.model_name,
             "latency_ms": round((time.monotonic() - t0) * 1e3, 3)})
 
 
-def make_server(engine: ServingEngine, host: str = "0.0.0.0",
-                port: int = 8000) -> ThreadingHTTPServer:
+def make_server(engine: Union[ServingEngine, ModelRouter],
+                host: str = "0.0.0.0", port: int = 8000
+                ) -> ThreadingHTTPServer:
     """Bind (but do not start) the HTTP server; ``serve_forever()`` to run.
+    Accepts one :class:`ServingEngine` or a :class:`ModelRouter`.
     ``port=0`` picks an ephemeral port (tests)."""
+    if isinstance(engine, ServingEngine):
+        engine = ModelRouter({engine.model_name: engine})
     server = ThreadingHTTPServer((host, port), PredictHandler)
-    server.engine = engine                      # type: ignore[attr-defined]
+    server.router = engine                      # type: ignore[attr-defined]
     return server

@@ -59,7 +59,16 @@ def main():
     parser.add_argument("--workdir", type=Path,
                         default=Path("/tmp/dfu_int8"))
     parser.add_argument("--skip-train", action="store_true")
+    parser.add_argument("--only", default=None,
+                        choices=["rgb_only", "thermal_only", "multimodal"],
+                        help="validate a single model")
+    parser.add_argument("--qat", action="store_true",
+                        help="train with --qat and tag results *_qat: the "
+                             "QAT contract predicts the weight-quant error "
+                             "vanishes (mean |dprob| collapses vs the "
+                             "non-QAT run; flips stay 0)")
     args = parser.parse_args()
+    qat_tag = "_qat" if args.qat else ""
 
     data, logs = args.workdir / "data", args.workdir / "logs"
     common = ["--data-dir", str(data), "--checkpoint-root", str(logs)]
@@ -81,8 +90,11 @@ def main():
                                            "16", "--save-best-after", "1"]),
                 ("multimodal", mm_main, ["--epochs", "2", "--batch-size",
                                          "24", "--save-best-after", "1"])):
+            if args.only and name != args.only:
+                continue
             t0 = time.time()
-            fn(common + extra + ["--skip-test-eval"])
+            fn(common + extra + ["--skip-test-eval"]
+               + (["--qat"] if args.qat else []))
             print(f"[train] {name} done ({time.time() - t0:.0f}s)",
                   flush=True)
 
@@ -125,6 +137,8 @@ def main():
 
     results = []
     for model in ("rgb_only", "thermal_only", "multimodal"):
+        if args.only and model != args.only:
+            continue
         ckpt = logs / f"checkpoints_{model}"
         trainer = Trainer(model, cfg, modalities)
         state = trainer.restore(ckpt, image_size=224)
@@ -136,17 +150,17 @@ def main():
                                         dtype=jnp.bfloat16)
             qt, qs = quantized_state(model, qvars, rgb_impl="int8")
             _, out_q = qt.run_eval_epoch(qs, datasets[model])
-            results.append(_compare("rgb_only/int8_resnet", out_ref, out_q))
+            results.append(_compare(f"rgb_only{qat_tag}/int8_resnet", out_ref, out_q))
         elif model == "thermal_only":
             qvars = quantize_variables(variables)
             qt, qs = quantized_state(model, qvars, block_impl=q8)
             _, out_q = qt.run_eval_epoch(qs, datasets[model])
-            results.append(_compare("thermal_only/dynamic_q8",
+            results.append(_compare(f"thermal_only{qat_tag}/dynamic_q8",
                                     out_ref, out_q))
             qvars_s = quantize_variables(variables, calib_batches=calib_th)
             qt, qs = quantized_state(model, qvars_s, block_impl=q8s)
             _, out_q = qt.run_eval_epoch(qs, datasets[model])
-            results.append(_compare("thermal_only/static_q8s",
+            results.append(_compare(f"thermal_only{qat_tag}/static_q8s",
                                     out_ref, out_q))
         else:
             qvars = quantize_variables(variables)
@@ -155,7 +169,7 @@ def main():
             qt, qs = quantized_state(model, qvars, block_impl=q8,
                                      rgb_impl="int8")
             _, out_q = qt.run_eval_epoch(qs, datasets[model])
-            results.append(_compare("multimodal/both_int8", out_ref, out_q))
+            results.append(_compare(f"multimodal{qat_tag}/both_int8", out_ref, out_q))
 
     worst = max(r["flip_rate"] for r in results)
     print(f"WORST FLIP RATE: {worst:.4f} "

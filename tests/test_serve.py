@@ -15,7 +15,7 @@ import pytest
 
 from dfu_multimodal_tpu import config
 from dfu_multimodal_tpu.data.loader import ArrayDataset
-from dfu_multimodal_tpu.serve.engine import (ServingEngine,
+from dfu_multimodal_tpu.serve.engine import (ModelRouter, ServingEngine,
                                              quantize_for_serving)
 from dfu_multimodal_tpu.serve.http import decode_image_bytes, make_server
 from dfu_multimodal_tpu.train.engine import Trainer
@@ -168,7 +168,8 @@ def test_http_health_metrics_and_errors(http_url):
     with urllib.request.urlopen(f"{http_url}/healthz", timeout=30) as r:
         health = json.loads(r.read())
     assert health == {"status": "ok", "model": "tiny_rgb",
-                      "inputs": ["rgb"]}
+                      "inputs": ["rgb"],
+                      "models": {"tiny_rgb": ["rgb"]}}
 
     with urllib.request.urlopen(f"{http_url}/metrics", timeout=30) as r:
         metrics = json.loads(r.read())
@@ -187,3 +188,89 @@ def test_http_health_metrics_and_errors(http_url):
     with pytest.raises(urllib.error.HTTPError) as err:
         _post(f"{http_url}/nope", b"{}", "application/json")
     assert err.value.code == 404
+
+
+def test_http_body_size_cap(http_url):
+    """Oversized uploads are rejected up front (header check), not read."""
+    req = urllib.request.Request(
+        f"{http_url}/v1/predict", data=b"x",
+        headers={"Content-Type": "image/png",
+                 "Content-Length": str(64 * 1024 * 1024)})
+    with pytest.raises(urllib.error.HTTPError) as err:
+        urllib.request.urlopen(req, timeout=30)
+    assert err.value.code == 400
+
+
+@pytest.fixture(scope="module")
+def routed_url(served):
+    """Two single-modality engines behind a ModelRouter."""
+    trainer_rgb, state_rgb, _ = served
+    cfg = config.TrainConfig(batch_size=8, eval_batch_size=8,
+                             compute_dtype="float32",
+                             mesh=config.MeshConfig(data=1))
+    trainer_th = Trainer("tiny_thermal", cfg,
+                         {"thermal": config.thermal_modality()})
+    state_th = trainer_th.init_state(jax.random.PRNGKey(1), image_size=SIZE)
+    router = ModelRouter({
+        "tiny_rgb": ServingEngine(trainer_rgb, state_rgb, image_size=SIZE,
+                                  max_batch=8, max_wait_ms=20.0),
+        "tiny_thermal": ServingEngine(trainer_th, state_th, image_size=SIZE,
+                                      max_batch=8, max_wait_ms=20.0)})
+    router.warmup()
+    server = make_server(router, host="127.0.0.1", port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    with router:
+        thread.start()
+        yield f"http://127.0.0.1:{server.server_address[1]}"
+        server.shutdown()
+        server.server_close()
+
+
+def test_router_selects_by_modality(routed_url):
+    img = rand_images(1, seed=5)[0]
+    png = _encode_png(img)
+    b64 = base64.b64encode(png).decode()
+
+    out = _post(f"{routed_url}/v1/predict", png, "image/png")
+    assert out["model"] == "tiny_rgb"          # binary body -> rgb
+
+    out = _post(f"{routed_url}/v1/predict",
+                json.dumps({"thermal": b64}).encode(), "application/json")
+    assert out["model"] == "tiny_thermal"
+
+    out = _post(f"{routed_url}/v1/predict",
+                json.dumps({"rgb": b64}).encode(), "application/json")
+    assert out["model"] == "tiny_rgb"
+
+
+def test_router_explicit_model_path(routed_url):
+    img = rand_images(1, seed=6)[0]
+    b64 = base64.b64encode(_encode_png(img)).decode()
+    out = _post(f"{routed_url}/v1/predict/tiny_thermal",
+                json.dumps({"thermal": b64}).encode(), "application/json")
+    assert out["model"] == "tiny_thermal"
+
+    # explicit model that lacks the provided modality -> 400
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _post(f"{routed_url}/v1/predict/tiny_thermal",
+              json.dumps({"rgb": b64}).encode(), "application/json")
+    assert err.value.code == 400
+
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _post(f"{routed_url}/v1/predict/nope",
+              json.dumps({"rgb": b64}).encode(), "application/json")
+    assert err.value.code == 404
+
+
+def test_router_health_and_metrics(routed_url):
+    with urllib.request.urlopen(f"{routed_url}/healthz", timeout=30) as r:
+        health = json.loads(r.read())
+    assert health["status"] == "ok"
+    assert health["models"] == {"tiny_rgb": ["rgb"],
+                                "tiny_thermal": ["thermal"]}
+    assert "model" not in health               # multi-model shape
+
+    with urllib.request.urlopen(f"{routed_url}/metrics", timeout=30) as r:
+        metrics = json.loads(r.read())
+    assert set(metrics["models"]) == {"tiny_rgb", "tiny_thermal"}
+    assert metrics["requests"] >= 4 and metrics["errors"] == 0
