@@ -274,3 +274,25 @@ def test_router_health_and_metrics(routed_url):
         metrics = json.loads(r.read())
     assert set(metrics["models"]) == {"tiny_rgb", "tiny_thermal"}
     assert metrics["requests"] >= 4 and metrics["errors"] == 0
+
+
+def test_serving_engine_on_8dev_mesh(served):
+    """Serving over a DP mesh: the engine pads buckets to the data-axis
+    multiple and device_puts with the batch sharding, so the same code
+    serves a multi-chip mesh; rows must match the single-device engine."""
+    _, _, single = served
+    cfg = config.TrainConfig(batch_size=8, eval_batch_size=8,
+                             compute_dtype="float32",
+                             mesh=config.MeshConfig(data=-1))  # all 8
+    trainer = Trainer("tiny_rgb", cfg, {"rgb": config.rgb_modality()})
+    state = trainer.init_state(jax.random.PRNGKey(0), image_size=SIZE)
+    assert trainer.mesh.shape["data"] == 8
+    engine = ServingEngine(trainer, state, image_size=SIZE, max_batch=16,
+                           max_wait_ms=50.0)
+    assert engine.buckets == (8, 16)     # pow2 ladder padded to the mesh
+    with engine:
+        imgs = rand_images(12, seed=7)
+        got = engine.predict([{"rgb": img} for img in imgs])
+    want = single.predict([{"rgb": img} for img in imgs])
+    np.testing.assert_allclose([p for p, _ in got], [p for p, _ in want],
+                               rtol=1e-5, atol=1e-6)
