@@ -40,6 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--checkpoint-root", type=Path, default=None,
                         help="serve every checkpoints_* directory under "
                              "this root (the trainers' layout)")
+    parser.add_argument("--exported", type=Path, action="append",
+                        default=None,
+                        help="serve a jax.export bundle directory "
+                             "(cli.export_model output) — no model source "
+                             "or trace/compile at startup; repeatable")
     parser.add_argument("--model", default=None,
                         help="zoo name for a SINGLE --checkpoint; "
                              "default: checkpoint metadata")
@@ -74,9 +79,11 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
-def _load_engine(ckpt: Path, model_name, args, cfg, modalities):
-    from dfu_multimodal_tpu.serve.engine import (ServingEngine,
-                                                 quantize_for_serving)
+def restore_trainer(ckpt: Path, model_name, args, cfg, modalities):
+    """Restore (name, trainer, state) from a checkpoint dir, applying the
+    int8 serving quantization when ``args.int8`` — shared by the serving
+    daemon and the export CLI (cli/export_model.py)."""
+    from dfu_multimodal_tpu.serve.engine import quantize_for_serving
     from dfu_multimodal_tpu.train.engine import Trainer
     from dfu_multimodal_tpu.utils import checkpoint as ckpt_mod
 
@@ -104,7 +111,14 @@ def _load_engine(ckpt: Path, model_name, args, cfg, modalities):
         trainer, state = quantize_for_serving(
             trainer, state, image_size=args.image_size, calib_u8=calib_u8,
             attention_impl=args.attention_impl)
+    return model_name, trainer, state
 
+
+def _load_engine(ckpt: Path, model_name, args, cfg, modalities):
+    from dfu_multimodal_tpu.serve.engine import ServingEngine
+
+    model_name, trainer, state = restore_trainer(ckpt, model_name, args,
+                                                 cfg, modalities)
     return model_name, ServingEngine(
         trainer, state, image_size=args.image_size,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
@@ -123,9 +137,10 @@ def main(argv=None):
     if args.checkpoint_root is not None:
         ckpts += sorted(p for p in args.checkpoint_root.glob("checkpoints_*")
                         if p.is_dir())
-    if not ckpts:
-        raise SystemExit("need --checkpoint (repeatable) and/or "
-                         "--checkpoint-root")
+    bundles = list(args.exported or [])
+    if not ckpts and not bundles:
+        raise SystemExit("need --checkpoint (repeatable), --checkpoint-root "
+                         "and/or --exported")
     if args.model and len(ckpts) > 1:
         raise SystemExit("--model only applies to a single --checkpoint")
 
@@ -142,6 +157,18 @@ def main(argv=None):
         if name in engines:
             raise SystemExit(f"model {name!r} served twice ({ckpt})")
         engines[name] = engine
+    for bundle in bundles:
+        from dfu_multimodal_tpu.serve.engine import ServingEngine
+        from dfu_multimodal_tpu.serve.export import load_bundle
+
+        servable = load_bundle(bundle)
+        name = servable.spec.name
+        if name in engines:
+            raise SystemExit(f"model {name!r} served twice ({bundle})")
+        engines[name] = ServingEngine(
+            servable, None, image_size=servable.image_size,
+            buckets=servable.buckets, max_wait_ms=args.max_wait_ms,
+            pipeline_depth=args.pipeline_depth)
     router = ModelRouter(engines)
 
     if not args.no_warmup:

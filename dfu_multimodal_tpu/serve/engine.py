@@ -110,7 +110,8 @@ class ServingEngine:
 
     def __init__(self, trainer, state, *, image_size: int = 224,
                  max_batch: int = 64, max_wait_ms: float = 2.0,
-                 pipeline_depth: int = 1, latency_window: int = 4096):
+                 pipeline_depth: int = 1, latency_window: int = 4096,
+                 buckets: Optional[Sequence[int]] = None):
         self.trainer = trainer
         self.image_size = int(image_size)
         self.inputs: Tuple[str, ...] = tuple(trainer.spec.inputs)
@@ -118,17 +119,23 @@ class ServingEngine:
         self._variables = trainer.variables(state)
         self._eval_step = trainer.eval_step          # jitted, shape-cached
         self.max_wait_s = float(max_wait_ms) * 1e-3
-        # Power-of-two ladder, each rounded up to the mesh multiple so
-        # device_put with the data-axis sharding always divides evenly.
-        self.max_batch = mesh_mod.pad_batch_to_mesh(int(max_batch),
-                                                    trainer.mesh)
-        ladder: List[int] = []
-        b = 1
-        while b < self.max_batch:
-            ladder.append(mesh_mod.pad_batch_to_mesh(b, trainer.mesh))
-            b *= 2
-        ladder.append(self.max_batch)
-        self.buckets: Tuple[int, ...] = tuple(sorted(set(ladder)))
+        if buckets is not None:
+            # Explicit ladder (export bundles pin the bucket set their
+            # serialized programs were traced at, serve/export.py).
+            self.buckets = tuple(sorted(set(int(b) for b in buckets)))
+            self.max_batch = self.buckets[-1]
+        else:
+            # Power-of-two ladder, each rounded up to the mesh multiple so
+            # device_put with the data-axis sharding always divides evenly.
+            self.max_batch = mesh_mod.pad_batch_to_mesh(int(max_batch),
+                                                        trainer.mesh)
+            ladder: List[int] = []
+            b = 1
+            while b < self.max_batch:
+                ladder.append(mesh_mod.pad_batch_to_mesh(b, trainer.mesh))
+                b *= 2
+            ladder.append(self.max_batch)
+            self.buckets = tuple(sorted(set(ladder)))
 
         self.pipeline_depth = max(1, int(pipeline_depth))
         self._queue: "queue.Queue" = queue.Queue()
