@@ -105,8 +105,18 @@ def main(argv=None):
                                  - np.asarray(frozen["probs"], np.float64))))
         same = bool(np.array_equal(np.asarray(live["preds"]),
                                    np.asarray(frozen["preds"])))
-        print(f"verify: max |prob delta| {dp:.2e}, preds equal: {same}")
-        if not same or dp > 1e-5:
+        # Predictions must match row-for-row on every path.  Probability
+        # tolerance is path-dependent: the bf16/fp32 bundle replays
+        # bit-exactly on TPU (measured max delta 0.0 on-chip,
+        # scripts_dev/export_tpu_check.py), but the int8 path's
+        # requantize/round chain is compiled independently for the live and
+        # frozen programs and XLA's differing fusion choices shift ±1-LSB
+        # int8 roundings (measured max prob delta 4.6e-3 on-chip, preds
+        # identical).
+        tol = 1e-2 if args.int8 else 1e-5
+        print(f"verify: max |prob delta| {dp:.2e} (tol {tol:.0e}), "
+              f"preds equal: {same}")
+        if not same or dp > tol:
             raise SystemExit("bundle verification FAILED")
     return meta
 
