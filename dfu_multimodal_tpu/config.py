@@ -170,6 +170,10 @@ class DataConfig:
     image_size: int = IMAGE_SIZE
     cache_images: bool = True      # decode+resize once, keep uint8 in RAM
     prefetch: int = 2              # device prefetch depth (double buffering)
+    # Persistent mmap-backed decode cache (data/cache.py): decode once
+    # ACROSS runs, bounded-RAM build, datasets larger than host memory.
+    # None = in-RAM decode per run (fine at reference scale).
+    cache_dir: Optional[Path] = None
 
 
 def add_common_args(parser: argparse.ArgumentParser) -> None:
@@ -177,6 +181,10 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                         help="Root containing rgb/ and thermal/ split dirs")
     parser.add_argument("--checkpoint-root", type=Path, default=Path("logs"),
                         help="Directory for checkpoints and result artifacts")
+    parser.add_argument("--cache-dir", type=Path, default=None,
+                        help="persistent mmap-backed decode cache directory "
+                             "(decode once across runs; datasets larger "
+                             "than RAM). Also settable as DFU_CACHE_DIR.")
     parser.add_argument("--batch-size", type=int, default=None)
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--lr", type=float, default=None)
@@ -232,4 +240,10 @@ def data_config_from_args(args: argparse.Namespace) -> DataConfig:
     if args.data_dir is not None:
         kwargs["data_dir"] = args.data_dir
     kwargs["checkpoint_root"] = args.checkpoint_root
+    if getattr(args, "cache_dir", None) is not None:
+        kwargs["cache_dir"] = args.cache_dir
+        # Process-wide so every decode_all in this run — dataset loads,
+        # predict/serve calibration batches — hits the same cache.
+        import os
+        os.environ["DFU_CACHE_DIR"] = str(args.cache_dir)
     return DataConfig(**kwargs)

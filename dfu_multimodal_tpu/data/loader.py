@@ -61,7 +61,8 @@ class ArrayDataset:
         return np.bincount(self.labels, minlength=2)
 
 
-def decode_all(paths: Sequence[Optional[Path]], image_size: int) -> np.ndarray:
+def decode_all(paths: Sequence[Optional[Path]], image_size: int,
+               cache_dir: Optional[Path] = None) -> np.ndarray:
     """Decode a path list into an (N, S, S, 3) uint8 cache.
 
     Fast path: the native threaded libjpeg decoder
@@ -70,7 +71,26 @@ def decode_all(paths: Sequence[Optional[Path]], image_size: int) -> np.ndarray:
     tested in tests/test_data.py) and parallel across files.  Any file
     the native decoder rejects (PNG, CMYK, corrupt) and any environment
     without g++/libjpeg falls back to :func:`load_image` per file.
-    ``DFU_NATIVE_DECODE=0`` disables the native path entirely."""
+    ``DFU_NATIVE_DECODE=0`` disables the native path entirely.
+
+    With a cache directory (``cache_dir=`` or the ``DFU_CACHE_DIR`` env
+    var / ``--cache-dir`` flag), decoding routes through the persistent
+    mmap-backed cache (:mod:`dfu_multimodal_tpu.data.cache`): decode once
+    across runs, bounded RAM, datasets larger than memory."""
+    import os
+
+    from dfu_multimodal_tpu.data import cache as cache_mod
+
+    resolved = cache_mod.resolve_cache_dir(cache_dir)
+    if resolved is not None:
+        return cache_mod.cached_decode(paths, image_size, resolved)
+    return decode_raw(paths, image_size)
+
+
+def decode_raw(paths: Sequence[Optional[Path]],
+               image_size: int) -> np.ndarray:
+    """The uncached decode behind :func:`decode_all` (and the cache
+    builder's chunk decoder — it must never re-enter the cache)."""
     import os
 
     out = np.zeros((len(paths), image_size, image_size, 3), np.uint8)
@@ -94,12 +114,14 @@ def decode_all(paths: Sequence[Optional[Path]], image_size: int) -> np.ndarray:
 
 def load_single_modality(modality_dir: Path, split: str,
                          image_size: int = 224,
-                         modality: str = "rgb") -> ArrayDataset:
+                         modality: str = "rgb",
+                         cache_dir: Optional[Path] = None) -> ArrayDataset:
     """Single-modality dataset (RGBDataset/ThermalDataset contract,
     train_rgb_only.py:55-97)."""
     index: SplitIndex = scan_split(Path(modality_dir), split)
     return ArrayDataset(
-        arrays={modality: decode_all(index.paths, image_size)},
+        arrays={modality: decode_all(index.paths, image_size,
+                                     cache_dir=cache_dir)},
         labels=np.asarray(index.labels, np.int32),
         paths={modality: list(index.paths)},
     )
@@ -107,7 +129,8 @@ def load_single_modality(modality_dir: Path, split: str,
 
 def load_paired(data_dir: Path, split: str, image_size: int = 224,
                 strategy: str = "aligned",
-                seed: Optional[int] = None) -> ArrayDataset:
+                seed: Optional[int] = None,
+                cache_dir: Optional[Path] = None) -> ArrayDataset:
     """Paired dataset. ``strategy='aligned'`` = DFUPairedDataset semantics
     (truncate-to-min); ``'pseudo'`` = MultimodalDataset modulo cycling."""
     data_dir = Path(data_dir)
@@ -132,8 +155,10 @@ def load_paired(data_dir: Path, split: str, image_size: int = 224,
     labels = np.asarray([p.label for p in pairs], np.int32)
 
     return ArrayDataset(
-        arrays={"rgb": decode_all(rgb_paths, image_size),
-                "thermal": decode_all(th_paths, image_size)},
+        arrays={"rgb": decode_all(rgb_paths, image_size,
+                                  cache_dir=cache_dir),
+                "thermal": decode_all(th_paths, image_size,
+                                      cache_dir=cache_dir)},
         labels=labels,
         paths={"rgb": rgb_paths, "thermal": th_paths},
     )

@@ -372,3 +372,118 @@ def test_decode_all_falls_back_per_file(tmp_path, monkeypatch):
     pil_only = decode_all([jpg, None, png], 32)
     np.testing.assert_array_equal(mixed, pil_only)
     assert (mixed[1] == 0).all()        # None slot stays the placeholder
+
+
+# ---------- persistent mmap-backed decode cache (data/cache.py) ----------
+
+def _write_jpegs(tmp_path, n, seed=3):
+    from PIL import Image
+    rng = np.random.default_rng(seed)
+    tmp_path.mkdir(parents=True, exist_ok=True)
+    paths = []
+    for i in range(n):
+        p = tmp_path / f"img_{i}.jpg"
+        Image.fromarray(
+            rng.integers(0, 256, (40 + i, 50, 3), np.uint8)).save(
+            p, quality=90)
+        paths.append(p)
+    return paths
+
+
+def test_cached_decode_bit_exact_and_memmap(tmp_path):
+    """Cache build returns the exact decode_raw block as a read-only
+    memmap; a second call is a pure cache hit (no decoding at all)."""
+    from dfu_multimodal_tpu.data import cache as cache_mod
+    from dfu_multimodal_tpu.data.loader import decode_raw
+
+    paths = _write_jpegs(tmp_path / "src", 7)
+    cdir = tmp_path / "cache"
+    got = cache_mod.cached_decode([paths[0], None] + paths[1:], 32, cdir,
+                                  chunk=3)   # chunk < n: chunked build
+    ref = decode_raw([paths[0], None] + paths[1:], 32)
+    assert isinstance(got, np.memmap) and not got.flags.writeable
+    np.testing.assert_array_equal(np.asarray(got), ref)
+    assert (np.asarray(got[1]) == 0).all()   # None placeholder row
+
+    # Hit path must not decode: poison decode_raw and call again.
+    import dfu_multimodal_tpu.data.loader as loader_mod
+    orig = loader_mod.decode_raw
+    loader_mod.decode_raw = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("cache miss on identical inputs"))
+    try:
+        hit = cache_mod.cached_decode([paths[0], None] + paths[1:], 32,
+                                      cdir)
+    finally:
+        loader_mod.decode_raw = orig
+    np.testing.assert_array_equal(np.asarray(hit), ref)
+
+
+def test_cached_decode_invalidates_on_file_change(tmp_path):
+    """Key covers per-file size+mtime: rewriting a file rebuilds."""
+    import os
+
+    from dfu_multimodal_tpu.data import cache as cache_mod
+
+    paths = _write_jpegs(tmp_path / "src", 3)
+    cdir = tmp_path / "cache"
+    k1 = cache_mod.cache_key(paths, 32)
+    cache_mod.cached_decode(paths, 32, cdir)
+
+    os.utime(paths[1], ns=(1, 1))           # mtime change -> new key
+    k2 = cache_mod.cache_key(paths, 32)
+    assert k1 != k2
+    assert k2 != cache_mod.cache_key(paths, 48)   # size in the key too
+    got = cache_mod.cached_decode(paths, 32, cdir)
+    assert len(list(cdir.glob("*.u8"))) == 2      # both entries live
+    from dfu_multimodal_tpu.data.loader import decode_raw
+    np.testing.assert_array_equal(np.asarray(got), decode_raw(paths, 32))
+
+
+def test_cached_decode_rejects_truncated_entry(tmp_path):
+    """A data file whose size disagrees with the sidecar is rebuilt,
+    not trusted (crash-safety contract)."""
+    from dfu_multimodal_tpu.data import cache as cache_mod
+
+    paths = _write_jpegs(tmp_path / "src", 2)
+    cdir = tmp_path / "cache"
+    # copy, not view: truncating the file below invalidates memmap pages
+    first = np.array(cache_mod.cached_decode(paths, 32, cdir))
+    data_file = next(cdir.glob("*.u8"))
+    data_file.write_bytes(data_file.read_bytes()[:-8])   # truncate
+    rebuilt = cache_mod.cached_decode(paths, 32, cdir)
+    np.testing.assert_array_equal(np.asarray(rebuilt), first)
+    assert data_file.stat().st_size == first.nbytes      # restored
+
+
+def test_decode_all_routes_through_env_cache(tmp_path, monkeypatch):
+    """DFU_CACHE_DIR (what --cache-dir sets) routes every decode_all
+    through the cache; output identical to the uncached path."""
+    from dfu_multimodal_tpu.data.loader import decode_all, decode_raw
+
+    paths = _write_jpegs(tmp_path / "src", 4)
+    uncached = decode_all(paths, 32)
+    assert not isinstance(uncached, np.memmap)
+
+    cdir = tmp_path / "envcache"
+    monkeypatch.setenv("DFU_CACHE_DIR", str(cdir))
+    cached = decode_all(paths, 32)
+    assert isinstance(cached, np.memmap)
+    np.testing.assert_array_equal(np.asarray(cached), uncached)
+    assert list(cdir.glob("*.json"))         # sidecar written
+
+
+def test_loaders_accept_cache_dir(synth_root, tmp_path):
+    """load_single_modality / load_paired cache_dir= params produce
+    datasets identical to the uncached ones."""
+    cdir = tmp_path / "dscache"
+    plain = load_single_modality(synth_root / "rgb", "train")
+    cached = load_single_modality(synth_root / "rgb", "train",
+                                  cache_dir=cdir)
+    np.testing.assert_array_equal(np.asarray(cached.arrays["rgb"]),
+                                  plain.arrays["rgb"])
+    p_plain = load_paired(synth_root, "test", strategy="aligned")
+    p_cached = load_paired(synth_root, "test", strategy="aligned",
+                           cache_dir=cdir)
+    for k in ("rgb", "thermal"):
+        np.testing.assert_array_equal(np.asarray(p_cached.arrays[k]),
+                                      p_plain.arrays[k])
