@@ -106,6 +106,14 @@ def run_training(recipe: TrainRecipe,
     print(f"\nTraining class counts: healthy={counts[0]}, ulcer={counts[1]}")
     print(f"Using class weights for loss: {class_weights.tolist()}")
 
+    if (train_cfg.lr_schedule != "constant" or train_cfg.warmup_epochs
+            ) and train_cfg.steps_per_epoch == 0:
+        # schedules need a step horizon; ceil over the unpadded batch size
+        # (mesh padding can only round the batch up, shortening the epoch
+        # by <1 step — negligible against a full-run decay)
+        spe = -(-len(datasets["train"]) // train_cfg.batch_size)
+        train_cfg = dataclasses.replace(train_cfg, steps_per_epoch=spe)
+
     print("\nBuilding model...")
     trainer = Trainer(args.model, train_cfg, recipe.modalities,
                       class_weights=class_weights,

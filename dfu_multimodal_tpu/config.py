@@ -118,6 +118,12 @@ class MeshConfig:
 
     data: int = -1          # -1: use all available devices
     model: int = 1
+    # ZeRO-3-style fully-sharded data parallelism: params + optimizer state
+    # shard over ``data`` (parallel/sharding.py::fsdp_param_specs); XLA
+    # inserts the per-use all-gathers. Never *needed* at this project's
+    # 23-110M-param scale (replicated DP fits easily), but completes the
+    # parallelism matrix (dp / tp / pp / fsdp) for larger backbones.
+    fsdp: bool = False
 
 
 @dataclass(frozen=True)
@@ -153,6 +159,14 @@ class TrainConfig:
     # through estimator), so quantize_variables() at deployment is
     # essentially lossless.  No-op for models without a ViT trunk.
     qat: bool = False
+    # Learning-rate schedule (train/engine.py::learning_rate_schedule).
+    # The reference trains at a constant LR (its default here); 'cosine'
+    # and warmup_epochs are opt-in for the pretrained fine-tune recipe.
+    # steps_per_epoch is derived from the dataset by the train CLIs —
+    # schedules need a step horizon, constant LR ignores it.
+    lr_schedule: str = "constant"          # 'constant' | 'cosine'
+    warmup_epochs: float = 0.0
+    steps_per_epoch: int = 0
     eval_batch_size: Optional[int] = None  # defaults to batch_size
     weighted_sampling: bool = True         # WeightedRandomSampler equivalent
     class_weighted_loss: bool = True       # class-weighted CE equivalent
@@ -202,6 +216,19 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                              "bit-level optax parity)")
     parser.add_argument("--mesh-data", type=int, default=-1,
                         help="DP axis size (-1 = all devices)")
+    parser.add_argument("--lr-schedule", choices=["constant", "cosine"],
+                        default="constant",
+                        help="constant (reference behavior) or cosine "
+                             "decay over the full run")
+    parser.add_argument("--warmup-epochs", type=float, default=0.0,
+                        help="linear LR warmup over this many epochs "
+                             "(fractional ok; composes with either "
+                             "schedule)")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="fully-sharded data parallelism: params + "
+                             "optimizer state shard over the data axis "
+                             "(ZeRO-3 memory scaling; XLA inserts the "
+                             "per-use all-gathers)")
     parser.add_argument("--grad-accum", type=int, default=1,
                         help="microbatches per optimizer step (exact "
                              "full-batch gradients, ~N× lower activation "
@@ -231,7 +258,10 @@ def train_config_from_args(args: argparse.Namespace,
     updates["optimizer_mu_dtype"] = args.optimizer_mu_dtype
     updates["grad_accum"] = args.grad_accum
     updates["qat"] = args.qat
-    updates["mesh"] = MeshConfig(data=args.mesh_data)
+    updates["lr_schedule"] = getattr(args, "lr_schedule", "constant")
+    updates["warmup_epochs"] = getattr(args, "warmup_epochs", 0.0)
+    updates["mesh"] = MeshConfig(data=args.mesh_data,
+                                 fsdp=getattr(args, "fsdp", False))
     return dataclasses.replace(defaults, **updates)
 
 

@@ -26,7 +26,7 @@ import numpy as np
 from flax import traverse_util
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from dfu_multimodal_tpu.parallel.mesh import MODEL_AXIS
+from dfu_multimodal_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 # (path regex, spec builder(ndim) -> PartitionSpec)
 # Paths are '/'-joined param paths like
@@ -88,4 +88,48 @@ def shard_variables(variables: Dict, mesh: Mesh, rules=None) -> Dict:
     flat_v = traverse_util.flatten_dict(variables)
     flat_s = traverse_util.flatten_dict(specs)
     placed = {k: place(v, flat_s[k]) for k, v in flat_v.items()}
+    return traverse_util.unflatten_dict(placed)
+
+
+# ---------------------------------------------------------------- FSDP
+
+def fsdp_param_specs(variables: Dict, mesh: Mesh,
+                     min_size: int = 1024) -> Dict:
+    """ZeRO-3-style fully-sharded specs: each large parameter shards its
+    largest ``data``-divisible dimension over the DATA axis, so per-device
+    parameter + optimizer memory scales as 1/data_parallel_size. XLA's SPMD
+    partitioner inserts the per-use all-gather (forward/backward) and keeps
+    gradient reduction + the AdamW update sharded — the classic FSDP
+    schedule, expressed purely as placement (no wrapper modules, no
+    hand-written collectives; contrast torch FSDP's module wrappers).
+
+    Leaves smaller than ``min_size`` elements (biases, LN scales) replicate:
+    sharding them saves nothing and adds collective launches.
+    """
+    data = mesh.shape[DATA_AXIS]
+    flat = traverse_util.flatten_dict(variables)
+    specs = {}
+    for path, value in flat.items():
+        shape = np.shape(value)
+        spec = P()
+        if data > 1 and np.size(value) >= min_size:
+            divisible = [i for i, d in enumerate(shape) if d and d % data == 0]
+            if divisible:
+                axis = max(divisible, key=lambda i: shape[i])
+                parts = [None] * len(shape)
+                parts[axis] = DATA_AXIS
+                spec = P(*parts)
+        specs[path] = spec
+    return traverse_util.unflatten_dict(specs)
+
+
+def fsdp_shard_variables(variables: Dict, mesh: Mesh,
+                         min_size: int = 1024) -> Dict:
+    """device_put every param with its FSDP sharding (see
+    :func:`fsdp_param_specs`)."""
+    specs = traverse_util.flatten_dict(
+        fsdp_param_specs(variables, mesh, min_size))
+    flat = traverse_util.flatten_dict(variables)
+    placed = {k: jax.device_put(v, NamedSharding(mesh, specs[k]))
+              for k, v in flat.items()}
     return traverse_util.unflatten_dict(placed)

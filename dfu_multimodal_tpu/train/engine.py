@@ -76,6 +76,38 @@ def weighted_ce(logits: jnp.ndarray, labels: jnp.ndarray,
     return jnp.sum(weights * ce) / jnp.maximum(wsum, 1e-12)
 
 
+def learning_rate_schedule(cfg):
+    """Learning rate for ``optax.adamw``: the reference trains at a
+    constant LR (reference notebooks/train_rgb_only.py:227-228), which
+    stays the default and returns a plain float (bit-identical optimizer
+    state to round-1 checkpoints). ``lr_schedule='cosine'`` and/or
+    ``warmup_epochs > 0`` return an optax schedule over
+    ``steps_per_epoch * num_epochs`` steps — standard fine-tuning practice
+    for the pretrained-backbone recipe (docs/QUALITY_PARITY.md), offered
+    as an opt-in beyond the reference surface."""
+    sched = getattr(cfg, "lr_schedule", "constant")
+    warm_epochs = float(getattr(cfg, "warmup_epochs", 0.0))
+    if sched == "constant" and warm_epochs == 0.0:
+        return cfg.learning_rate
+    spe = int(getattr(cfg, "steps_per_epoch", 0))
+    if spe <= 0:
+        raise ValueError(
+            "lr_schedule/warmup_epochs need cfg.steps_per_epoch > 0 "
+            "(the train CLIs derive it from the dataset size)")
+    total = max(1, spe * cfg.num_epochs)
+    warm = int(round(warm_epochs * spe))
+    if sched == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=cfg.learning_rate,
+            warmup_steps=warm, decay_steps=total, end_value=0.0)
+    if sched == "constant":   # warmup, then flat
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, cfg.learning_rate, warm),
+             optax.constant_schedule(cfg.learning_rate)], [warm])
+    raise ValueError(f"unknown lr_schedule {sched!r} "
+                     "(choose 'constant' or 'cosine')")
+
+
 @dataclass
 class EpochMetrics:
     loss: float
@@ -95,28 +127,36 @@ class Trainer:
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         self.compute_dtype = dtype
         self.mesh = mesh if mesh is not None else mesh_mod.make_mesh(cfg.mesh)
+        self.fsdp = bool(getattr(cfg.mesh, "fsdp", False))
+        if self.fsdp and self.mesh.shape[mesh_mod.MODEL_AXIS] > 1:
+            raise ValueError(
+                "fsdp=True combined with a model axis > 1 is not supported: "
+                "pick ZeRO-3 param sharding (fsdp) OR Megatron tensor "
+                "parallelism (--mesh model axis), not both.")
         kwargs = {}
         spec_probe = zoo.get(model_name)
         if "thermal" in spec_probe.inputs and spec_probe.name in (
                 "thermal_only", "multimodal"):
             kwargs["attention_impl"] = attention_impl
             kwargs["block_impl"] = block_impl
-            if self.mesh.shape[mesh_mod.MODEL_AXIS] > 1:
+            if self.mesh.shape[mesh_mod.MODEL_AXIS] > 1 or self.fsdp:
                 # Megatron-TP shards the encoder matmuls over ``model``;
-                # the fused Pallas block kernels are opaque to the XLA
-                # partitioner, so TP runs the flax blocks (XLA inserts the
-                # collectives between the sharded Dense ops).
+                # FSDP shards the param tensors themselves over ``data``.
+                # Either way the fused Pallas block kernels are opaque to
+                # the XLA partitioner, so sharded-param runs use the flax
+                # blocks (XLA inserts the collectives around the Dense ops).
                 if block_impl not in ("auto", "flax"):
                     # int8/fused params (e.g. the predict --int8 tree) would
                     # fail inside the flax blocks with an opaque key/shape
                     # error — reject the combination up front.
+                    mode = ("fsdp" if self.fsdp else
+                            f"tensor parallelism (model axis "
+                            f"{self.mesh.shape[mesh_mod.MODEL_AXIS]} > 1)")
                     raise ValueError(
                         f"block_impl={block_impl!r} is incompatible with "
-                        f"tensor parallelism (model axis "
-                        f"{self.mesh.shape[mesh_mod.MODEL_AXIS]} > 1): the "
-                        "fused Pallas kernels are opaque to the XLA "
-                        "partitioner. Use block_impl='flax'/'auto' or a "
-                        "mesh with model axis 1.")
+                        f"{mode}: the fused Pallas kernels are opaque to "
+                        "the XLA partitioner. Use block_impl='flax'/'auto' "
+                        "or disable the sharded-param mode.")
                 kwargs["block_impl"] = "flax"
         # int8 ResNet serving trunk (models/resnet_q8.py): the fusion model
         # takes it as rgb_impl, the standalone classifier as block_impl
@@ -132,7 +172,8 @@ class Trainer:
         self.batch_sharding = mesh_mod.batch_sharding(self.mesh)
         self.replicated = mesh_mod.replicated(self.mesh)
 
-        self.tx = optax.adamw(cfg.learning_rate, b1=0.9, b2=0.999, eps=1e-8,
+        self.tx = optax.adamw(learning_rate_schedule(cfg),
+                              b1=0.9, b2=0.999, eps=1e-8,
                               weight_decay=cfg.weight_decay,
                               mu_dtype=jnp.dtype(getattr(
                                   cfg, "optimizer_mu_dtype", "bfloat16")))
@@ -141,17 +182,28 @@ class Trainer:
 
     # ------------------------------------------------------------- state
 
+    def _place_params(self, params: Dict) -> Dict:
+        """Apply this trainer's param placement: FSDP shards over ``data``,
+        TP shards over ``model``; otherwise replicate."""
+        from dfu_multimodal_tpu.parallel.sharding import (
+            fsdp_shard_variables, shard_variables)
+        if self.fsdp:
+            return fsdp_shard_variables(params, self.mesh)
+        if self.mesh.shape[mesh_mod.MODEL_AXIS] > 1:
+            return shard_variables(params, self.mesh)
+        return jax.device_put(params, self.replicated)
+
     def init_state(self, rng: jax.Array, image_size: int = 224) -> TrainState:
         variables = zoo.init_model(self.module, self.spec, rng, image_size)
         variables = unfreeze(variables)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
 
-        if self.mesh.shape[mesh_mod.MODEL_AXIS] > 1:
-            # Megatron-style TP: shard the wide matmuls over ``model``;
-            # optimizer state inherits the shardings (elementwise init).
-            from dfu_multimodal_tpu.parallel.sharding import shard_variables
-            params = shard_variables(params, self.mesh)
+        if self.mesh.shape[mesh_mod.MODEL_AXIS] > 1 or self.fsdp:
+            # Sharded params: Megatron-style TP over ``model``, or ZeRO-3
+            # FSDP over ``data``; optimizer state inherits the shardings
+            # (elementwise init under jit).
+            params = self._place_params(params)
             batch_stats = jax.device_put(batch_stats, self.replicated)
             return TrainState(
                 step=jax.device_put(jnp.zeros((), jnp.int32),
@@ -506,7 +558,13 @@ class Trainer:
                                                        payload["opt_state"])
             except (KeyError, ValueError, TypeError) as e:
                 print(f"  (optimizer state not restored: {e})")
+        params = merged["params"]
+        if self.fsdp or self.mesh.shape[mesh_mod.MODEL_AXIS] > 1:
+            # load_flexible returns host arrays; re-apply the sharded
+            # placement so a restored state trains with the same layout
+            # (and memory footprint) as a fresh one.
+            params = self._place_params(params)
         return state.replace(
-            params=merged["params"],
+            params=params,
             batch_stats=merged.get("batch_stats", state.batch_stats),
             opt_state=opt_state)

@@ -281,3 +281,47 @@ def test_int8_decision_level_contract(synth):
     flip_rate = float(np.mean(out_fp["y_pred"] != out_q8["y_pred"]))
     assert flip_rate < 0.01, f"int8 flip rate {flip_rate} breaks <1% contract"
     assert np.all(np.isfinite(out_q8["y_probs"]))
+
+
+def test_learning_rate_schedule_builder():
+    from dfu_multimodal_tpu.train.engine import learning_rate_schedule
+
+    # reference behavior: constant, no warmup -> plain float (bit-compat)
+    cfg = config.TrainConfig(learning_rate=1e-4)
+    assert learning_rate_schedule(cfg) == 1e-4
+
+    # cosine with warmup: 0 at step 0, peak at warmup end, ~0 at the end
+    cfg = config.TrainConfig(learning_rate=1e-3, num_epochs=10,
+                             lr_schedule="cosine", warmup_epochs=1.0,
+                             steps_per_epoch=100)
+    s = learning_rate_schedule(cfg)
+    assert float(s(0)) == 0.0
+    assert float(s(100)) == pytest.approx(1e-3)
+    assert float(s(1000)) == pytest.approx(0.0, abs=1e-9)
+    assert 0.0 < float(s(500)) < 1e-3
+
+    # warmup + constant: linear ramp then flat forever
+    cfg = config.TrainConfig(learning_rate=2e-4, num_epochs=10,
+                             warmup_epochs=0.5, steps_per_epoch=100)
+    s = learning_rate_schedule(cfg)
+    assert float(s(25)) == pytest.approx(1e-4)
+    assert float(s(50)) == pytest.approx(2e-4)
+    assert float(s(5000)) == pytest.approx(2e-4)
+
+    # schedules need the step horizon the CLIs derive from the dataset
+    cfg = config.TrainConfig(lr_schedule="cosine", steps_per_epoch=0)
+    with pytest.raises(ValueError, match="steps_per_epoch"):
+        learning_rate_schedule(cfg)
+
+
+def test_fit_with_cosine_schedule(synth):
+    """End-to-end: the scheduled optimizer trains, checkpoints and keeps
+    the loss finite; opt-state carries the schedule step count."""
+    train, val = synth
+    trainer = make_trainer(num_epochs=2, lr_schedule="cosine",
+                           warmup_epochs=0.25,
+                           steps_per_epoch=-(-len(train) // 8))
+    state, history, best = trainer.fit(train, val, log=lambda s: None,
+                                       image_size=32)
+    assert np.isfinite(history["train_loss"]).all()
+    assert len(history["train_loss"]) == 2
