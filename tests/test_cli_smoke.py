@@ -91,3 +91,21 @@ def test_extended_metrics_cli(workdir):
         m = saved["metrics"]
         assert 0.0 <= m["accuracy"] <= 1.0
         assert m["tn"] + m["fp"] + m["fn"] + m["tp"] == len(saved["y_true"])
+
+
+def test_dfu_umbrella_command(capsys):
+    """`dfu` lists every subcommand; `dfu <sub> --help` dispatches to the
+    sub-CLI's argparse; unknown names fail with rc 2."""
+    from dfu_multimodal_tpu.cli.main import COMMANDS, main
+
+    assert main([]) == 0
+    out = capsys.readouterr().out
+    for name in COMMANDS:
+        assert name in out
+
+    with pytest.raises(SystemExit) as e:
+        main(["dataset-tools", "--help"])
+    assert e.value.code == 0
+    assert "verify" in capsys.readouterr().out
+
+    assert main(["not-a-command"]) == 2
