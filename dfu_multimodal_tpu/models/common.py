@@ -32,3 +32,20 @@ def canonical_dtype(dtype: Any) -> jnp.dtype:
     if isinstance(dtype, str):
         return jnp.dtype(dtype)
     return dtype
+
+
+def mosaic_kernels_ok() -> bool:
+    """True when the Pallas (Mosaic) TPU kernels can run in this process.
+
+    Mosaic custom calls cannot be partitioned by XLA's automatic SPMD
+    pass: any multi-device ``jit`` raises ``NotImplementedError: Mosaic
+    kernels cannot be automatically partitioned. Please wrap the call in
+    a shard_map`` (jax/_src/tpu_custom_call.py).  Every ``"auto"`` kernel
+    resolution therefore picks the fused Pallas paths only in a
+    single-device TPU process; multi-device meshes run the XLA paths,
+    which the SPMD partitioner shards freely (docs/DESIGN.md, "Kernels
+    under SPMD").  Explicit ``block_impl``/``attention_impl`` requests
+    still force the kernels (e.g. a 1-device mesh on a multi-chip host).
+    """
+    import jax
+    return jax.devices()[0].platform == "tpu" and jax.device_count() == 1

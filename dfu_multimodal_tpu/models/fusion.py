@@ -52,8 +52,8 @@ class FusionMLP(nn.Module):
                        param_dtype=jnp.float32, name="fc3")
 
         if deterministic and not self.is_initializing():
-            import jax
-            if jax.devices()[0].platform == "tpu":
+            from dfu_multimodal_tpu.models.common import mosaic_kernels_ok
+            if mosaic_kernels_ok():
                 from dfu_multimodal_tpu.ops.fused_mlp import fused_mlp
                 p = self.variables["params"]       # restored child params
                 dt = fused.dtype

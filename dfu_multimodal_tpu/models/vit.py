@@ -51,9 +51,8 @@ def resolve_attention(impl: str) -> AttentionFn:
         from dfu_multimodal_tpu.ops.attention import flash_attention
         return flash_attention
     if impl == "auto":
-        import jax
-        platform = jax.devices()[0].platform
-        return resolve_attention("pallas" if platform == "tpu" else "xla")
+        from dfu_multimodal_tpu.models.common import mosaic_kernels_ok
+        return resolve_attention("pallas" if mosaic_kernels_ok() else "xla")
     raise ValueError(f"unknown attention impl: {impl!r}")
 
 
@@ -72,9 +71,8 @@ class MultiHeadAttention(nn.Module):
 
         impl = self.attention_impl
         if impl == "auto":
-            import jax
-            impl = ("pallas" if jax.devices()[0].platform == "tpu"
-                    else "xla")
+            from dfu_multimodal_tpu.models.common import mosaic_kernels_ok
+            impl = "pallas" if mosaic_kernels_ok() else "xla"
 
         if impl == "pallas":
             # Packed-qkv kernel: heads are sliced inside VMEM, so no
@@ -468,9 +466,8 @@ class ViT(nn.Module):
         """Returns (block_cls, block_args) for the configured impl."""
         impl = self.block_impl
         if impl == "auto":
-            import jax
-            impl = ("fused" if jax.devices()[0].platform == "tpu"
-                    else "flax")
+            from dfu_multimodal_tpu.models.common import mosaic_kernels_ok
+            impl = "fused" if mosaic_kernels_ok() else "flax"
         dtype = canonical_dtype(self.dtype)
         if impl == "flax":
             return EncoderBlock, (self.num_heads, self.mlp_ratio, dtype,

@@ -66,7 +66,19 @@ def quantize_for_serving(trainer, state, image_size: int = 224,
         from dfu_multimodal_tpu.models.vit import quantize_variables
 
         qvars = quantize_variables(qvars)
-        vit_impl = ("fused_q8" if jax.devices()[0].platform == "tpu"
+        from dfu_multimodal_tpu.models.common import mosaic_kernels_ok
+        # int8 ViT serving exists only as Mosaic kernels (+ an interpret
+        # fallback): a multi-device TPU process cannot auto-partition
+        # them (models/common.py::mosaic_kernels_ok) and interpret mode
+        # would be orders slower than bf16 there — reject up front.
+        if (jax.devices()[0].platform == "tpu"
+                and not mosaic_kernels_ok()):
+            raise ValueError(
+                "int8 serving needs a single-device TPU process: the "
+                "fused int8 ViT kernels cannot be partitioned over a "
+                "multi-device mesh. Serve bf16 there, or pin the server "
+                "to one chip.")
+        vit_impl = ("fused_q8" if mosaic_kernels_ok()
                     else "fused_q8_interpret")
     if "rgb" in trainer.spec.inputs:
         from dfu_multimodal_tpu.data.transforms import eval_normalize

@@ -158,6 +158,20 @@ class Trainer:
                         "the XLA partitioner. Use block_impl='flax'/'auto' "
                         "or disable the sharded-param mode.")
                 kwargs["block_impl"] = "flax"
+            elif self.mesh.size > 1:
+                # Mosaic kernels cannot be partitioned by automatic SPMD
+                # (jax tpu_custom_call raises under any multi-device jit);
+                # "auto" resolutions already fall back to the XLA paths
+                # (models/common.py::mosaic_kernels_ok) — reject explicit
+                # kernel requests here with a readable error instead.
+                mosaic = ("fused", "fused_q8", "fused_q8s")
+                if block_impl in mosaic or attention_impl == "pallas":
+                    raise ValueError(
+                        f"block_impl={block_impl!r}/attention_impl="
+                        f"{attention_impl!r} cannot run over a "
+                        f"{self.mesh.size}-device mesh: Mosaic kernels "
+                        "can't be auto-partitioned (wrap in shard_map, or "
+                        "use the XLA impls / a single-device mesh).")
         # int8 ResNet serving trunk (models/resnet_q8.py): the fusion model
         # takes it as rgb_impl, the standalone classifier as block_impl
         if spec_probe.name == "multimodal":

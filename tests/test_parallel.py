@@ -353,3 +353,51 @@ def test_multiprocess_execution_two_hosts():
                                     jax.random.PRNGKey(3))
     assert float(losses[0]) == pytest.approx(em.loss, rel=2e-4), (
         losses, em.loss)
+
+
+def test_mosaic_impls_rejected_on_multidevice_mesh():
+    """Mosaic (Pallas TPU) kernels can't be partitioned by automatic SPMD
+    (jax tpu_custom_call raises under any multi-device jit). 'auto'
+    resolutions fall back to the XLA paths; explicit kernel requests on a
+    multi-device mesh must fail with a readable error."""
+    from dfu_multimodal_tpu import config
+    from dfu_multimodal_tpu.models.common import mosaic_kernels_ok
+    from dfu_multimodal_tpu.train.engine import Trainer
+
+    assert mosaic_kernels_ok() is False        # CPU test process
+
+    cfg = config.TrainConfig(batch_size=8,
+                             mesh=config.MeshConfig(data=8))
+    mods = {"thermal": config.thermal_modality()}
+    with pytest.raises(ValueError, match="[Mm]osaic"):
+        Trainer("thermal_only", cfg, mods, block_impl="fused")
+    with pytest.raises(ValueError, match="[Mm]osaic"):
+        Trainer("thermal_only", cfg, mods, attention_impl="pallas")
+
+
+def test_fsdp_batchnorm_model_matches_data_parallel():
+    """FSDP with a BatchNorm/conv model: sharded params must not change
+    the loss OR the (replicated) global-batch BN statistics."""
+    from dfu_multimodal_tpu import config
+    from dfu_multimodal_tpu.train.engine import Trainer
+
+    rng = np.random.default_rng(1)
+    batch = {
+        "rgb": rng.integers(0, 255, (16, 32, 32, 3), np.uint8),
+        "label": rng.integers(0, 2, 16).astype(np.int32),
+        "valid": np.ones(16, np.float32),
+    }
+    out = {}
+    for name, mesh_cfg in (
+            ("dp", config.MeshConfig(data=8)),
+            ("fsdp", config.MeshConfig(data=8, fsdp=True))):
+        cfg = config.TrainConfig(batch_size=16, compute_dtype="float32",
+                                 seed=0, mesh=mesh_cfg)
+        trainer = Trainer("tiny_rgb", cfg, {"rgb": config.rgb_modality()})
+        state = trainer.init_state(jax.random.PRNGKey(0), image_size=32)
+        b = jax.device_put(batch, trainer.batch_sharding)
+        new_state, m = trainer.train_step(state, b, jax.random.PRNGKey(1))
+        out[name] = (float(m["loss"]),
+                     np.asarray(new_state.batch_stats["bn0"]["mean"]))
+    assert out["fsdp"][0] == pytest.approx(out["dp"][0], rel=1e-5)
+    np.testing.assert_allclose(out["fsdp"][1], out["dp"][1], rtol=1e-5)
