@@ -325,3 +325,24 @@ def test_fit_with_cosine_schedule(synth):
                                        image_size=32)
     assert np.isfinite(history["train_loss"]).all()
     assert len(history["train_loss"]) == 2
+
+
+def test_cosine_schedule_resume_restores_step_count(synth, tmp_path):
+    """Resuming a scheduled run must restore the schedule position (the
+    optax count lives in opt_state), not restart the LR from step 0."""
+    train, val = synth
+    kw = dict(num_epochs=2, lr_schedule="cosine", warmup_epochs=0.5,
+              steps_per_epoch=-(-len(train) // 8))
+    ckpt = tmp_path / "ckpt"
+    trainer = make_trainer(**kw)
+    trainer.fit(train, val, checkpoint_dir=ckpt, log=lambda s: None,
+                image_size=32)
+
+    resumed = make_trainer(**kw)
+    state = resumed.restore(ckpt, image_size=32, with_opt_state=True)
+    # optax keeps the schedule position as scalar int count leaves
+    leaves = [np.asarray(l) for l in jax.tree_util.tree_leaves(state.opt_state)]
+    scalar_ints = [int(l) for l in leaves
+                   if l.shape == () and np.issubdtype(l.dtype, np.integer)]
+    steps_taken = 2 * kw["steps_per_epoch"]
+    assert steps_taken in scalar_ints, (scalar_ints, steps_taken)
