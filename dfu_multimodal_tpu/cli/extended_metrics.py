@@ -51,6 +51,16 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--model-overrides", nargs="*", default=[],
                         metavar="NAME=ZOO",
                         help="e.g. rgb_only=tiny_rgb for smoke runs")
+    parser.add_argument("--operating-point", default=None,
+                        metavar="STRATEGY",
+                        help="also report metrics at a clinically tuned "
+                             "probability threshold selected on the VAL "
+                             "split: youden | f1 | sens@<floor> (e.g. "
+                             "sens@0.95). Default 0.5/argmax metrics and "
+                             "artifacts are unchanged; the tuned point is "
+                             "reported alongside and saved under "
+                             "'operating_point' in results.pt "
+                             "(eval/threshold.py)")
     return parser
 
 
@@ -64,13 +74,21 @@ def _make_trainer(zoo_name: str, args, image_size: int) -> Trainer:
 
 
 def evaluate_model(trainer: Trainer, ckpt_dir: Path, dataset,
-                   image_size: int) -> Optional[Dict[str, np.ndarray]]:
+                   image_size: int,
+                   val_dataset=None) -> Optional[Dict[str, np.ndarray]]:
+    """Evaluate the checkpoint on ``dataset``; with ``val_dataset`` also
+    returns the validation arrays (for operating-point selection) under
+    the ``val_*`` keys."""
     if not ckpt_mod.best_checkpoint_exists(ckpt_dir):
         print(f"  Checkpoint not found: {ckpt_dir}")
         return None
     print(f"Loading: {ckpt_dir}")
     state = trainer.restore(ckpt_dir, image_size=image_size)
     _, arrays = trainer.run_eval_epoch(state, dataset)
+    if val_dataset is not None:
+        _, val_arrays = trainer.run_eval_epoch(state, val_dataset)
+        arrays = dict(arrays, **{f"val_{k}": v
+                                 for k, v in val_arrays.items()})
     return arrays
 
 
@@ -126,15 +144,20 @@ def main(argv=None) -> Dict[str, Dict]:
 
     print("\nLoading test datasets...")
     size = args.image_size
-    datasets = {
-        "rgb_only": load_single_modality(
-            data_cfg.data_dir / "rgb", "test", size, "rgb"),
-        "thermal_only": load_single_modality(
-            data_cfg.data_dir / "thermal", "test", size, "thermal"),
-        "multimodal": load_paired(
-            data_cfg.data_dir, "test", size, strategy="pseudo",
-            seed=args.seed),
-    }
+
+    def _load(split):
+        return {
+            "rgb_only": load_single_modality(
+                data_cfg.data_dir / "rgb", split, size, "rgb"),
+            "thermal_only": load_single_modality(
+                data_cfg.data_dir / "thermal", split, size, "thermal"),
+            "multimodal": load_paired(
+                data_cfg.data_dir, split, size, strategy="pseudo",
+                seed=args.seed),
+        }
+
+    datasets = _load("test")
+    val_datasets = _load("val") if args.operating_point else None
 
     all_results: Dict[str, Dict] = {}
     for ckpt_name, display, subdir, zoo_default in MODELS:
@@ -149,13 +172,42 @@ def main(argv=None) -> Dict[str, Dict]:
         trainer = _make_trainer(zoo_name, args, size)
         arrays = evaluate_model(
             trainer, Path(data_cfg.checkpoint_root) / ckpt_name,
-            datasets[subdir], size)
+            datasets[subdir], size,
+            val_dataset=val_datasets[subdir] if val_datasets else None)
         if arrays is None:
             continue
 
         metrics = metrics_mod.compute_all_metrics(
             arrays["y_true"], arrays["y_pred"], arrays["y_probs"])
         metrics_mod.print_report(metrics, display)
+
+        op_payload = None
+        if args.operating_point:
+            from dfu_multimodal_tpu.eval import threshold as thr_mod
+            try:
+                t, info = thr_mod.pick_threshold(
+                    arrays["val_y_true"], arrays["val_y_probs"],
+                    args.operating_point)
+                op_pred = thr_mod.apply_threshold(arrays["y_probs"], t)
+                op_metrics = metrics_mod.compute_all_metrics(
+                    arrays["y_true"], op_pred, arrays["y_probs"])
+                op_payload = {"info": info, "metrics": op_metrics}
+                print(f"\nOPERATING POINT ({info['strategy']}, selected "
+                      f"on val): threshold={t:.4f} "
+                      f"(val sens={info['selection_sensitivity']:.4f}, "
+                      f"spec={info['selection_specificity']:.4f})")
+                print(f"  test at tuned point:  "
+                      f"acc={op_metrics['accuracy']:.4f} "
+                      f"F1={op_metrics['f1']:.4f} "
+                      f"sens={op_metrics['sensitivity']:.4f} "
+                      f"spec={op_metrics['specificity']:.4f}")
+                print(f"  test at default 0.5:  "
+                      f"acc={metrics['accuracy']:.4f} "
+                      f"F1={metrics['f1']:.4f} "
+                      f"sens={metrics['sensitivity']:.4f} "
+                      f"spec={metrics['specificity']:.4f}")
+            except ValueError as e:
+                print(f"\nOPERATING POINT skipped: {e}")
 
         out_dir = out_root / subdir
         out_dir.mkdir(parents=True, exist_ok=True)
@@ -165,9 +217,11 @@ def main(argv=None) -> Dict[str, Dict]:
                              out_dir)
         plots.plot_precision_recall_curve(arrays["y_true"],
                                           arrays["y_probs"], display, out_dir)
-        save_pt({"y_true": arrays["y_true"], "y_pred": arrays["y_pred"],
-                 "y_probs": arrays["y_probs"], "metrics": metrics},
-                out_dir / "results.pt")
+        payload = {"y_true": arrays["y_true"], "y_pred": arrays["y_pred"],
+                   "y_probs": arrays["y_probs"], "metrics": metrics}
+        if op_payload is not None:
+            payload["operating_point"] = op_payload
+        save_pt(payload, out_dir / "results.pt")
         print(f"\nResults saved to {subdir}/results.pt")
         all_results[display] = metrics
 

@@ -59,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "image's probabilities depend on which other "
                              "files are in --images; pin this for "
                              "reproducible deployments")
+    parser.add_argument("--threshold", type=float, default=None,
+                        help="classify ulcer when P(ulcer) >= this value "
+                             "instead of argmax (0.5). Tune it on a "
+                             "validation split with extended_metrics "
+                             "--operating-point (e.g. sens@0.95 for "
+                             "screening deployments)")
     return parser
 
 
@@ -117,9 +123,13 @@ def main(argv=None):
     ds = ArrayDataset(arrays=arrays, labels=np.zeros(n, np.int32))
     _, out = trainer.run_eval_epoch(state, ds)
 
+    preds = out["y_pred"]
+    if args.threshold is not None:
+        from dfu_multimodal_tpu.eval.threshold import apply_threshold
+        preds = apply_threshold(out["y_probs"], args.threshold)
+        print(f"Operating point: P(ulcer) >= {args.threshold}")
     results = {str(p): (float(prob), int(pred))
-               for p, prob, pred in zip(paths, out["y_probs"],
-                                        out["y_pred"])}
+               for p, prob, pred in zip(paths, out["y_probs"], preds)}
     print(f"{'image':50s}  P(ulcer)  prediction")
     for p, (prob, pred) in results.items():
         name = Path(p).name

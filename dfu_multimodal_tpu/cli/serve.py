@@ -48,6 +48,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--model", default=None,
                         help="zoo name for a SINGLE --checkpoint; "
                              "default: checkpoint metadata")
+    parser.add_argument("--threshold", type=float, default=None,
+                        help="clinical operating point: respond "
+                             "prediction=1 (ulcer) when prob_ulcer >= "
+                             "this value instead of argmax; tune on a "
+                             "validation split with extended_metrics "
+                             "--operating-point")
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--image-size", type=int, default=224)
@@ -122,7 +128,7 @@ def _load_engine(ckpt: Path, model_name, args, cfg, modalities):
     return model_name, ServingEngine(
         trainer, state, image_size=args.image_size,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-        pipeline_depth=args.pipeline_depth)
+        pipeline_depth=args.pipeline_depth, threshold=args.threshold)
 
 
 def main(argv=None):
@@ -168,7 +174,7 @@ def main(argv=None):
         engines[name] = ServingEngine(
             servable, None, image_size=servable.image_size,
             buckets=servable.buckets, max_wait_ms=args.max_wait_ms,
-            pipeline_depth=args.pipeline_depth)
+            pipeline_depth=args.pipeline_depth, threshold=args.threshold)
     router = ModelRouter(engines)
 
     if not args.no_warmup:

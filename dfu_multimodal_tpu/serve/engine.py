@@ -123,7 +123,12 @@ class ServingEngine:
     def __init__(self, trainer, state, *, image_size: int = 224,
                  max_batch: int = 64, max_wait_ms: float = 2.0,
                  pipeline_depth: int = 1, latency_window: int = 4096,
-                 buckets: Optional[Sequence[int]] = None):
+                 buckets: Optional[Sequence[int]] = None,
+                 threshold: Optional[float] = None):
+        # clinical operating point: predict Ulcer when P(ulcer) >=
+        # threshold instead of argmax (eval/threshold.py picks one on a
+        # validation split); None keeps the default argmax prediction
+        self.threshold = None if threshold is None else float(threshold)
         self.trainer = trainer
         self.image_size = int(image_size)
         self.inputs: Tuple[str, ...] = tuple(trainer.spec.inputs)
@@ -309,7 +314,10 @@ class ServingEngine:
         n = len(items)
         try:
             probs = np.asarray(out["probs"])[:n]
-            preds = np.asarray(out["preds"])[:n]
+            if self.threshold is not None:
+                preds = (probs >= self.threshold).astype(np.int64)
+            else:
+                preds = np.asarray(out["preds"])[:n]
         except Exception as exc:
             self._fail(items, exc, record)
             return

@@ -80,3 +80,52 @@ def test_device_confusion_counts():
 
 def test_f1_zero_division():
     assert M.f1_from_counts(np.array([5.0, 0, 0, 0])) == 0.0
+
+
+def test_pick_threshold_strategies():
+    """Operating-point selection (eval/threshold.py): golden checks on a
+    hand-built score distribution, sklearn-free."""
+    from dfu_multimodal_tpu.eval.threshold import (apply_threshold,
+                                                   pick_threshold)
+
+    y = np.array([0, 0, 0, 0, 0, 1, 1, 1, 1, 1])
+    p = np.array([0.05, 0.2, 0.3, 0.45, 0.7,    # negatives (one hard)
+                  0.35, 0.6, 0.8, 0.9, 0.95])   # positives (one hard)
+
+    # youden: J is maximized separating all but the two hard samples
+    t, info = pick_threshold(y, p, "youden")
+    pred = apply_threshold(p, t)
+    sens = pred[y == 1].mean()
+    spec = 1 - pred[y == 0].mean()
+    assert sens + spec - 1 == pytest.approx(0.6)
+    assert info["selection_sensitivity"] == pytest.approx(sens)
+
+    # brute-force check: no realized threshold does better on J or F1
+    def counts_at(t):
+        pr = (p >= t).astype(int)
+        s = pr[y == 1].mean()
+        sp = 1 - pr[y == 0].mean()
+        f1 = (2 * pr[y == 1].sum()
+              / max(pr.sum() + (y == 1).sum(), 1e-12))
+        return s + sp - 1, f1
+    best_j = max(counts_at(c)[0] for c in p)
+    assert counts_at(t)[0] == pytest.approx(best_j)
+
+    t_f1, _ = pick_threshold(y, p, "f1")
+    best_f1 = max(counts_at(c)[1] for c in p)
+    assert counts_at(t_f1)[1] == pytest.approx(best_f1)
+
+    # sens@1.0: must keep every positive -> threshold at the lowest
+    # positive score, catching the hard positive at 0.35
+    t_s, info_s = pick_threshold(y, p, "sens@1.0")
+    assert info_s["selection_sensitivity"] == 1.0
+    assert t_s == pytest.approx(0.35)
+    # and it is the MOST SPECIFIC such point
+    assert info_s["selection_specificity"] == pytest.approx(0.6)
+
+    with pytest.raises(ValueError):
+        pick_threshold(y, p, "sens@0")
+    with pytest.raises(ValueError):
+        pick_threshold(np.zeros(4, int), np.linspace(0, 1, 4), "youden")
+    with pytest.raises(ValueError):
+        pick_threshold(y, p, "nope")

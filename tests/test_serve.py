@@ -296,3 +296,21 @@ def test_serving_engine_on_8dev_mesh(served):
     want = single.predict([{"rgb": img} for img in imgs])
     np.testing.assert_allclose([p for p, _ in got], [p for p, _ in want],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_engine_threshold_operating_point():
+    """threshold=t must flip predictions to P(ulcer) >= t while leaving
+    probabilities untouched (eval/threshold.py semantics)."""
+    trainer, state = make_serving_trainer()
+    imgs = rand_images(10, seed=3)
+    with ServingEngine(trainer, state, image_size=SIZE, max_batch=8,
+                       max_wait_ms=100.0) as default_engine:
+        base = default_engine.predict([{"rgb": img} for img in imgs])
+    probs = np.array([p for p, _ in base])
+    t = float(np.median(probs))            # guarantees both classes
+    with ServingEngine(trainer, state, image_size=SIZE, max_batch=8,
+                       max_wait_ms=100.0, threshold=t) as engine:
+        got = engine.predict([{"rgb": img} for img in imgs])
+    np.testing.assert_allclose([p for p, _ in got], probs, atol=1e-6)
+    np.testing.assert_array_equal([pr for _, pr in got],
+                                  (probs >= t).astype(int))
