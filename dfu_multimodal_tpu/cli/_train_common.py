@@ -61,6 +61,11 @@ def build_parser(recipe: TrainRecipe) -> argparse.ArgumentParser:
                              "optimizer, epoch 1")
     parser.add_argument("--profile-dir", type=Path, default=None,
                         help="write a jax.profiler trace of epoch 2 here")
+    parser.add_argument("--log-jsonl", type=Path, default=None,
+                        help="append one machine-readable JSON object per "
+                             "epoch (losses, accs, F1s, seconds, img/s/"
+                             "chip) to this file — structured stream for "
+                             "dashboards/run comparison")
     parser.add_argument("--debug-nans", action="store_true",
                         help="raise at the first NaN produced under jit")
     return parser
@@ -129,7 +134,7 @@ def run_training(recipe: TrainRecipe,
         datasets["train"], datasets["val"], checkpoint_dir=ckpt_dir,
         image_size=args.image_size, profile_dir=args.profile_dir,
         resume_from=ckpt_dir if args.resume else None,
-        init_from=args.init_from)
+        init_from=args.init_from, metrics_jsonl=args.log_jsonl)
 
     print("\n" + "=" * 70)
     print(f"TRAINING COMPLETE - Best Val F1: {best_val_f1:.4f}")
@@ -138,6 +143,11 @@ def run_training(recipe: TrainRecipe,
     results = {"best_val_f1": best_val_f1}
     if not args.skip_test_eval:
         print("\nEvaluating on test set...")
+        if getattr(train_cfg, "ema_decay", 0.0) > 0.0:
+            # EMA runs validate/checkpoint/deploy the averaged weights —
+            # test the same ones (final-epoch EMA, mirroring the
+            # reference's test-the-final-model flow).
+            state = state.replace(params=state.ema_params)
         test_m, arrays = trainer.run_eval_epoch(state, datasets["test"])
         test_acc = metrics_mod.compute_all_metrics(
             arrays["y_true"], arrays["y_pred"])["accuracy"]

@@ -167,6 +167,20 @@ class TrainConfig:
     lr_schedule: str = "constant"          # 'constant' | 'cosine'
     warmup_epochs: float = 0.0
     steps_per_epoch: int = 0
+    # Model EMA (train/engine.py): keep an exponential moving average of
+    # the params on device (ema = d·ema + (1-d)·params per optimizer
+    # step, updated inside the jitted train step) and validate/checkpoint
+    # with the averaged weights — the standard production trick for
+    # stabler small-dataset fine-tunes.  0 disables (reference behavior:
+    # the reference has no EMA).  Checkpoints written with EMA on store
+    # the EMA weights as model_state (what eval/predict/serve consume)
+    # plus the raw params for exact mid-train resume.
+    ema_decay: float = 0.0
+    # Early stopping: stop after this many consecutive epochs without a
+    # val-F1 improvement.  0 disables (the reference always runs the full
+    # num_epochs).  Composes with best-by-val-F1 checkpointing — the
+    # saved checkpoint is unaffected, only wasted tail epochs are cut.
+    early_stop_patience: int = 0
     eval_batch_size: Optional[int] = None  # defaults to batch_size
     weighted_sampling: bool = True         # WeightedRandomSampler equivalent
     class_weighted_loss: bool = True       # class-weighted CE equivalent
@@ -233,6 +247,14 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                         help="microbatches per optimizer step (exact "
                              "full-batch gradients, ~N× lower activation "
                              "memory; batch size must divide evenly)")
+    parser.add_argument("--ema-decay", type=float, default=0.0,
+                        help="model EMA decay (e.g. 0.999): validate and "
+                             "checkpoint with exponentially-averaged "
+                             "weights; 0 = off (reference behavior)")
+    parser.add_argument("--early-stop-patience", type=int, default=0,
+                        help="stop after this many epochs without val-F1 "
+                             "improvement; 0 = off (reference always "
+                             "runs the full epoch budget)")
     parser.add_argument("--qat", action="store_true",
                         help="quantization-aware training: loss through "
                              "ViT kernels snapped to the int8 serving "
@@ -260,6 +282,8 @@ def train_config_from_args(args: argparse.Namespace,
     updates["qat"] = args.qat
     updates["lr_schedule"] = getattr(args, "lr_schedule", "constant")
     updates["warmup_epochs"] = getattr(args, "warmup_epochs", 0.0)
+    updates["ema_decay"] = getattr(args, "ema_decay", 0.0)
+    updates["early_stop_patience"] = getattr(args, "early_stop_patience", 0)
     updates["mesh"] = MeshConfig(data=args.mesh_data,
                                  fsdp=getattr(args, "fsdp", False))
     return dataclasses.replace(defaults, **updates)

@@ -56,6 +56,10 @@ class TrainState(struct.PyTreeNode):
     params: Any
     batch_stats: Any
     opt_state: Any
+    # Exponential moving average of ``params`` (cfg.ema_decay > 0), updated
+    # inside the jitted train step; None when EMA is off so the pytree
+    # structure (and donation) is unchanged for the default path.
+    ema_params: Any = None
 
 
 def class_weights_from_labels(labels: np.ndarray) -> np.ndarray:
@@ -212,6 +216,15 @@ class Trainer:
         variables = unfreeze(variables)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
+        use_ema = float(getattr(self.cfg, "ema_decay", 0.0)) > 0.0
+
+        def ema_copy(tree):
+            # Fresh buffers (not aliases of params): the train step donates
+            # the whole state, and a buffer may be donated only once.
+            # jnp.copy under jit preserves each leaf's sharding, so the
+            # EMA tree starts with exactly the params' placement (FSDP/TP
+            # included).
+            return jax.jit(lambda t: jax.tree.map(jnp.copy, t))(tree)
 
         if self.mesh.shape[mesh_mod.MODEL_AXIS] > 1 or self.fsdp:
             # Sharded params: Megatron-style TP over ``model``, or ZeRO-3
@@ -219,15 +232,17 @@ class Trainer:
             # (elementwise init under jit).
             params = self._place_params(params)
             batch_stats = jax.device_put(batch_stats, self.replicated)
+            ema = ema_copy(params) if use_ema else None
             return TrainState(
                 step=jax.device_put(jnp.zeros((), jnp.int32),
                                     self.replicated),
                 params=params, batch_stats=batch_stats,
-                opt_state=jax.jit(self.tx.init)(params))
+                opt_state=jax.jit(self.tx.init)(params), ema_params=ema)
 
         state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                            batch_stats=batch_stats,
-                           opt_state=self.tx.init(params))
+                           opt_state=self.tx.init(params),
+                           ema_params=ema_copy(params) if use_ema else None)
         return jax.device_put(state, self.replicated)
 
     def variables(self, state: TrainState) -> Dict:
@@ -262,6 +277,16 @@ class Trainer:
         module, spec, tx = self.module, self.spec, self.tx
         accum = max(1, int(getattr(self.cfg, "grad_accum", 1)))
         qat = bool(getattr(self.cfg, "qat", False))
+        ema_decay = float(getattr(self.cfg, "ema_decay", 0.0))
+
+        def ema_update(ema, new_params):
+            # Static python branch: no lax.cond, the EMA tree-map simply
+            # isn't in the traced program when EMA is off.
+            if not ema_decay:
+                return ema
+            return jax.tree.map(
+                lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                ema, new_params)
 
         def apply_model(params, batch_stats, inputs, drop_rng):
             if qat:    # loss through serving-grid weights, STE gradients
@@ -297,7 +322,9 @@ class Trainer:
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             new_state = state.replace(step=state.step + 1, params=new_params,
-                                      batch_stats=new_bs, opt_state=new_opt)
+                                      batch_stats=new_bs, opt_state=new_opt,
+                                      ema_params=ema_update(state.ema_params,
+                                                            new_params))
             preds = jnp.argmax(logits, axis=-1)
             counts = metrics_mod.confusion_counts(preds, labels,
                                                   batch["valid"])
@@ -359,7 +386,9 @@ class Trainer:
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             new_state = state.replace(step=state.step + 1, params=new_params,
-                                      batch_stats=new_bs, opt_state=new_opt)
+                                      batch_stats=new_bs, opt_state=new_opt,
+                                      ema_params=ema_update(state.ema_params,
+                                                            new_params))
             return new_state, {"loss": loss, "counts": counts.sum(axis=0)}
 
         step = train_step_accum if accum > 1 else train_step
@@ -466,7 +495,8 @@ class Trainer:
             image_size: int = 224, log: Callable[[str], None] = print,
             profile_dir: Optional[Path] = None,
             resume_from: Optional[Path] = None,
-            init_from: Optional[Path] = None
+            init_from: Optional[Path] = None,
+            metrics_jsonl: Optional[Path] = None
             ) -> Tuple[TrainState, Dict[str, List[float]], float]:
         """Full training run with the reference's epoch loop contract.
         Returns (final_state, history, best_val_f1).
@@ -478,7 +508,12 @@ class Trainer:
         ``init_from`` warm-starts the model weights only (fresh optimizer,
         epoch 1) from a converted/pretrained checkpoint directory — the
         reference's fine-tune-from-torchvision/timm flow
-        (train_rgb_only.py:203-206; see docs/QUALITY_PARITY.md)."""
+        (train_rgb_only.py:203-206; see docs/QUALITY_PARITY.md).
+        ``metrics_jsonl`` appends one machine-readable JSON object per
+        epoch (loss/acc/F1 for both splits, wall seconds, img/s/chip) —
+        the observability stream the reference's print-only logging lacks
+        (SURVEY.md §5 metrics row); append-mode so resumed runs extend
+        the same file."""
         from dfu_multimodal_tpu.utils.logging import (ThroughputMeter,
                                                       profile_trace)
 
@@ -514,6 +549,10 @@ class Trainer:
             log(f"Resumed from {resume_from} at epoch {start_epoch} "
                 f"(best val F1 {best_val_f1:.4f})")
 
+        use_ema = float(getattr(cfg, "ema_decay", 0.0)) > 0.0
+        patience = int(getattr(cfg, "early_stop_patience", 0))
+        best_seen, epochs_since_best = -1.0, 0
+
         meter = ThroughputMeter(n_chips=self.mesh.size)
         for epoch in range(start_epoch, cfg.num_epochs + 1):
             t0 = time.perf_counter()
@@ -523,7 +562,13 @@ class Trainer:
                     state, train_ds, np_rng, jax.random.fold_in(rng, epoch),
                     meter=meter)
             throughput = meter.summary()
-            val_m, _ = self.run_eval_epoch(state, val_ds)
+            train_rate = meter.images_per_sec_per_chip
+            # With EMA on, validation (and therefore best-checkpoint
+            # selection) runs on the averaged weights — the weights a
+            # deployment would actually serve.
+            eval_state = (state.replace(params=state.ema_params)
+                          if use_ema else state)
+            val_m, _ = self.run_eval_epoch(eval_state, val_ds)
             dt = time.perf_counter() - t0
 
             history["train_loss"].append(train_m.loss)
@@ -539,17 +584,48 @@ class Trainer:
                 f"Val Loss: {val_m.loss:.4f}, Acc: {val_m.accuracy:.4f}, "
                 f"F1: {val_m.f1:.4f} ({dt:.1f}s, {throughput})")
 
+            if metrics_jsonl is not None:
+                import json
+                rec = {"epoch": epoch, "model": self.spec.name,
+                       "train_loss": train_m.loss,
+                       "train_acc": train_m.accuracy,
+                       "train_f1": train_m.f1,
+                       "val_loss": val_m.loss, "val_acc": val_m.accuracy,
+                       "val_f1": val_m.f1, "seconds": round(dt, 3),
+                       "images_per_sec_per_chip": round(train_rate, 2)}
+                path = Path(metrics_jsonl)
+                path.parent.mkdir(parents=True, exist_ok=True)
+                with path.open("a") as f:
+                    f.write(json.dumps(rec) + "\n")
+
             if (checkpoint_dir is not None
                     and epoch >= cfg.save_best_after_epoch
                     and val_m.f1 > best_val_f1):
                 best_val_f1 = val_m.f1
                 ckpt_mod.save_checkpoint(
                     checkpoint_dir, epoch=epoch,
-                    model_state=self.variables(state),
+                    # EMA runs checkpoint the averaged weights as the
+                    # model_state every downstream consumer loads, plus
+                    # the raw params for exact mid-train resume.
+                    model_state=self.variables(eval_state),
                     opt_state=state.opt_state, val_f1=val_m.f1,
                     history=history,
-                    extra_meta={"model": self.spec.name})
+                    extra_meta={"model": self.spec.name,
+                                **({"ema_decay": cfg.ema_decay}
+                                   if use_ema else {})},
+                    extra_state=({"raw_params": state.params}
+                                 if use_ema else None))
                 log(f"  Saved BEST model (Val F1: {val_m.f1:.4f})")
+
+            if val_m.f1 > best_seen + 1e-12:
+                best_seen, epochs_since_best = val_m.f1, 0
+            else:
+                epochs_since_best += 1
+            if patience and epochs_since_best >= patience:
+                log(f"Early stopping at epoch {epoch}: no val-F1 "
+                    f"improvement in {patience} epoch(s) "
+                    f"(best {best_seen:.4f})")
+                break
 
         return state, history, best_val_f1
 
@@ -573,12 +649,31 @@ class Trainer:
             except (KeyError, ValueError, TypeError) as e:
                 print(f"  (optimizer state not restored: {e})")
         params = merged["params"]
+        ema_params = state.ema_params
+        use_ema = float(getattr(self.cfg, "ema_decay", 0.0)) > 0.0
+        if use_ema:
+            # EMA checkpoints store the averaged weights as model_state
+            # and the raw training params separately; resume continues
+            # both trees exactly.  From a non-EMA (or converted)
+            # checkpoint the EMA restarts at the loaded weights.  The EMA
+            # tree is copied leaf-by-leaf: flexible merges can leave both
+            # trees referencing the same fresh-init arrays, and the donated
+            # train-step state must not alias buffers across fields.
+            ema_params = jax.tree.map(lambda x: jnp.array(x, copy=True),
+                                      params)
+            if payload.get("raw_params"):
+                raw, _, _ = ckpt_mod.load_flexible(
+                    {"params": target["params"]},
+                    {"params": payload["raw_params"]}, verbose=False)
+                params = raw["params"]
         if self.fsdp or self.mesh.shape[mesh_mod.MODEL_AXIS] > 1:
             # load_flexible returns host arrays; re-apply the sharded
             # placement so a restored state trains with the same layout
             # (and memory footprint) as a fresh one.
             params = self._place_params(params)
+            if use_ema:
+                ema_params = self._place_params(ema_params)
         return state.replace(
             params=params,
             batch_stats=merged.get("batch_stats", state.batch_stats),
-            opt_state=opt_state)
+            opt_state=opt_state, ema_params=ema_params)

@@ -33,8 +33,13 @@ def _to_numpy(tree: Any) -> Any:
 
 def save_checkpoint(directory: Path, *, epoch: int, model_state: Dict,
                     opt_state: Any, val_f1: float, history: Dict,
-                    extra_meta: Optional[Dict] = None) -> Path:
-    """Write the best-model checkpoint, replacing any previous one."""
+                    extra_meta: Optional[Dict] = None,
+                    extra_state: Optional[Dict] = None) -> Path:
+    """Write the best-model checkpoint, replacing any previous one.
+
+    ``extra_state`` adds top-level payload trees (e.g. the EMA trainer's
+    ``raw_params`` for exact mid-train resume); absent keys simply aren't
+    in the payload, keeping old checkpoints loadable."""
     directory = Path(directory)
     directory.mkdir(parents=True, exist_ok=True)
     # to_state_dict converts optax namedtuple chains into plain nested
@@ -43,6 +48,8 @@ def save_checkpoint(directory: Path, *, epoch: int, model_state: Dict,
         "model_state": serialization.to_state_dict(_to_numpy(model_state)),
         "opt_state": serialization.to_state_dict(_to_numpy(opt_state)),
     }
+    for key, tree in (extra_state or {}).items():
+        payload[key] = serialization.to_state_dict(_to_numpy(tree))
     path = directory / CKPT_NAME
     if path.exists():
         path.unlink()                     # previous best unlinked, like the ref

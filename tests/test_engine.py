@@ -346,3 +346,113 @@ def test_cosine_schedule_resume_restores_step_count(synth, tmp_path):
                    if l.shape == () and np.issubdtype(l.dtype, np.integer)]
     steps_taken = 2 * kw["steps_per_epoch"]
     assert steps_taken in scalar_ints, (scalar_ints, steps_taken)
+
+
+def _flat(tree):
+    import jax.tree_util as jtu
+    return {jtu.keystr(k): np.asarray(v)
+            for k, v in jtu.tree_leaves_with_path(tree)}
+
+
+def test_ema_tracks_manual_average(synth):
+    """cfg.ema_decay keeps an on-device EMA of the params that (a) exactly
+    matches a manual host-side recomputation and (b) never feeds back into
+    the training trajectory (EMA is a pure observer)."""
+    train, _ = synth
+    d = 0.5
+    t_ema = make_trainer(ema_decay=d, num_epochs=1)
+    t_raw = make_trainer(num_epochs=1)
+    s_ema = t_ema.init_state(jax.random.PRNGKey(0), image_size=32)
+    s_raw = t_raw.init_state(jax.random.PRNGKey(0), image_size=32)
+    assert s_raw.ema_params is None
+    # EMA starts at the init params
+    ema_manual = _flat(s_ema.params)
+    for k, v in _flat(s_ema.ema_params).items():
+        np.testing.assert_array_equal(v, ema_manual[k])
+
+    import jax.numpy as jnp
+    batch = {"rgb": jnp.asarray(train.arrays["rgb"][:8]),
+             "label": jnp.asarray(train.labels[:8]),
+             "valid": jnp.ones(8, jnp.float32)}
+    rng = jax.random.PRNGKey(7)
+    for _ in range(3):
+        s_ema, _m = t_ema.train_step(s_ema, batch, rng)
+        s_raw, _m = t_raw.train_step(s_raw, batch, rng)
+        params_now = _flat(s_ema.params)
+        ema_manual = {k: d * ema_manual[k] + (1 - d) * params_now[k]
+                      for k in ema_manual}
+        # observer property: identical trajectory with and without EMA
+        for k, v in _flat(s_raw.params).items():
+            np.testing.assert_array_equal(v, params_now[k])
+        for k, v in _flat(s_ema.ema_params).items():
+            np.testing.assert_allclose(v, ema_manual[k], rtol=1e-6,
+                                       atol=1e-7)
+
+
+def test_ema_checkpoint_stores_averaged_weights_and_resumes(synth, tmp_path):
+    """EMA checkpoints carry the averaged weights as model_state (what
+    every downstream consumer loads) plus raw_params for exact resume."""
+    train, val = synth
+    ckpt = tmp_path / "ckpt_ema"
+    trainer = make_trainer(ema_decay=0.9, num_epochs=2)
+    state, history, best = trainer.fit(train, val, checkpoint_dir=ckpt,
+                                       image_size=32, log=lambda s: None)
+    assert ckpt_mod.best_checkpoint_exists(ckpt)
+    payload, meta = ckpt_mod.load_checkpoint(ckpt)
+    assert meta.get("ema_decay") == pytest.approx(0.9)
+    assert "raw_params" in payload
+    saved_model = _flat(payload["model_state"]["params"])
+    saved_raw = _flat(payload["raw_params"])
+    # the two trees genuinely differ (EMA lags the raw trajectory)
+    assert any(not np.allclose(saved_model[k], saved_raw[k])
+               for k in saved_model)
+
+    # resume restores BOTH trees exactly
+    resumed = make_trainer(ema_decay=0.9, num_epochs=2)
+    rs = resumed.restore(ckpt, image_size=32, with_opt_state=True)
+    for k, v in _flat(rs.params).items():
+        np.testing.assert_array_equal(v, saved_raw[k])
+    for k, v in _flat(rs.ema_params).items():
+        np.testing.assert_array_equal(v, saved_model[k])
+
+    # a non-EMA consumer (predict/extended_metrics path) gets the
+    # averaged weights transparently
+    plain = make_trainer(num_epochs=2)
+    ps = plain.restore(ckpt, image_size=32)
+    for k, v in _flat(ps.params).items():
+        np.testing.assert_array_equal(v, saved_model[k])
+
+
+def test_early_stopping_cuts_tail_epochs(synth, tmp_path):
+    """With a saturating val F1, early_stop_patience ends the run before
+    the full epoch budget without touching the best checkpoint."""
+    train, val = synth
+    ckpt = tmp_path / "ckpt_es"
+    trainer = make_trainer(num_epochs=12, early_stop_patience=1)
+    state, history, best = trainer.fit(train, val, checkpoint_dir=ckpt,
+                                       image_size=32, log=lambda s: None)
+    assert len(history["val_f1"]) < 12
+    assert ckpt_mod.best_checkpoint_exists(ckpt)
+    _, meta = ckpt_mod.load_checkpoint(ckpt)
+    assert meta["val_f1"] == pytest.approx(best)
+
+
+def test_metrics_jsonl_stream(synth, tmp_path):
+    """fit(metrics_jsonl=...) appends one parseable JSON object per epoch
+    with the full metric row."""
+    import json
+    train, val = synth
+    path = tmp_path / "logs" / "train_metrics.jsonl"
+    trainer = make_trainer(num_epochs=2)
+    trainer.fit(train, val, image_size=32, log=lambda s: None,
+                metrics_jsonl=path)
+    lines = path.read_text().strip().splitlines()
+    assert len(lines) == 2
+    for i, line in enumerate(lines, 1):
+        rec = json.loads(line)
+        assert rec["epoch"] == i
+        assert rec["model"] == "tiny_rgb"
+        assert set(rec) >= {"train_loss", "train_acc", "train_f1",
+                            "val_loss", "val_acc", "val_f1", "seconds",
+                            "images_per_sec_per_chip"}
+        assert np.isfinite(rec["train_loss"])
