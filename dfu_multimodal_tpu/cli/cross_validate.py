@@ -1,0 +1,222 @@
+"""K-fold cross-validation for the single-modality classifiers.
+
+Beyond-reference, opt-in surface.  The reference trains and reports on ONE
+fixed 70/15/15 split (reference scripts/organize_clean_dataset.py:217-227);
+at its dataset scale (~130-280 test images) single-split metrics carry
+several points of split-assignment noise on top of binomial noise.  This
+harness pools the train+val rows (the test split stays untouched), trains K
+models on stratified — or pseudo-patient-grouped, reusing the reference's
+``img_num // 5`` grouping (patient_level_split.py:35-58) — folds, and
+reports per-fold metrics with mean ± std:
+
+    python -m dfu_multimodal_tpu.cli.cross_validate \\
+        --data-dir data --modality rgb --folds 5 [--group-by-patient]
+
+Each fold is a full Trainer run (same engine, same reference hyperparameter
+defaults as the train CLIs); fold models are NOT checkpointed — the output
+is the estimate (``cross_validation_<modality>/cv_results.pt`` + printed
+table), not a deployable artifact.  Folds are deterministic in ``--seed``.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from dfu_multimodal_tpu import config as cfg_mod
+from dfu_multimodal_tpu.config import TrainConfig
+from dfu_multimodal_tpu.data.loader import ArrayDataset, load_single_modality
+from dfu_multimodal_tpu.eval import metrics as metrics_mod
+from dfu_multimodal_tpu.tools.splits import pseudo_patient_id
+from dfu_multimodal_tpu.train.engine import Trainer, class_weights_from_labels
+from dfu_multimodal_tpu.utils.artifacts import save_pt
+
+SUMMARY_KEYS = ("accuracy", "f1", "sensitivity", "specificity", "auc_roc")
+
+
+def stratified_folds(labels: np.ndarray, k: int,
+                     rng: np.random.Generator) -> List[np.ndarray]:
+    """K disjoint index sets covering every row, each with ~1/k of every
+    class (shuffle within class, deal round-robin)."""
+    labels = np.asarray(labels)
+    if k < 2:
+        raise ValueError(f"need at least 2 folds, got {k}")
+    folds: List[List[int]] = [[] for _ in range(k)]
+    for cls in np.unique(labels):
+        idx = np.flatnonzero(labels == cls)
+        rng.shuffle(idx)
+        for j, i in enumerate(idx):
+            folds[j % k].append(int(i))
+    counts = [len(f) for f in folds]
+    if min(counts) == 0:
+        raise ValueError(f"{k} folds over {len(labels)} rows leaves an "
+                         "empty fold — lower --folds")
+    return [np.sort(np.asarray(f)) for f in folds]
+
+
+def grouped_folds(labels: np.ndarray, groups: List[str], k: int,
+                  rng: np.random.Generator) -> List[np.ndarray]:
+    """Group-level K folds: every row of a group lands in the same fold
+    (no pseudo-patient straddles a train/val boundary).  Groups are dealt
+    largest-first onto the currently smallest fold — a balanced greedy
+    partition."""
+    if k < 2:
+        raise ValueError(f"need at least 2 folds, got {k}")
+    by_group: Dict[str, List[int]] = {}
+    for i, g in enumerate(groups):
+        by_group.setdefault(g, []).append(i)
+    names = sorted(by_group)
+    rng.shuffle(names)
+    names.sort(key=lambda g: -len(by_group[g]))   # stable: keeps shuffle ties
+    sizes = [0] * k
+    folds: List[List[int]] = [[] for _ in range(k)]
+    for g in names:
+        j = int(np.argmin(sizes))
+        folds[j].extend(by_group[g])
+        sizes[j] += len(by_group[g])
+    if min(sizes) == 0:
+        raise ValueError(f"{k} folds over {len(names)} groups leaves an "
+                         "empty fold — lower --folds or --group-size")
+    return [np.sort(np.asarray(f)) for f in folds]
+
+
+def _subset(ds: ArrayDataset, idx: np.ndarray) -> ArrayDataset:
+    return ArrayDataset(
+        arrays={m: a[idx] for m, a in ds.arrays.items()},
+        labels=ds.labels[idx],
+        paths={m: [p[i] for i in idx] for m, p in ds.paths.items()})
+
+
+def _pool(parts: List[ArrayDataset]) -> ArrayDataset:
+    mods = parts[0].modalities
+    return ArrayDataset(
+        arrays={m: np.concatenate([p.arrays[m] for p in parts])
+                for m in mods},
+        labels=np.concatenate([p.labels for p in parts]),
+        paths={m: sum((list(p.paths.get(m, [None] * len(p)))
+                       for p in parts), [])
+               for m in mods})
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="K-fold cross-validation (beyond-reference)")
+    cfg_mod.add_common_args(parser)
+    parser.add_argument("--modality", choices=["rgb", "thermal"],
+                        default="rgb")
+    parser.add_argument("--model", default=None,
+                        help="model-zoo override (default: rgb_only / "
+                             "thermal_only per --modality; tiny_rgb for "
+                             "smoke runs)")
+    parser.add_argument("--folds", type=int, default=5)
+    parser.add_argument("--group-by-patient", action="store_true",
+                        help="group-level folds via the reference's "
+                             "img_num // group-size pseudo-patient ids — "
+                             "no patient straddles a fold boundary")
+    parser.add_argument("--group-size", type=int, default=5)
+    parser.add_argument("--image-size", type=int, default=224)
+    parser.add_argument("--attention-impl", default="auto",
+                        choices=["auto", "xla", "pallas"])
+    return parser
+
+
+def main(argv=None) -> Dict[str, Dict]:
+    args = build_parser().parse_args(argv)
+    data_cfg = cfg_mod.data_config_from_args(args)
+
+    if args.modality == "rgb":
+        zoo_name = args.model or "rgb_only"
+        modality_cfg = cfg_mod.rgb_modality()
+        defaults = TrainConfig()                       # batch 32 (reference)
+    else:
+        zoo_name = args.model or "thermal_only"
+        modality_cfg = cfg_mod.thermal_modality()
+        defaults = TrainConfig(batch_size=16)          # reference thermal
+    cfg = cfg_mod.train_config_from_args(args, defaults)
+
+    print("=" * 70)
+    print(f"{args.folds}-FOLD CROSS-VALIDATION — {args.modality.upper()} "
+          f"({zoo_name})")
+    print("=" * 70)
+
+    mod_dir = Path(data_cfg.data_dir) / args.modality
+    parts = [load_single_modality(mod_dir, split, args.image_size,
+                                  args.modality,
+                                  cache_dir=data_cfg.cache_dir)
+             for split in ("train", "val")]
+    pool = _pool(parts)
+    print(f"Pooled train+val: {len(pool)} rows "
+          f"(healthy {pool.class_counts[0]}, ulcer {pool.class_counts[1]}); "
+          f"test split untouched")
+
+    rng = np.random.default_rng(cfg.seed)
+    if args.group_by_patient:
+        names = [(p.name if p is not None else str(i))
+                 for i, p in enumerate(pool.paths[args.modality])]
+        groups = [pseudo_patient_id(n, args.group_size) for n in names]
+        folds = grouped_folds(pool.labels, groups, args.folds, rng)
+        print(f"Group-level folds over {len(set(groups))} pseudo-patients "
+              f"(group size {args.group_size})")
+    else:
+        folds = stratified_folds(pool.labels, args.folds, rng)
+
+    fold_metrics: List[Dict] = []
+    for i, val_idx in enumerate(folds, 1):
+        train_idx = np.setdiff1d(np.arange(len(pool)), val_idx)
+        train_ds, val_ds = _subset(pool, train_idx), _subset(pool, val_idx)
+        print(f"\n--- Fold {i}/{args.folds}: train {len(train_ds)} / "
+              f"val {len(val_ds)} "
+              f"(val ulcer {int(val_ds.class_counts[1])}) ---")
+        trainer = Trainer(zoo_name, cfg, {args.modality: modality_cfg},
+                          class_weights=class_weights_from_labels(
+                              train_ds.labels),
+                          attention_impl=args.attention_impl)
+        state, history, _ = trainer.fit(train_ds, val_ds,
+                                        checkpoint_dir=None,
+                                        image_size=args.image_size)
+        _, arrays = trainer.run_eval_epoch(state, val_ds)
+        m = metrics_mod.compute_all_metrics(arrays["y_true"],
+                                            arrays["y_pred"],
+                                            arrays["y_probs"])
+        fold_metrics.append(m)
+        print(f"Fold {i}: acc={m['accuracy']:.4f} f1={m['f1']:.4f} "
+              f"sens={m['sensitivity']:.4f} spec={m['specificity']:.4f}")
+
+    summary: Dict[str, Dict] = {}
+    print("\n" + "=" * 70)
+    print(f"CROSS-VALIDATION SUMMARY ({args.folds} folds)")
+    print("=" * 70)
+    for key in SUMMARY_KEYS:
+        vals = np.asarray([float(m[key]) for m in fold_metrics
+                           if m[key] is not None], np.float64)
+        vals = vals[~np.isnan(vals)]
+        if vals.size == 0:
+            continue
+        summary[key] = {"mean": float(vals.mean()),
+                        "std": float(vals.std(ddof=1)) if vals.size > 1
+                        else 0.0,
+                        "min": float(vals.min()), "max": float(vals.max()),
+                        "folds": vals.tolist()}
+        s = summary[key]
+        print(f"  {key:14s} {s['mean']:.4f} ± {s['std']:.4f}  "
+              f"[{s['min']:.4f}, {s['max']:.4f}]")
+
+    out_dir = (Path(data_cfg.checkpoint_root)
+               / f"cross_validation_{args.modality}")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    save_pt({"fold_metrics": fold_metrics, "summary": summary,
+             "folds": [f.tolist() for f in folds],
+             "config": {"folds": args.folds, "modality": args.modality,
+                        "model": zoo_name, "seed": cfg.seed,
+                        "group_by_patient": bool(args.group_by_patient),
+                        "epochs": cfg.num_epochs}},
+            out_dir / "cv_results.pt")
+    print(f"\nSaved to {out_dir / 'cv_results.pt'}")
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -61,6 +61,31 @@ def build_parser() -> argparse.ArgumentParser:
                              "reported alongside and saved under "
                              "'operating_point' in results.pt "
                              "(eval/threshold.py)")
+    parser.add_argument("--calibration", action="store_true",
+                        help="also report probability-calibration quality "
+                             "(ECE / MCE / Brier, eval/calibration.py) and "
+                             "write reliability_diagram_<model>.png; "
+                             "results.pt gains a 'calibration' entry. "
+                             "Default metrics and artifacts are unchanged")
+    parser.add_argument("--calibration-bins", type=int, default=15,
+                        help="equal-width probability bins for ECE/"
+                             "reliability (default 15)")
+    parser.add_argument("--bootstrap", type=int, default=0, metavar="N",
+                        help="report nonparametric percentile-bootstrap "
+                             "95%% CIs over N test-set resamples for the "
+                             "headline metrics (eval/bootstrap.py); "
+                             "results.pt gains a 'bootstrap' entry. "
+                             "0 = off (reference behavior: bare point "
+                             "estimates)")
+    parser.add_argument("--bootstrap-alpha", type=float, default=0.05,
+                        help="CI significance level (default 0.05 -> 95%% "
+                             "intervals)")
+    parser.add_argument("--temperature-from-val", action="store_true",
+                        help="fit a temperature-scaling T on the VAL split "
+                             "(Guo et al. 2017; implies --calibration) and "
+                             "report test calibration before/after. "
+                             "Rankings (and thus AUC/accuracy/F1) are "
+                             "unchanged — only probability sharpness moves")
     return parser
 
 
@@ -157,7 +182,8 @@ def main(argv=None) -> Dict[str, Dict]:
         }
 
     datasets = _load("test")
-    val_datasets = _load("val") if args.operating_point else None
+    need_val = bool(args.operating_point or args.temperature_from_val)
+    val_datasets = _load("val") if need_val else None
 
     all_results: Dict[str, Dict] = {}
     for ckpt_name, display, subdir, zoo_default in MODELS:
@@ -211,6 +237,50 @@ def main(argv=None) -> Dict[str, Dict]:
 
         out_dir = out_root / subdir
         out_dir.mkdir(parents=True, exist_ok=True)
+
+        boot_payload = None
+        if args.bootstrap > 0:
+            from dfu_multimodal_tpu.eval import bootstrap as boot_mod
+            boot_payload = boot_mod.bootstrap_cis(
+                arrays["y_true"], arrays["y_pred"], arrays["y_probs"],
+                n_boot=args.bootstrap, alpha=args.bootstrap_alpha,
+                seed=args.seed)
+            print("\n" + boot_mod.format_cis(boot_payload, display))
+
+        cal_payload = None
+        if args.calibration or args.temperature_from_val:
+            from dfu_multimodal_tpu.eval import calibration as cal_mod
+            errors = cal_mod.calibration_errors(
+                arrays["y_true"], arrays["y_probs"], args.calibration_bins)
+            cal_payload = {"errors": errors}
+            temperature = None
+            print(f"\nCALIBRATION (test, {args.calibration_bins} bins): "
+                  f"ECE={errors['ece']:.4f} MCE={errors['mce']:.4f} "
+                  f"Brier={errors['brier']:.4f}")
+            if args.temperature_from_val:
+                try:
+                    temperature, info = cal_mod.fit_temperature(
+                        arrays["val_y_true"], arrays["val_y_probs"])
+                    scaled = cal_mod.apply_temperature(arrays["y_probs"],
+                                                       temperature)
+                    errors_after = cal_mod.calibration_errors(
+                        arrays["y_true"], scaled, args.calibration_bins)
+                    cal_payload.update(temperature=info,
+                                       errors_after=errors_after,
+                                       y_probs_scaled=scaled)
+                    print(f"  temperature T={temperature:.4f} fitted on "
+                          f"val (NLL {info['selection_nll_before']:.4f} -> "
+                          f"{info['selection_nll_after']:.4f})")
+                    print(f"  test after scaling:  "
+                          f"ECE={errors_after['ece']:.4f} "
+                          f"MCE={errors_after['mce']:.4f} "
+                          f"Brier={errors_after['brier']:.4f}")
+                except ValueError as e:
+                    print(f"  temperature fitting skipped: {e}")
+            plots.plot_reliability_diagram(
+                arrays["y_true"], arrays["y_probs"], display, out_dir,
+                n_bins=args.calibration_bins, temperature=temperature)
+
         plots.plot_confusion_matrix(arrays["y_true"], arrays["y_pred"],
                                     display, out_dir)
         plots.plot_roc_curve(arrays["y_true"], arrays["y_probs"], display,
@@ -221,6 +291,10 @@ def main(argv=None) -> Dict[str, Dict]:
                    "y_probs": arrays["y_probs"], "metrics": metrics}
         if op_payload is not None:
             payload["operating_point"] = op_payload
+        if cal_payload is not None:
+            payload["calibration"] = cal_payload
+        if boot_payload is not None:
+            payload["bootstrap"] = boot_payload
         save_pt(payload, out_dir / "results.pt")
         print(f"\nResults saved to {subdir}/results.pt")
         all_results[display] = metrics

@@ -29,6 +29,8 @@ COMMANDS = {
                                 "train the late-fusion multimodal model"),
     "train-legacy": ("train_legacy",
                      "EfficientNet/gated-fusion legacy variants"),
+    "cross-validate": ("cross_validate",
+                       "k-fold CV with patient-level grouping"),
     "extended-metrics": ("extended_metrics",
                          "medical metrics suite + ROC/PR/confusion plots"),
     "grad-cam": ("grad_cam_visualization", "Grad-CAM visualizations"),

@@ -65,6 +65,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "validation split with extended_metrics "
                              "--operating-point (e.g. sens@0.95 for "
                              "screening deployments)")
+    parser.add_argument("--temperature", type=float, default=None,
+                        help="temperature-scale the reported probabilities "
+                             "(sigmoid(logit(p)/T)); fit T on a validation "
+                             "split with extended_metrics "
+                             "--temperature-from-val. Rankings and argmax "
+                             "predictions are unchanged")
     return parser
 
 
@@ -124,12 +130,17 @@ def main(argv=None):
     _, out = trainer.run_eval_epoch(state, ds)
 
     preds = out["y_pred"]
+    probs = out["y_probs"]
+    if args.temperature is not None:
+        from dfu_multimodal_tpu.eval.calibration import apply_temperature
+        probs = apply_temperature(probs, args.temperature)
+        print(f"Calibration: temperature T={args.temperature}")
     if args.threshold is not None:
         from dfu_multimodal_tpu.eval.threshold import apply_threshold
-        preds = apply_threshold(out["y_probs"], args.threshold)
+        preds = apply_threshold(probs, args.threshold)
         print(f"Operating point: P(ulcer) >= {args.threshold}")
     results = {str(p): (float(prob), int(pred))
-               for p, prob, pred in zip(paths, out["y_probs"], preds)}
+               for p, prob, pred in zip(paths, probs, preds)}
     print(f"{'image':50s}  P(ulcer)  prediction")
     for p, (prob, pred) in results.items():
         name = Path(p).name

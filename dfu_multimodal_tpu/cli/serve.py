@@ -54,6 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "this value instead of argmax; tune on a "
                              "validation split with extended_metrics "
                              "--operating-point")
+    parser.add_argument("--temperature", type=float, default=None,
+                        help="temperature-scale responded probabilities "
+                             "(sigmoid(logit(p)/T)); fit T on a "
+                             "validation split with extended_metrics "
+                             "--temperature-from-val. An explicit "
+                             "--threshold applies to the scaled probs")
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--image-size", type=int, default=224)
@@ -128,7 +134,8 @@ def _load_engine(ckpt: Path, model_name, args, cfg, modalities):
     return model_name, ServingEngine(
         trainer, state, image_size=args.image_size,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-        pipeline_depth=args.pipeline_depth, threshold=args.threshold)
+        pipeline_depth=args.pipeline_depth, threshold=args.threshold,
+        temperature=args.temperature)
 
 
 def main(argv=None):
@@ -174,7 +181,8 @@ def main(argv=None):
         engines[name] = ServingEngine(
             servable, None, image_size=servable.image_size,
             buckets=servable.buckets, max_wait_ms=args.max_wait_ms,
-            pipeline_depth=args.pipeline_depth, threshold=args.threshold)
+            pipeline_depth=args.pipeline_depth, threshold=args.threshold,
+            temperature=args.temperature)
     router = ModelRouter(engines)
 
     if not args.no_warmup:

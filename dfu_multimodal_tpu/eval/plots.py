@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pathlib import Path
 
-
+import numpy as np
 
 from dfu_multimodal_tpu.eval import metrics as M
 
@@ -85,6 +85,50 @@ def plot_precision_recall_curve(y_true, y_probs, model_name: str,
     ax.set_xlim([0.0, 1.0]); ax.set_ylim([0.0, 1.05])
     plt.tight_layout()
     out = Path(output_dir) / f"pr_curve_{model_name}.png"
+    plt.savefig(out, dpi=300, bbox_inches="tight")
+    plt.close(fig)
+    return out
+
+
+def plot_reliability_diagram(y_true, y_probs, model_name: str,
+                             output_dir: Path, n_bins: int = 15,
+                             temperature: float | None = None) -> Path:
+    """Reliability diagram (beyond-reference, ``extended_metrics
+    --calibration``): per-bin mean confidence vs empirical ulcer rate
+    against the perfect-calibration diagonal, with the bin histogram
+    underneath. When ``temperature`` is given, the temperature-scaled
+    curve is overlaid."""
+    from dfu_multimodal_tpu.eval import calibration as C
+    plt = _plt()
+    fig, (ax, axh) = plt.subplots(
+        2, 1, figsize=(8, 8), sharex=True,
+        gridspec_kw={"height_ratios": [3, 1]})
+    ax.plot([0, 1], [0, 1], "k--", linewidth=1, label="Perfect calibration")
+
+    def draw(probs, label, marker):
+        mean_p, frac, counts = C.reliability_curve(y_true, probs, n_bins)
+        ok = counts > 0
+        err = C.calibration_errors(y_true, probs, n_bins)
+        ax.plot(mean_p[ok], frac[ok], marker, linewidth=2,
+                label=f"{label} (ECE {err['ece']:.3f}, "
+                      f"Brier {err['brier']:.3f})")
+        return counts
+
+    counts = draw(y_probs, model_name, "o-")
+    if temperature is not None:
+        draw(C.apply_temperature(y_probs, temperature),
+             f"T={temperature:.2f}", "s--")
+    ax.set_ylabel("Empirical ulcer rate")
+    ax.set_title(f"Reliability Diagram: {model_name}")
+    ax.legend(loc="upper left")
+    ax.set_xlim(0, 1); ax.set_ylim(0, 1)
+
+    centers = (np.arange(n_bins) + 0.5) / n_bins
+    axh.bar(centers, counts, width=1.0 / n_bins * 0.9, color="steelblue")
+    axh.set_xlabel("Predicted P(Ulcer)")
+    axh.set_ylabel("Count")
+    plt.tight_layout()
+    out = Path(output_dir) / f"reliability_diagram_{model_name}.png"
     plt.savefig(out, dpi=300, bbox_inches="tight")
     plt.close(fig)
     return out

@@ -124,11 +124,21 @@ class ServingEngine:
                  max_batch: int = 64, max_wait_ms: float = 2.0,
                  pipeline_depth: int = 1, latency_window: int = 4096,
                  buckets: Optional[Sequence[int]] = None,
-                 threshold: Optional[float] = None):
+                 threshold: Optional[float] = None,
+                 temperature: Optional[float] = None):
         # clinical operating point: predict Ulcer when P(ulcer) >=
         # threshold instead of argmax (eval/threshold.py picks one on a
         # validation split); None keeps the default argmax prediction
         self.threshold = None if threshold is None else float(threshold)
+        # probability calibration: temperature-scale the responded probs
+        # (eval/calibration.py fits T on a validation split); argmax
+        # predictions are invariant, an explicit threshold applies to
+        # the SCALED probabilities (thresholds should be picked on
+        # scaled val probs when both are configured)
+        self.temperature = (None if temperature is None
+                            else float(temperature))
+        if self.temperature is not None and self.temperature <= 0:
+            raise ValueError(f"temperature must be > 0: {temperature}")
         self.trainer = trainer
         self.image_size = int(image_size)
         self.inputs: Tuple[str, ...] = tuple(trainer.spec.inputs)
@@ -314,6 +324,10 @@ class ServingEngine:
         n = len(items)
         try:
             probs = np.asarray(out["probs"])[:n]
+            if self.temperature is not None:
+                from dfu_multimodal_tpu.eval.calibration import (
+                    apply_temperature)
+                probs = apply_temperature(probs, self.temperature)
             if self.threshold is not None:
                 preds = (probs >= self.threshold).astype(np.int64)
             else:

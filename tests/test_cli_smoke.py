@@ -93,6 +93,38 @@ def test_extended_metrics_cli(workdir):
         assert m["tn"] + m["fp"] + m["fn"] + m["tp"] == len(saved["y_true"])
 
 
+def test_extended_metrics_calibration_bootstrap_cli(workdir):
+    """Opt-in calibration + bootstrap surfaces: reliability PNG, results.pt
+    gains 'calibration' and 'bootstrap' entries, default artifacts stay."""
+    data, logs = workdir
+    if not (logs / "checkpoints_rgb_only" / "best_model.msgpack").exists():
+        from dfu_multimodal_tpu.cli.train_rgb_only import main as train_main
+        train_main(["--data-dir", str(data), "--checkpoint-root", str(logs),
+                    "--model", "tiny_rgb"] + SMOKE)
+    from dfu_multimodal_tpu.cli.extended_metrics import main
+    results = main(["--data-dir", str(data), "--checkpoint-root", str(logs),
+                    "--image-size", "32", "--compute-dtype", "float32",
+                    "--models", "rgb_only", "--operating-point", "youden",
+                    "--calibration", "--temperature-from-val",
+                    "--bootstrap", "50"])
+    assert set(results) == {"RGB-Only"}
+    out = logs / "extended_metrics" / "rgb_only"
+    assert (out / "reliability_diagram_RGB-Only.png").exists()
+    saved = load_pt(out / "results.pt")
+    assert "calibration" in saved and "bootstrap" in saved
+    errs = saved["calibration"]["errors"]
+    assert 0.0 <= errs["ece"] <= 1.0 and 0.0 <= errs["brier"] <= 1.0
+    if "temperature" in saved["calibration"]:
+        t = saved["calibration"]["temperature"]["temperature"]
+        assert t > 0
+        scaled = saved["calibration"]["y_probs_scaled"]
+        assert np.array_equal(np.argsort(scaled),
+                              np.argsort(saved["y_probs"]))
+    acc = saved["bootstrap"]["accuracy"]
+    assert acc["lo"] <= acc["estimate"] <= acc["hi"]
+    assert saved["bootstrap"]["_meta"]["n_boot"] == 50
+
+
 def test_dfu_umbrella_command(capsys):
     """`dfu` lists every subcommand; `dfu <sub> --help` dispatches to the
     sub-CLI's argparse; unknown names fail with rc 2."""

@@ -314,3 +314,25 @@ def test_engine_threshold_operating_point():
     np.testing.assert_allclose([p for p, _ in got], probs, atol=1e-6)
     np.testing.assert_array_equal([pr for _, pr in got],
                                   (probs >= t).astype(int))
+
+
+def test_engine_temperature_scales_probs(served):
+    """A temperature-configured engine responds sigmoid(logit(p)/T) while
+    argmax predictions stay identical (T preserves rankings and the 0.5
+    fixed point)."""
+    from dfu_multimodal_tpu.eval.calibration import apply_temperature
+    trainer, state, base_engine = served
+    engine = ServingEngine(trainer, state, image_size=SIZE, max_batch=8,
+                           max_wait_ms=100.0, temperature=2.5)
+    with engine:
+        imgs = rand_images(6, seed=5)
+        reqs = [{"rgb": img} for img in imgs]
+        base = base_engine.predict(reqs)
+        scaled = engine.predict(reqs)
+    np.testing.assert_allclose(
+        [p for p, _ in scaled],
+        apply_temperature(np.array([p for p, _ in base]), 2.5),
+        rtol=1e-6, atol=1e-7)
+    assert [c for _, c in scaled] == [c for _, c in base]
+    with pytest.raises(ValueError, match="temperature"):
+        ServingEngine(trainer, state, image_size=SIZE, temperature=0.0)
