@@ -181,6 +181,18 @@ class TrainConfig:
     # num_epochs).  Composes with best-by-val-F1 checkpointing — the
     # saved checkpoint is unaffected, only wasted tail epochs are cut.
     early_stop_patience: int = 0
+    # Async checkpointing (utils/checkpoint.py::AsyncCheckpointer): the
+    # best-model save's device→host fetch + msgpack write run in a
+    # background thread over an on-device snapshot, overlapping the next
+    # training epoch — the fetch alone is seconds over the axon tunnel.
+    # Off by default: the synchronous path is the bit-identical baseline.
+    async_checkpoint: bool = False
+    # Preemption-safe training: additionally write a per-epoch
+    # ``last_model`` checkpoint (model + optimizer + EMA + history), so
+    # --resume continues from the LAST completed epoch instead of
+    # replaying everything after the best one.  The best-model artifact
+    # contract is untouched.
+    save_last: bool = False
     eval_batch_size: Optional[int] = None  # defaults to batch_size
     weighted_sampling: bool = True         # WeightedRandomSampler equivalent
     class_weighted_loss: bool = True       # class-weighted CE equivalent
@@ -255,6 +267,16 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                         help="stop after this many epochs without val-F1 "
                              "improvement; 0 = off (reference always "
                              "runs the full epoch budget)")
+    parser.add_argument("--save-last", action="store_true",
+                        help="also checkpoint every epoch as last_model.* "
+                             "so --resume continues from the last "
+                             "completed epoch (preemption-safe); the "
+                             "best_model contract is unchanged")
+    parser.add_argument("--async-checkpoint", action="store_true",
+                        help="write best-model checkpoints in a "
+                             "background thread over an on-device "
+                             "snapshot (overlaps the device->host fetch "
+                             "and disk write with the next epoch)")
     parser.add_argument("--qat", action="store_true",
                         help="quantization-aware training: loss through "
                              "ViT kernels snapped to the int8 serving "
@@ -284,6 +306,8 @@ def train_config_from_args(args: argparse.Namespace,
     updates["warmup_epochs"] = getattr(args, "warmup_epochs", 0.0)
     updates["ema_decay"] = getattr(args, "ema_decay", 0.0)
     updates["early_stop_patience"] = getattr(args, "early_stop_patience", 0)
+    updates["async_checkpoint"] = getattr(args, "async_checkpoint", False)
+    updates["save_last"] = getattr(args, "save_last", False)
     updates["mesh"] = MeshConfig(data=args.mesh_data,
                                  fsdp=getattr(args, "fsdp", False))
     return dataclasses.replace(defaults, **updates)

@@ -528,30 +528,35 @@ class Trainer:
         best_val_f1 = 0.0
         start_epoch = 1
 
-        if init_from is not None and (resume_from is None
-                                      or not ckpt_mod.best_checkpoint_exists(
-                                          resume_from)):
+        # Resume prefers the per-epoch last_model (--save-last,
+        # preemption-safe) when it is at least as recent as the best.
+        resume_base = (ckpt_mod.resume_basename(resume_from)
+                       if resume_from is not None else None)
+
+        if init_from is not None and resume_base is None:
             state = self.restore(init_from, state=state,
                                  image_size=image_size, with_opt_state=False)
             log(f"Initialized model weights from {init_from}")
 
-        if resume_from is not None and ckpt_mod.best_checkpoint_exists(
-                resume_from):
+        if resume_base is not None:
             state = self.restore(resume_from, state=state,
                                  image_size=image_size,
-                                 with_opt_state=True)
-            meta = ckpt_mod.load_meta(resume_from)
+                                 with_opt_state=True, basename=resume_base)
+            meta = ckpt_mod.load_meta(resume_from, resume_base)
             start_epoch = int(meta.get("epoch", 0)) + 1
             best_val_f1 = float(meta.get("val_f1", 0.0))
             saved_history = meta.get("history", {})
             for key in history:
                 history[key] = list(saved_history.get(key, []))
-            log(f"Resumed from {resume_from} at epoch {start_epoch} "
-                f"(best val F1 {best_val_f1:.4f})")
+            log(f"Resumed from {resume_from} ({resume_base}) at epoch "
+                f"{start_epoch} (best val F1 {best_val_f1:.4f})")
 
         use_ema = float(getattr(cfg, "ema_decay", 0.0)) > 0.0
         patience = int(getattr(cfg, "early_stop_patience", 0))
         best_seen, epochs_since_best = -1.0, 0
+        saver = (ckpt_mod.AsyncCheckpointer()
+                 if getattr(cfg, "async_checkpoint", False) else None)
+        save_fn = saver.save if saver is not None else ckpt_mod.save_checkpoint
 
         meter = ThroughputMeter(n_chips=self.mesh.size)
         for epoch in range(start_epoch, cfg.num_epochs + 1):
@@ -602,7 +607,7 @@ class Trainer:
                     and epoch >= cfg.save_best_after_epoch
                     and val_m.f1 > best_val_f1):
                 best_val_f1 = val_m.f1
-                ckpt_mod.save_checkpoint(
+                save_fn(
                     checkpoint_dir, epoch=epoch,
                     # EMA runs checkpoint the averaged weights as the
                     # model_state every downstream consumer loads, plus
@@ -617,6 +622,22 @@ class Trainer:
                                  if use_ema else None))
                 log(f"  Saved BEST model (Val F1: {val_m.f1:.4f})")
 
+            if checkpoint_dir is not None and getattr(cfg, "save_last",
+                                                      False):
+                # Per-epoch resume point (meta val_f1 carries the running
+                # BEST so a resumed run keeps the best-save threshold).
+                save_fn(checkpoint_dir, epoch=epoch,
+                        model_state=self.variables(eval_state),
+                        opt_state=state.opt_state, val_f1=best_val_f1,
+                        history=history,
+                        extra_meta={"model": self.spec.name,
+                                    "last_val_f1": val_m.f1,
+                                    **({"ema_decay": cfg.ema_decay}
+                                       if use_ema else {})},
+                        extra_state=({"raw_params": state.params}
+                                     if use_ema else None),
+                        basename=ckpt_mod.LAST_BASENAME)
+
             if val_m.f1 > best_seen + 1e-12:
                 best_seen, epochs_since_best = val_m.f1, 0
             else:
@@ -627,18 +648,23 @@ class Trainer:
                     f"(best {best_seen:.4f})")
                 break
 
+        if saver is not None:
+            saver.wait()                 # final checkpoint durable
         return state, history, best_val_f1
 
     # ------------------------------------------------------------- load
 
     def restore(self, checkpoint_dir: Path, state: Optional[TrainState] = None,
                 image_size: int = 224,
-                with_opt_state: bool = False) -> TrainState:
+                with_opt_state: bool = False,
+                basename: str = "best_model") -> TrainState:
         """Flexible restore into a fresh (or given) state; optionally also
-        rebuilds the optimizer state for mid-train resume."""
+        rebuilds the optimizer state for mid-train resume. ``basename``
+        selects the artifact (best_model, or last_model for the
+        --save-last per-epoch resume point)."""
         if state is None:
             state = self.init_state(jax.random.PRNGKey(0), image_size)
-        payload, _ = ckpt_mod.load_checkpoint(checkpoint_dir)
+        payload, _ = ckpt_mod.load_checkpoint(checkpoint_dir, basename)
         target = self.variables(state)
         merged, _, _ = ckpt_mod.load_flexible(target, payload["model_state"])
         opt_state = state.opt_state

@@ -456,3 +456,82 @@ def test_metrics_jsonl_stream(synth, tmp_path):
                             "val_loss", "val_acc", "val_f1", "seconds",
                             "images_per_sec_per_chip"}
         assert np.isfinite(rec["train_loss"])
+
+
+def test_async_checkpoint_matches_sync(synth, tmp_path):
+    """cfg.async_checkpoint writes the identical checkpoint (payload and
+    meta) to the synchronous path — it only moves the fetch+write off the
+    epoch loop."""
+    train, val = synth
+    sync_dir, async_dir = tmp_path / "sync", tmp_path / "async"
+    make_trainer().fit(train, val, checkpoint_dir=sync_dir, image_size=32,
+                       log=lambda s: None)
+    make_trainer(async_checkpoint=True).fit(
+        train, val, checkpoint_dir=async_dir, image_size=32,
+        log=lambda s: None)
+
+    p_sync, m_sync = ckpt_mod.load_checkpoint(sync_dir)
+    p_async, m_async = ckpt_mod.load_checkpoint(async_dir)
+    assert m_async["epoch"] == m_sync["epoch"]
+    assert m_async["val_f1"] == pytest.approx(m_sync["val_f1"])
+    assert m_async["history"] == m_sync["history"]
+    flat_s, flat_a = _flat(p_sync), _flat(p_async)
+    assert set(flat_s) == set(flat_a)
+    for k, v in flat_s.items():
+        np.testing.assert_array_equal(v, flat_a[k], err_msg=k)
+
+
+def test_async_checkpointer_propagates_write_errors(tmp_path):
+    import jax.numpy as jnp
+    blocker = tmp_path / "not_a_dir"
+    blocker.write_text("x")                  # mkdir under it must fail
+    ac = ckpt_mod.AsyncCheckpointer()
+    ac.save(blocker / "ckpt", epoch=1,
+            model_state={"params": {"w": jnp.ones(3)}}, opt_state={},
+            val_f1=0.5, history={})
+    with pytest.raises(RuntimeError, match="async checkpoint"):
+        ac.wait()
+    ac.wait()                                # error is not sticky
+
+
+def test_save_last_resume_continues_from_last_epoch(synth, tmp_path):
+    """--save-last writes a per-epoch resume point; --resume continues
+    from the LAST completed epoch (not the best one) with the running
+    best-F1 threshold intact."""
+    train, val = synth
+    ckpt = tmp_path / "ckpt_last"
+    t1 = make_trainer(num_epochs=3, save_last=True)
+    _, h1, b1 = t1.fit(train, val, checkpoint_dir=ckpt, image_size=32,
+                       log=lambda s: None)
+    assert ckpt_mod.best_checkpoint_exists(ckpt, "last_model")
+    meta_last = ckpt_mod.load_meta(ckpt, "last_model")
+    assert meta_last["epoch"] == 3                 # every epoch, not best
+    assert meta_last["val_f1"] == pytest.approx(b1)  # running best
+    assert "last_val_f1" in meta_last
+
+    logs = []
+    t2 = make_trainer(num_epochs=5, save_last=True)
+    _, h2, b2 = t2.fit(train, val, checkpoint_dir=ckpt, image_size=32,
+                       log=logs.append, resume_from=ckpt)
+    assert any("Resumed" in line and "last_model" in line
+               and "epoch 4" in line for line in logs)
+    assert len(h2["train_loss"]) == 5
+    assert h2["train_loss"][:3] == h1["train_loss"]
+    assert b2 >= b1
+
+
+def test_resume_basename_selection(tmp_path):
+    """resume_basename picks last_model when it is at least as recent as
+    the best, best_model otherwise, None when neither exists."""
+    import jax.numpy as jnp
+    d = tmp_path / "sel"
+    assert ckpt_mod.resume_basename(d) is None
+    kw = dict(model_state={"params": {"w": jnp.ones(2)}}, opt_state={},
+              history={})
+    ckpt_mod.save_checkpoint(d, epoch=5, val_f1=0.9, **kw)
+    assert ckpt_mod.resume_basename(d) == "best_model"
+    ckpt_mod.save_checkpoint(d, epoch=7, val_f1=0.9, **kw,
+                             basename="last_model")
+    assert ckpt_mod.resume_basename(d) == "last_model"
+    ckpt_mod.save_checkpoint(d, epoch=9, val_f1=0.95, **kw)   # best newer
+    assert ckpt_mod.resume_basename(d) == "best_model"
