@@ -86,6 +86,19 @@ def main(argv=None):
         max_batch=args.max_batch, buckets=buckets, platforms=platforms,
         extra_meta={"int8": bool(args.int8),
                     "checkpoint": str(args.checkpoint)})
+    # carry the checkpoint's val-tuned deployment config (threshold /
+    # temperature, extended_metrics --save-deployment) into the bundle —
+    # serve --exported auto-loads it from the bundle directory
+    from dfu_multimodal_tpu.eval.deployment import (DEPLOYMENT_NAME,
+                                                    load_deployment)
+    dep = load_deployment(args.checkpoint)
+    if dep:
+        (args.out / DEPLOYMENT_NAME).write_text(
+            (Path(args.checkpoint) / DEPLOYMENT_NAME).read_text())
+        print(f"deployment config copied into bundle "
+              f"(threshold={dep.get('threshold')}, "
+              f"temperature={dep.get('temperature')})")
+
     total = sum(p.stat().st_size for p in args.out.iterdir())
     print(f"exported {name} -> {args.out}  buckets={meta['buckets']}  "
           f"platforms={meta['platforms']}  ({total / 1e6:.1f} MB)")

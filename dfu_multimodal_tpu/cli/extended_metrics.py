@@ -86,6 +86,14 @@ def build_parser() -> argparse.ArgumentParser:
                              "report test calibration before/after. "
                              "Rankings (and thus AUC/accuracy/F1) are "
                              "unchanged — only probability sharpness moves")
+    parser.add_argument("--save-deployment", action="store_true",
+                        help="persist the val-tuned operating point and/or "
+                             "temperature as <checkpoint>/deployment.json; "
+                             "predict and serve apply it automatically "
+                             "(eval/deployment.py). With both, the "
+                             "threshold is re-selected on temperature-"
+                             "scaled val probabilities, matching the "
+                             "inference order")
     return parser
 
 
@@ -180,6 +188,11 @@ def main(argv=None) -> Dict[str, Dict]:
                 data_cfg.data_dir, split, size, strategy="pseudo",
                 seed=args.seed),
         }
+
+    if args.save_deployment and not (args.operating_point
+                                     or args.temperature_from_val):
+        raise SystemExit("--save-deployment needs --operating-point and/or "
+                         "--temperature-from-val (nothing to persist)")
 
     datasets = _load("test")
     need_val = bool(args.operating_point or args.temperature_from_val)
@@ -280,6 +293,43 @@ def main(argv=None) -> Dict[str, Dict]:
             plots.plot_reliability_diagram(
                 arrays["y_true"], arrays["y_probs"], display, out_dir,
                 n_bins=args.calibration_bins, temperature=temperature)
+
+        if args.save_deployment:
+            from dfu_multimodal_tpu.eval import calibration as cal_mod
+            from dfu_multimodal_tpu.eval import deployment as dep_mod
+            from dfu_multimodal_tpu.eval import threshold as thr_mod
+            t_info = (cal_payload or {}).get("temperature")
+            t_dep = t_info["temperature"] if t_info else None
+            thr_dep, op_info = None, None
+            if args.operating_point:
+                try:
+                    val_probs = arrays["val_y_probs"]
+                    if t_dep is not None:
+                        # inference applies T first — select the
+                        # threshold on the scaled probabilities
+                        val_probs = cal_mod.apply_temperature(val_probs,
+                                                              t_dep)
+                    thr_dep, op_info = thr_mod.pick_threshold(
+                        arrays["val_y_true"], val_probs,
+                        args.operating_point)
+                except ValueError as e:
+                    print(f"deployment threshold skipped: {e}")
+            if t_dep is not None or thr_dep is not None:
+                src = ("extended_metrics"
+                       + (f" --operating-point {args.operating_point}"
+                          if args.operating_point else "")
+                       + (" --temperature-from-val"
+                          if args.temperature_from_val else ""))
+                path = dep_mod.save_deployment(
+                    ckpt_dir, threshold=thr_dep, temperature=t_dep,
+                    operating_point=op_info, temperature_info=t_info,
+                    source=src)
+                parts = ([f"threshold={thr_dep:.4f}"]
+                         if thr_dep is not None else []) + \
+                        ([f"temperature={t_dep:.4f}"]
+                         if t_dep is not None else [])
+                print(f"Deployment config saved to {path} "
+                      f"({', '.join(parts)})")
 
         plots.plot_confusion_matrix(arrays["y_true"], arrays["y_pred"],
                                     display, out_dir)

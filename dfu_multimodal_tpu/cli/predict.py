@@ -71,6 +71,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "split with extended_metrics "
                              "--temperature-from-val. Rankings and argmax "
                              "predictions are unchanged")
+    parser.add_argument("--ignore-deployment", action="store_true",
+                        help="do not auto-load <checkpoint>/"
+                             "deployment.json (the val-tuned threshold/"
+                             "temperature persisted by extended_metrics "
+                             "--save-deployment); explicit flags always "
+                             "override per-field")
     return parser
 
 
@@ -131,14 +137,20 @@ def main(argv=None):
 
     preds = out["y_pred"]
     probs = out["y_probs"]
-    if args.temperature is not None:
+    from dfu_multimodal_tpu.eval.deployment import resolve_deployment
+    threshold, temperature, note = resolve_deployment(
+        args.checkpoint, args.threshold, args.temperature,
+        args.ignore_deployment)
+    if note:
+        print(f"Loaded {note}")
+    if temperature is not None:
         from dfu_multimodal_tpu.eval.calibration import apply_temperature
-        probs = apply_temperature(probs, args.temperature)
-        print(f"Calibration: temperature T={args.temperature}")
-    if args.threshold is not None:
+        probs = apply_temperature(probs, temperature)
+        print(f"Calibration: temperature T={temperature}")
+    if threshold is not None:
         from dfu_multimodal_tpu.eval.threshold import apply_threshold
-        preds = apply_threshold(probs, args.threshold)
-        print(f"Operating point: P(ulcer) >= {args.threshold}")
+        preds = apply_threshold(probs, threshold)
+        print(f"Operating point: P(ulcer) >= {threshold}")
     results = {str(p): (float(prob), int(pred))
                for p, prob, pred in zip(paths, probs, preds)}
     print(f"{'image':50s}  P(ulcer)  prediction")

@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "validation split with extended_metrics "
                              "--temperature-from-val. An explicit "
                              "--threshold applies to the scaled probs")
+    parser.add_argument("--ignore-deployment", action="store_true",
+                        help="do not auto-load each model's "
+                             "deployment.json (val-tuned threshold/"
+                             "temperature persisted by extended_metrics "
+                             "--save-deployment)")
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--image-size", type=int, default=224)
@@ -126,16 +131,29 @@ def restore_trainer(ckpt: Path, model_name, args, cfg, modalities):
     return model_name, trainer, state
 
 
+def _resolve_deployment(directory: Path, args):
+    """Per-model val-tuned threshold/temperature from deployment.json
+    (extended_metrics --save-deployment); explicit flags win per-field."""
+    from dfu_multimodal_tpu.eval.deployment import resolve_deployment
+    threshold, temperature, note = resolve_deployment(
+        directory, args.threshold, args.temperature,
+        getattr(args, "ignore_deployment", False))
+    if note:
+        print(f"{directory.name}: loaded {note}")
+    return threshold, temperature
+
+
 def _load_engine(ckpt: Path, model_name, args, cfg, modalities):
     from dfu_multimodal_tpu.serve.engine import ServingEngine
 
     model_name, trainer, state = restore_trainer(ckpt, model_name, args,
                                                  cfg, modalities)
+    threshold, temperature = _resolve_deployment(ckpt, args)
     return model_name, ServingEngine(
         trainer, state, image_size=args.image_size,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-        pipeline_depth=args.pipeline_depth, threshold=args.threshold,
-        temperature=args.temperature)
+        pipeline_depth=args.pipeline_depth, threshold=threshold,
+        temperature=temperature)
 
 
 def main(argv=None):
@@ -178,11 +196,12 @@ def main(argv=None):
         name = servable.spec.name
         if name in engines:
             raise SystemExit(f"model {name!r} served twice ({bundle})")
+        thr, temp = _resolve_deployment(Path(bundle), args)
         engines[name] = ServingEngine(
             servable, None, image_size=servable.image_size,
             buckets=servable.buckets, max_wait_ms=args.max_wait_ms,
-            pipeline_depth=args.pipeline_depth, threshold=args.threshold,
-            temperature=args.temperature)
+            pipeline_depth=args.pipeline_depth, threshold=thr,
+            temperature=temp)
     router = ModelRouter(engines)
 
     if not args.no_warmup:

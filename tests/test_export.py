@@ -139,6 +139,8 @@ def test_export_cli_with_verify(tmp_path):
                              opt_state=state.opt_state, val_f1=0.5,
                              history={},
                              extra_meta={"model": "tiny_rgb"})
+    from dfu_multimodal_tpu.eval import deployment as dep_mod
+    dep_mod.save_deployment(ckpt, threshold=0.42, temperature=1.5)
     out = tmp_path / "bundle"
     meta = export_model.main([
         "--checkpoint", str(ckpt), "--out", str(out),
@@ -147,6 +149,9 @@ def test_export_cli_with_verify(tmp_path):
         "--verify"])
     assert meta["buckets"] == [1, 2]
     assert meta["int8"] is False
+    # the checkpoint's val-tuned deployment config rides into the bundle
+    dep = dep_mod.load_deployment(out)
+    assert dep["threshold"] == 0.42 and dep["temperature"] == 1.5
     servable = load_bundle(out)
     assert servable.spec.name == "tiny_rgb"
     assert servable.buckets == (1, 2)
