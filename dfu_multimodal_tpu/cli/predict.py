@@ -71,6 +71,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "split with extended_metrics "
                              "--temperature-from-val. Rankings and argmax "
                              "predictions are unchanged")
+    parser.add_argument("--tta", type=int, default=0, metavar="N",
+                        help="test-time augmentation: average P(ulcer) "
+                             "over N augmented views per image (majority-"
+                             "vote predictions; one vmapped device "
+                             "program). 0 = off")
+    parser.add_argument("--seed", type=int, default=0,
+                        help="PRNG seed for the --tta augmentations")
     parser.add_argument("--ignore-deployment", action="store_true",
                         help="do not auto-load <checkpoint>/"
                              "deployment.json (the val-tuned threshold/"
@@ -133,10 +140,19 @@ def main(argv=None):
 
     n = len(paths)
     ds = ArrayDataset(arrays=arrays, labels=np.zeros(n, np.int32))
-    _, out = trainer.run_eval_epoch(state, ds)
-
-    preds = out["y_pred"]
-    probs = out["y_probs"]
+    if args.tta > 0:
+        # Robust inference: average softmax P(ulcer) over N augmented
+        # views per image (one vmapped device program, eval/tta.py);
+        # predictions are the per-view majority vote unless a threshold
+        # (below) overrides them.
+        from dfu_multimodal_tpu.eval.tta import tta_predictions
+        preds, probs = tta_predictions(trainer, state, ds,
+                                       num_tta=args.tta, seed=args.seed)
+        print(f"TTA: averaging {args.tta} augmented views per image")
+    else:
+        _, out = trainer.run_eval_epoch(state, ds)
+        preds = out["y_pred"]
+        probs = out["y_probs"]
     from dfu_multimodal_tpu.eval.deployment import resolve_deployment
     threshold, temperature, note = resolve_deployment(
         args.checkpoint, args.threshold, args.temperature,

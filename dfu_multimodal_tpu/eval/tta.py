@@ -52,10 +52,12 @@ def tta_modality(base: ModalityConfig) -> ModalityConfig:
     return dataclasses.replace(base, augment=tta_augment_config())
 
 
-def evaluate_with_tta(trainer, state, dataset: ArrayDataset,
-                      num_tta: int = 5, use_augmentation: bool = True,
-                      seed: int = 0) -> Dict:
-    """Returns the reference's TTA metrics dict (:241-258 keys)."""
+def tta_predictions(trainer, state, dataset: ArrayDataset,
+                    num_tta: int = 5, use_augmentation: bool = True,
+                    seed: int = 0):
+    """TTA inference core: ``(majority_preds, mean_probs)`` numpy arrays
+    over ``dataset`` — used by :func:`evaluate_with_tta` (labeled eval)
+    and by ``predict --tta`` (robust unlabeled inference)."""
     module, spec = trainer.module, trainer.spec
     variables = trainer.variables(state)
     tta_mods = {m: tta_modality(cfg) for m, cfg in trainer.modalities.items()}
@@ -97,8 +99,16 @@ def evaluate_with_tta(trainer, state, dataset: ArrayDataset,
         probs.append(np.asarray(pr))
 
     n = len(dataset)
-    all_preds = np.concatenate(preds)[:n]
-    all_probs = np.concatenate(probs)[:n]
+    return np.concatenate(preds)[:n], np.concatenate(probs)[:n]
+
+
+def evaluate_with_tta(trainer, state, dataset: ArrayDataset,
+                      num_tta: int = 5, use_augmentation: bool = True,
+                      seed: int = 0) -> Dict:
+    """Returns the reference's TTA metrics dict (:241-258 keys)."""
+    all_preds, all_probs = tta_predictions(
+        trainer, state, dataset, num_tta=num_tta,
+        use_augmentation=use_augmentation, seed=seed)
     all_labels = np.asarray(dataset.labels)
 
     cm = metrics_mod.binary_confusion(all_labels, all_preds)

@@ -58,3 +58,22 @@ def test_ablation_cli(trained):
                 "--epochs", "2", "--standardized-suffix", ""] + SMOKE)
     assert set(res) == {"rgb_only", "thermal_only"}
     assert all(0.0 <= v <= 1.0 for v in res.values())
+
+
+def test_predict_tta_cli(trained):
+    """predict --tta N: averaged augmented-view inference, deterministic
+    in --seed, full probability range contract."""
+    data, logs = trained
+    from dfu_multimodal_tpu.cli.predict import main
+    base = ["--checkpoint", str(logs / "checkpoints_rgb_only"),
+            "--images", str(data / "rgb" / "test" / "ulcer"),
+            "--image-size", "32", "--compute-dtype", "float32"]
+    plain = main(base)
+    a = main(base + ["--tta", "3", "--seed", "7"])
+    b = main(base + ["--tta", "3", "--seed", "7"])
+    c = main(base + ["--tta", "3", "--seed", "8"])
+    assert set(a) == set(plain) and len(a) > 0
+    assert a == b                                   # seed-deterministic
+    assert a != c                                   # augmentation is real
+    for prob, pred in a.values():
+        assert 0.0 <= prob <= 1.0 and pred in (0, 1)
