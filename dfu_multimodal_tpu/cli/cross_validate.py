@@ -90,6 +90,28 @@ def _subset(ds: ArrayDataset, idx: np.ndarray) -> ArrayDataset:
         paths={m: [p[i] for i in idx] for m, p in ds.paths.items()})
 
 
+def pair_pools(rgb_ds: ArrayDataset, th_ds: ArrayDataset,
+               rgb_idx: np.ndarray, th_idx: np.ndarray,
+               seed: Optional[int]) -> ArrayDataset:
+    """Pseudo-pair (modulo cycling, reference
+    train_multimodal_fusion.py:114-137) the selected rows of two
+    single-modality pools into a paired dataset — the per-fold analogue
+    of ``load_paired(strategy='pseudo')``, operating on already-decoded
+    arrays so each CV fold re-pairs its own rows."""
+    from dfu_multimodal_tpu.data import pairing as pairing_mod
+    rgb_by_class = {c: rgb_idx[rgb_ds.labels[rgb_idx] == c] for c in (0, 1)}
+    th_by_class = {c: th_idx[th_ds.labels[th_idx] == c] for c in (0, 1)}
+    pairs = pairing_mod.pseudo_pairs(
+        [len(rgb_by_class[c]) for c in (0, 1)],
+        [len(th_by_class[c]) for c in (0, 1)], seed=seed)
+    rgb_rows = np.asarray([rgb_by_class[p.label][p.rgb] for p in pairs])
+    th_rows = np.asarray([th_by_class[p.label][p.thermal] for p in pairs])
+    return ArrayDataset(
+        arrays={"rgb": rgb_ds.arrays["rgb"][rgb_rows],
+                "thermal": th_ds.arrays["thermal"][th_rows]},
+        labels=np.asarray([p.label for p in pairs], np.int32))
+
+
 def _pool(parts: List[ArrayDataset]) -> ArrayDataset:
     mods = parts[0].modalities
     return ArrayDataset(
@@ -105,12 +127,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         description="K-fold cross-validation (beyond-reference)")
     cfg_mod.add_common_args(parser)
-    parser.add_argument("--modality", choices=["rgb", "thermal"],
+    parser.add_argument("--modality",
+                        choices=["rgb", "thermal", "multimodal"],
                         default="rgb")
     parser.add_argument("--model", default=None,
                         help="model-zoo override (default: rgb_only / "
-                             "thermal_only per --modality; tiny_rgb for "
-                             "smoke runs)")
+                             "thermal_only / multimodal per --modality; "
+                             "tiny_rgb for smoke runs)")
     parser.add_argument("--folds", type=int, default=5)
     parser.add_argument("--group-by-patient", action="store_true",
                         help="group-level folds via the reference's "
@@ -129,12 +152,17 @@ def main(argv=None) -> Dict[str, Dict]:
 
     if args.modality == "rgb":
         zoo_name = args.model or "rgb_only"
-        modality_cfg = cfg_mod.rgb_modality()
+        modalities = {"rgb": cfg_mod.rgb_modality()}
         defaults = TrainConfig()                       # batch 32 (reference)
-    else:
+    elif args.modality == "thermal":
         zoo_name = args.model or "thermal_only"
-        modality_cfg = cfg_mod.thermal_modality()
+        modalities = {"thermal": cfg_mod.thermal_modality()}
         defaults = TrainConfig(batch_size=16)          # reference thermal
+    else:                                              # multimodal
+        zoo_name = args.model or "multimodal"
+        modalities = {"rgb": cfg_mod.rgb_modality(),
+                      "thermal": cfg_mod.thermal_modality()}
+        defaults = TrainConfig(batch_size=6)           # reference fusion
     cfg = cfg_mod.train_config_from_args(args, defaults)
 
     print("=" * 70)
@@ -142,35 +170,58 @@ def main(argv=None) -> Dict[str, Dict]:
           f"({zoo_name})")
     print("=" * 70)
 
-    mod_dir = Path(data_cfg.data_dir) / args.modality
-    parts = [load_single_modality(mod_dir, split, args.image_size,
-                                  args.modality,
-                                  cache_dir=data_cfg.cache_dir)
-             for split in ("train", "val")]
-    pool = _pool(parts)
-    print(f"Pooled train+val: {len(pool)} rows "
-          f"(healthy {pool.class_counts[0]}, ulcer {pool.class_counts[1]}); "
-          f"test split untouched")
+    def load_pool(modality: str) -> ArrayDataset:
+        mod_dir = Path(data_cfg.data_dir) / modality
+        pool = _pool([load_single_modality(mod_dir, split, args.image_size,
+                                           modality,
+                                           cache_dir=data_cfg.cache_dir)
+                      for split in ("train", "val")])
+        print(f"Pooled {modality} train+val: {len(pool)} rows "
+              f"(healthy {pool.class_counts[0]}, "
+              f"ulcer {pool.class_counts[1]}); test split untouched")
+        return pool
 
     rng = np.random.default_rng(cfg.seed)
-    if args.group_by_patient:
-        names = [(p.name if p is not None else str(i))
-                 for i, p in enumerate(pool.paths[args.modality])]
-        groups = [pseudo_patient_id(n, args.group_size) for n in names]
-        folds = grouped_folds(pool.labels, groups, args.folds, rng)
-        print(f"Group-level folds over {len(set(groups))} pseudo-patients "
-              f"(group size {args.group_size})")
-    else:
-        folds = stratified_folds(pool.labels, args.folds, rng)
+
+    def make_folds(pool: ArrayDataset, modality: str) -> List[np.ndarray]:
+        if args.group_by_patient:
+            names = [(p.name if p is not None else str(i))
+                     for i, p in enumerate(pool.paths[modality])]
+            groups = [pseudo_patient_id(n, args.group_size) for n in names]
+            print(f"Group-level {modality} folds over {len(set(groups))} "
+                  f"pseudo-patients (group size {args.group_size})")
+            return grouped_folds(pool.labels, groups, args.folds, rng)
+        return stratified_folds(pool.labels, args.folds, rng)
+
+    pools = {m: load_pool(m) for m in modalities}
+    fold_sets = {m: make_folds(pools[m], m) for m in modalities}
 
     fold_metrics: List[Dict] = []
-    for i, val_idx in enumerate(folds, 1):
-        train_idx = np.setdiff1d(np.arange(len(pool)), val_idx)
-        train_ds, val_ds = _subset(pool, train_idx), _subset(pool, val_idx)
+    for i in range(1, args.folds + 1):
+        if args.modality == "multimodal":
+            # fold each modality pool independently, pseudo-pair within
+            # the fold (the multimodal data is unpaired by nature —
+            # SURVEY.md §0; each fold re-pairs its own rows)
+            tr, va = {}, {}
+            for m in pools:
+                va[m] = fold_sets[m][i - 1]
+                tr[m] = np.setdiff1d(np.arange(len(pools[m])), va[m])
+            train_ds = pair_pools(pools["rgb"], pools["thermal"],
+                                  tr["rgb"], tr["thermal"],
+                                  seed=cfg.seed + i)
+            val_ds = pair_pools(pools["rgb"], pools["thermal"],
+                                va["rgb"], va["thermal"],
+                                seed=cfg.seed + 1000 + i)
+        else:
+            pool = pools[args.modality]
+            val_idx = fold_sets[args.modality][i - 1]
+            train_idx = np.setdiff1d(np.arange(len(pool)), val_idx)
+            train_ds = _subset(pool, train_idx)
+            val_ds = _subset(pool, val_idx)
         print(f"\n--- Fold {i}/{args.folds}: train {len(train_ds)} / "
               f"val {len(val_ds)} "
               f"(val ulcer {int(val_ds.class_counts[1])}) ---")
-        trainer = Trainer(zoo_name, cfg, {args.modality: modality_cfg},
+        trainer = Trainer(zoo_name, cfg, modalities,
                           class_weights=class_weights_from_labels(
                               train_ds.labels),
                           attention_impl=args.attention_impl)
@@ -208,7 +259,8 @@ def main(argv=None) -> Dict[str, Dict]:
                / f"cross_validation_{args.modality}")
     out_dir.mkdir(parents=True, exist_ok=True)
     save_pt({"fold_metrics": fold_metrics, "summary": summary,
-             "folds": [f.tolist() for f in folds],
+             "folds": {m: [f.tolist() for f in fs]
+                       for m, fs in fold_sets.items()},
              "config": {"folds": args.folds, "modality": args.modality,
                         "model": zoo_name, "seed": cfg.seed,
                         "group_by_patient": bool(args.group_by_patient),

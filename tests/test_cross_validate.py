@@ -72,9 +72,9 @@ def test_cross_validate_cli_smoke(tmp_path):
     assert len(saved["fold_metrics"]) == 2
     assert saved["config"]["folds"] == 2
     # folds partition the pooled train+val rows
-    allidx = sorted(i for f in saved["folds"] for i in f)
-    n = len(saved["folds"][0]) + len(saved["folds"][1])
-    assert allidx == list(range(n))
+    folds = saved["folds"]["rgb"]
+    allidx = sorted(i for f in folds for i in f)
+    assert allidx == list(range(len(folds[0]) + len(folds[1])))
 
 
 def test_cross_validate_cli_grouped_smoke(tmp_path):
@@ -90,3 +90,49 @@ def test_cross_validate_cli_grouped_smoke(tmp_path):
                     "--image-size", "32", "--compute-dtype", "float32",
                     "--group-by-patient", "--group-size", "3"])
     assert "accuracy" in summary
+
+
+def test_pair_pools_pseudo_pairing_semantics():
+    """pair_pools reproduces the modulo-cycling contract on array pools:
+    max(n_rgb, n_th) pairs per class, rows drawn only from the given
+    index sets."""
+    from dfu_multimodal_tpu.cli.cross_validate import pair_pools
+    from dfu_multimodal_tpu.data.loader import ArrayDataset
+
+    def mk(n0, n1, mod):
+        n = n0 + n1
+        labels = np.array([0] * n0 + [1] * n1, np.int32)
+        arrays = {mod: np.arange(n, dtype=np.uint8).reshape(n, 1, 1, 1)
+                  * np.ones((1, 2, 2, 3), np.uint8)}
+        return ArrayDataset(arrays=arrays, labels=labels)
+
+    rgb = mk(6, 4, "rgb")
+    th = mk(3, 5, "thermal")
+    rgb_idx = np.arange(len(rgb))
+    th_idx = np.arange(len(th))
+    ds = pair_pools(rgb, th, rgb_idx, th_idx, seed=0)
+    counts = np.bincount(ds.labels, minlength=2)
+    assert counts[0] == max(6, 3) and counts[1] == max(4, 5)
+    assert set(ds.arrays) == {"rgb", "thermal"}
+    # restricted index sets: only those rows may appear
+    ds2 = pair_pools(rgb, th, np.array([0, 6]), np.array([0, 3]), seed=0)
+    assert set(np.unique(ds2.arrays["rgb"])) <= {0, 6}
+    assert set(np.unique(ds2.arrays["thermal"])) <= {0, 3}
+
+
+def test_cross_validate_cli_multimodal_smoke(tmp_path):
+    from dfu_multimodal_tpu.cli.cross_validate import main
+    from dfu_multimodal_tpu.data import make_synthetic_dataset
+    from dfu_multimodal_tpu.utils.artifacts import load_pt
+
+    data = tmp_path / "data"
+    make_synthetic_dataset(data, images_per_class=12, size=32)
+    summary = main(["--data-dir", str(data),
+                    "--checkpoint-root", str(tmp_path / "logs"),
+                    "--modality", "multimodal", "--model", "tiny_rgb",
+                    "--folds", "2", "--epochs", "1", "--batch-size", "8",
+                    "--image-size", "32", "--compute-dtype", "float32"])
+    assert 0.0 <= summary["accuracy"]["mean"] <= 1.0
+    saved = load_pt(tmp_path / "logs" / "cross_validation_multimodal"
+                    / "cv_results.pt")
+    assert set(saved["folds"]) == {"rgb", "thermal"}
