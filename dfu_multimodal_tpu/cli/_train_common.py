@@ -71,6 +71,32 @@ def build_parser(recipe: TrainRecipe) -> argparse.ArgumentParser:
     return parser
 
 
+def _write_run_info(ckpt_dir: Path, recipe: TrainRecipe, args, train_cfg,
+                    argv) -> None:
+    """Reproducibility manifest next to the checkpoint: the exact command,
+    resolved config, library/backend versions. The reference records
+    nothing about how a checkpoint was produced (SURVEY.md §5 config
+    row); this makes every training artifact auditable."""
+    import json
+    import sys
+
+    import jax
+
+    info = {
+        "model": args.model,
+        "recipe": recipe.name,
+        "argv": list(sys.argv[1:] if argv is None else argv),
+        "config": {k: (str(v) if isinstance(v, Path) else v)
+                   for k, v in dataclasses.asdict(train_cfg).items()},
+        "jax_version": jax.__version__,
+        "backend": jax.devices()[0].platform,
+        "device_count": jax.device_count(),
+        "python": sys.version.split()[0],
+    }
+    (Path(ckpt_dir) / "run_info.json").write_text(
+        json.dumps(info, indent=2, default=str))
+
+
 def run_training(recipe: TrainRecipe,
                  argv: Optional[list] = None) -> Dict[str, float]:
     parser = build_parser(recipe)
@@ -139,6 +165,8 @@ def run_training(recipe: TrainRecipe,
     print("\n" + "=" * 70)
     print(f"TRAINING COMPLETE - Best Val F1: {best_val_f1:.4f}")
     print("=" * 70)
+
+    _write_run_info(ckpt_dir, recipe, args, train_cfg, argv)
 
     results = {"best_val_f1": best_val_f1}
     if not args.skip_test_eval:

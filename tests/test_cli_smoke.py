@@ -141,3 +141,23 @@ def test_dfu_umbrella_command(capsys):
     assert "verify" in capsys.readouterr().out
 
     assert main(["not-a-command"]) == 2
+
+
+def test_run_info_manifest(workdir):
+    """Every training run writes a reproducibility manifest next to the
+    checkpoint: command, resolved config, versions."""
+    import json
+    data, logs = workdir
+    path = logs / "checkpoints_rgb_only" / "run_info.json"
+    if not path.exists():
+        from dfu_multimodal_tpu.cli.train_rgb_only import main as train_main
+        train_main(["--data-dir", str(data), "--checkpoint-root", str(logs),
+                    "--model", "tiny_rgb"] + SMOKE)
+    info = json.loads(path.read_text())
+    assert info["model"] == "tiny_rgb"
+    assert info["recipe"] == "rgb_only"
+    assert "--data-dir" in info["argv"]
+    assert info["config"]["seed"] == 42
+    assert info["config"]["batch_size"] == 8
+    assert info["backend"] in ("cpu", "tpu")
+    assert info["device_count"] >= 1
