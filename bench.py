@@ -153,9 +153,11 @@ def measure(batch_size: int, iters: int, chain: int = 10,
 
 
 def measure_training(batch_size: int, iters: int, chain: int = 8,
-                     model: str = "rgb_only"):
+                     model: str = "rgb_only", **cfg_overrides):
     """Steady-state TRAIN-step throughput: ``chain`` full steps (device-side
-    augmentation + fwd + bwd + AdamW) scanned inside one program."""
+    augmentation + fwd + bwd + AdamW) scanned inside one program.
+    ``cfg_overrides`` set extra TrainConfig fields (e.g. ema_decay) for
+    A/B measurements of opt-in features (scripts_dev/bench_ema.py)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -166,7 +168,8 @@ def measure_training(batch_size: int, iters: int, chain: int = 8,
     platform = jax.devices()[0].platform
     cfg = config.TrainConfig(
         batch_size=batch_size,
-        compute_dtype="bfloat16" if platform == "tpu" else "float32")
+        compute_dtype="bfloat16" if platform == "tpu" else "float32",
+        **cfg_overrides)
     modalities = {"rgb": config.rgb_modality(),
                   "thermal": config.thermal_modality(blur=False)}
     trainer = Trainer(model, cfg, modalities,

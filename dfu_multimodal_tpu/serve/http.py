@@ -89,6 +89,15 @@ class PredictHandler(BaseHTTPRequestHandler):
             if single is not None:      # original single-model shape
                 health["model"] = single.model_name
                 health["inputs"] = list(single.inputs)
+            # applied deployment tuning (threshold/temperature), so ops
+            # can audit what each served model actually decides with;
+            # key present only when some model is tuned
+            dep = {n: {"threshold": e.threshold,
+                       "temperature": e.temperature}
+                   for n, e in self.router.engines.items()
+                   if e.threshold is not None or e.temperature is not None}
+            if dep:
+                health["deployment"] = dep
             self._send_json(200, health)
         elif self.path == "/metrics":
             self._send_json(200, self.router.stats())

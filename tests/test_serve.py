@@ -336,3 +336,29 @@ def test_engine_temperature_scales_probs(served):
     assert [c for _, c in scaled] == [c for _, c in base]
     with pytest.raises(ValueError, match="temperature"):
         ServingEngine(trainer, state, image_size=SIZE, temperature=0.0)
+
+
+def test_healthz_reports_deployment_tuning(served):
+    """/healthz exposes per-model applied threshold/temperature when set
+    (absent otherwise — the untuned schema is unchanged)."""
+    import json
+    import urllib.request
+    trainer, state, _ = served
+    engine = ServingEngine(trainer, state, image_size=SIZE, max_batch=8,
+                           max_wait_ms=50.0, threshold=0.3, temperature=2.0)
+    from dfu_multimodal_tpu.serve.engine import ModelRouter
+    from dfu_multimodal_tpu.serve.http import make_server
+    router = ModelRouter({"tiny_rgb": engine})
+    with engine:
+        server = make_server(router, host="127.0.0.1", port=0)
+        import threading
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            url = f"http://127.0.0.1:{server.server_address[1]}"
+            with urllib.request.urlopen(f"{url}/healthz", timeout=30) as r:
+                health = json.loads(r.read())
+        finally:
+            server.shutdown()
+    assert health["deployment"]["tiny_rgb"] == {"threshold": 0.3,
+                                                "temperature": 2.0}
