@@ -333,8 +333,18 @@ def main(argv=None) -> Dict[str, Dict]:
 
         plots.plot_confusion_matrix(arrays["y_true"], arrays["y_pred"],
                                     display, out_dir)
+        roc_ci_band = None
+        if args.bootstrap > 0:
+            from dfu_multimodal_tpu.eval import bootstrap as boot_mod
+            try:
+                roc_ci_band = boot_mod.roc_band(
+                    arrays["y_true"], arrays["y_probs"],
+                    n_boot=min(args.bootstrap, 500),
+                    alpha=args.bootstrap_alpha, seed=args.seed)
+            except ValueError:
+                pass
         plots.plot_roc_curve(arrays["y_true"], arrays["y_probs"], display,
-                             out_dir)
+                             out_dir, band=roc_ci_band)
         plots.plot_precision_recall_curve(arrays["y_true"],
                                           arrays["y_probs"], display, out_dir)
         payload = {"y_true": arrays["y_true"], "y_pred": arrays["y_pred"],

@@ -143,3 +143,32 @@ def format_cis(cis: Dict[str, Dict], title: str = "") -> str:
                      + (f"  ({v['n_valid']} valid)"
                         if v["n_valid"] < meta.get("n_boot", 0) else ""))
     return "\n".join(lines)
+
+
+def roc_band(y_true: np.ndarray, y_probs: np.ndarray, *,
+             n_boot: int = 500, alpha: float = 0.05, seed: int = 0,
+             grid: int = 101):
+    """Vertical-averaging bootstrap band for the ROC curve: resample rows,
+    interpolate each replicate's TPR onto a fixed FPR grid, take the
+    (α/2, 1−α/2) percentiles per grid point. Returns
+    ``(fpr_grid, tpr_lo, tpr_mean, tpr_hi)``; replicates with a single
+    class are skipped."""
+    y_true = np.asarray(y_true)
+    y_probs = np.asarray(y_probs, np.float64)
+    rng = np.random.default_rng(seed)
+    fgrid = np.linspace(0.0, 1.0, grid)
+    n = len(y_true)
+    curves = []
+    for _ in range(int(n_boot)):
+        idx = rng.integers(0, n, n)
+        yt, pr = y_true[idx], y_probs[idx]
+        if yt.min() == yt.max():
+            continue
+        fpr, tpr, _ = M.roc_curve(yt, pr)
+        curves.append(np.interp(fgrid, fpr, tpr))
+    if not curves:
+        raise ValueError("roc_band needs replicates with both classes")
+    stack = np.stack(curves)
+    lo_q, hi_q = 100 * alpha / 2, 100 * (1 - alpha / 2)
+    return (fgrid, np.percentile(stack, lo_q, axis=0), stack.mean(axis=0),
+            np.percentile(stack, hi_q, axis=0))

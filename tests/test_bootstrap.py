@@ -73,3 +73,25 @@ def test_format_cis_renders():
     cis = B.bootstrap_cis(y_true, y_pred, y_probs, n_boot=50, seed=0)
     text = B.format_cis(cis, "RGB-Only")
     assert "RGB-Only" in text and "accuracy" in text and "[" in text
+
+
+def test_roc_band_properties():
+    y_true, _, y_probs = _fake_eval(n=200)
+    fgrid, lo, mean, hi = B.roc_band(y_true, y_probs, n_boot=100, seed=1)
+    assert fgrid.shape == lo.shape == mean.shape == hi.shape == (101,)
+    assert np.all(lo <= mean + 1e-12) and np.all(mean <= hi + 1e-12)
+    assert np.all((0 <= lo) & (hi <= 1))
+    # deterministic
+    again = B.roc_band(y_true, y_probs, n_boot=100, seed=1)
+    np.testing.assert_array_equal(hi, again[3])
+    with pytest.raises(ValueError, match="both classes"):
+        B.roc_band(np.ones(10), np.linspace(0, 1, 10), n_boot=5)
+
+
+def test_roc_plot_with_band(tmp_path):
+    from dfu_multimodal_tpu.eval import plots
+    y_true, _, y_probs = _fake_eval(n=100)
+    band = B.roc_band(y_true, y_probs, n_boot=50, seed=0)
+    out = plots.plot_roc_curve(y_true, y_probs, "Banded", tmp_path,
+                               band=band)
+    assert out.exists() and out.stat().st_size > 0
