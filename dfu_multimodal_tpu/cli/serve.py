@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "validation split with extended_metrics "
                              "--temperature-from-val. An explicit "
                              "--threshold applies to the scaled probs")
+    parser.add_argument("--max-queue", type=int, default=None,
+                        help="bound the request queue; submissions beyond "
+                             "this many waiting requests get HTTP 503 + "
+                             "Retry-After (backpressure) instead of "
+                             "queueing without limit")
     parser.add_argument("--ignore-deployment", action="store_true",
                         help="do not auto-load each model's "
                              "deployment.json (val-tuned threshold/"
@@ -153,7 +158,7 @@ def _load_engine(ckpt: Path, model_name, args, cfg, modalities):
         trainer, state, image_size=args.image_size,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
         pipeline_depth=args.pipeline_depth, threshold=threshold,
-        temperature=temperature)
+        temperature=temperature, max_queue=args.max_queue)
 
 
 def main(argv=None):
@@ -201,7 +206,7 @@ def main(argv=None):
             servable, None, image_size=servable.image_size,
             buckets=servable.buckets, max_wait_ms=args.max_wait_ms,
             pipeline_depth=args.pipeline_depth, threshold=thr,
-            temperature=temp)
+            temperature=temp, max_queue=args.max_queue)
     router = ModelRouter(engines)
 
     if not args.no_warmup:

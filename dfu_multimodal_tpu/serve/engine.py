@@ -105,6 +105,12 @@ def quantize_for_serving(trainer, state, image_size: int = 224,
     return qtrainer, qstate
 
 
+class EngineOverloaded(RuntimeError):
+    """Raised by :meth:`ServingEngine.submit` when the bounded request
+    queue (``max_queue``) is full — backpressure instead of unbounded
+    memory growth under overload.  The HTTP layer maps it to 503."""
+
+
 class ServingEngine:
     """Coalesce concurrent single-image requests into bucketed batches.
 
@@ -125,7 +131,8 @@ class ServingEngine:
                  pipeline_depth: int = 1, latency_window: int = 4096,
                  buckets: Optional[Sequence[int]] = None,
                  threshold: Optional[float] = None,
-                 temperature: Optional[float] = None):
+                 temperature: Optional[float] = None,
+                 max_queue: Optional[int] = None):
         # clinical operating point: predict Ulcer when P(ulcer) >=
         # threshold instead of argmax (eval/threshold.py picks one on a
         # validation split); None keeps the default argmax prediction
@@ -165,7 +172,12 @@ class ServingEngine:
             self.buckets = tuple(sorted(set(ladder)))
 
         self.pipeline_depth = max(1, int(pipeline_depth))
-        self._queue: "queue.Queue" = queue.Queue()
+        # bounded admission: reject (EngineOverloaded -> HTTP 503) once
+        # max_queue requests are waiting, instead of queueing without
+        # limit; None keeps the unbounded legacy behavior
+        self.max_queue = None if max_queue is None else int(max_queue)
+        self._queue: "queue.Queue" = queue.Queue(
+            maxsize=0 if self.max_queue is None else self.max_queue)
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._lock = threading.Lock()
@@ -173,6 +185,7 @@ class ServingEngine:
         self._batch_sizes: Counter = Counter()
         self._requests = 0
         self._errors = 0
+        self._rejected = 0
 
     # ------------------------------------------------------------ lifecycle
 
@@ -211,7 +224,13 @@ class ServingEngine:
         modalities fill black, matching the loader's masked-modality
         convention).  Returns a Future of ``(prob_ulcer, pred_int)``."""
         fut: Future = Future()
-        self._queue.put((sample, fut, time.monotonic()))
+        try:
+            self._queue.put_nowait((sample, fut, time.monotonic()))
+        except queue.Full:
+            with self._lock:
+                self._rejected += 1
+            raise EngineOverloaded(
+                f"request queue full ({self.max_queue} waiting); retry")
         return fut
 
     def predict(self, samples: Sequence[Dict[str, np.ndarray]]
@@ -368,10 +387,12 @@ class ServingEngine:
             lat = np.asarray(self._latencies, np.float64) * 1e3
             sizes = dict(sorted(self._batch_sizes.items()))
             requests, errors = self._requests, self._errors
+            rejected = self._rejected
         out = {"model": self.model_name,
                "inputs": list(self.inputs),
                "requests": requests,
                "errors": errors,
+               "rejected": rejected,
                "queue_depth": self._queue.qsize(),
                "buckets": list(self.buckets),
                "batch_size_hist": sizes}

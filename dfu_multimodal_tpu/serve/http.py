@@ -188,7 +188,18 @@ class PredictHandler(BaseHTTPRequestHandler):
             self._send_json(400, {"error": f"undecodable image: {exc}"})
             return
         try:
-            prob, pred = engine.submit(sample).result(timeout=60.0)
+            fut = engine.submit(sample)
+        except Exception as exc:   # bounded queue full (EngineOverloaded)
+            self.send_response(503)
+            self.send_header("Retry-After", "1")
+            self.send_header("Content-Type", "application/json")
+            body = json.dumps({"error": str(exc)}).encode()
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
+        try:
+            prob, pred = fut.result(timeout=60.0)
         except Exception as exc:
             self._send_json(500, {"error": f"inference failed: {exc}"})
             return

@@ -362,3 +362,18 @@ def test_healthz_reports_deployment_tuning(served):
             server.shutdown()
     assert health["deployment"]["tiny_rgb"] == {"threshold": 0.3,
                                                 "temperature": 2.0}
+
+
+def test_engine_backpressure_bounded_queue(served):
+    """max_queue bounds admission: overflow raises EngineOverloaded
+    (mapped to HTTP 503), counted in stats as 'rejected'."""
+    from dfu_multimodal_tpu.serve.engine import EngineOverloaded
+    trainer, state, _ = served
+    engine = ServingEngine(trainer, state, image_size=SIZE, max_queue=1)
+    img = rand_images(1)[0]
+    fut = engine.submit({"rgb": img})            # fills the queue
+    with pytest.raises(EngineOverloaded, match="queue full"):
+        engine.submit({"rgb": img})
+    assert engine.stats()["rejected"] == 1
+    engine.stop()                                # fails the straggler
+    assert fut.exception() is not None
