@@ -31,6 +31,7 @@ COMMANDS = {
                      "EfficientNet/gated-fusion legacy variants"),
     "cross-validate": ("cross_validate",
                        "k-fold CV with patient-level grouping"),
+    "sweep": ("sweep", "hyperparameter grid / random search"),
     "extended-metrics": ("extended_metrics",
                          "medical metrics suite + ROC/PR/confusion plots"),
     "grad-cam": ("grad_cam_visualization", "Grad-CAM visualizations"),
