@@ -38,6 +38,7 @@ COMMANDS = {
     "tta": ("test_time_augmentation", "test-time-augmentation robustness"),
     "ablation": ("ablation_study", "RGB vs thermal vs multimodal ablation"),
     "predict": ("predict", "batch inference on an image directory"),
+    "embed": ("embed", "trunk embeddings: retrieval + uncertainty triage"),
     "serve": ("serve", "online micro-batching HTTP daemon"),
     "export-model": ("export_model", "freeze a checkpoint to jax.export"),
     "organize-dataset": ("organize_clean_dataset",

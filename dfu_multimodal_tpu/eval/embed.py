@@ -1,0 +1,171 @@
+"""Trunk-embedding extraction and nearest-neighbor case retrieval.
+
+Beyond-reference, opt-in surface (``dfu embed``).  The reference's models
+compute 2048-d ResNet / 768-d ViT feature vectors on every forward pass but
+throw them away after the classifier head (reference
+notebooks/train_multimodal_fusion.py:285-326 keeps only the logits); the
+features themselves are clinically useful:
+
+- **Similar-case retrieval**: for a new image, show the most similar
+  training cases (cosine similarity in trunk-embedding space) so a
+  clinician can ground the model's probability in precedent.
+- **Active-learning triage**: rank unlabeled images by decision-boundary
+  proximity to spend labeling budget where the model is least certain.
+- **Dataset auditing**: near-duplicate detection beyond exact SHA-256
+  (the organizer's dedup — tools/organize.py — catches only bit-identical
+  files), outlier screening, embedding-space visualization.
+
+The extraction step is a single jitted forward per batch with Flax
+``capture_intermediates`` filtered to exactly the trunk output scopes —
+no second forward, no O(activations) capture of every conv/block output.
+Retrieval is exact cosine top-k: at reference scale (≤ a few thousand
+rows × ≤ 2816 dims) one matmul, milliseconds on host.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from dfu_multimodal_tpu.data.loader import ArrayDataset
+
+# zoo model name -> {embedding name: top-level trunk scope}.  The scope's
+# ``__call__`` output is the (B, D) feature vector feeding the classifier
+# head.  TinyCNN has no trunk submodule; its sown spatial 'features' map is
+# pooled instead (zoo.py:62).
+TRUNK_SCOPES: Dict[str, Dict[str, str]] = {
+    "rgb_only": {"rgb": "ResNet_0"},                       # (B, 2048)
+    "thermal_only": {"thermal": "ViT_0"},                  # (B, 768)
+    "multimodal": {"rgb": "rgb_branch",                    # (B, 2048)
+                   "thermal": "thermal_branch"},           # (B, 768)
+    "efficientnet_rgb": {"rgb": "EfficientNetB0_0"},       # (B, 1280)
+    "efficientnet_thermal": {"thermal": "EfficientNetB0_0"},
+    "legacy_gated_fusion": {"rgb": "rgb_encoder",
+                            "thermal": "thermal_encoder"},
+    "legacy_rgb_resnet_fusion": {"rgb": "rgb_encoder",
+                                 "thermal": "thermal_encoder"},
+}
+_TINY = {"tiny_rgb": "rgb", "tiny_thermal": "thermal"}
+
+
+def extract_features(trainer, state, dataset: ArrayDataset
+                     ) -> Dict[str, np.ndarray]:
+    """Run the model over ``dataset`` capturing trunk embeddings.
+
+    Returns float32 arrays: ``feat_<name>`` per trunk (``(N, D)``),
+    ``feat_fused`` (concat over trunks, the fusion head's input layout for
+    multimodal models), ``probs`` (``(N,)`` P(ulcer)) and ``preds``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from dfu_multimodal_tpu.data import loader as data_loader
+    from dfu_multimodal_tpu.parallel import mesh as mesh_mod
+
+    model_name = trainer.spec.name
+    tiny_mod = _TINY.get(model_name)
+    scopes = TRUNK_SCOPES.get(model_name)
+    if scopes is None and tiny_mod is None:
+        raise ValueError(f"no trunk-scope mapping for model {model_name!r}; "
+                         f"supported: {sorted(TRUNK_SCOPES) + sorted(_TINY)}")
+
+    module = trainer.module
+    variables = trainer.variables(state)
+    want = set(scopes.values()) if scopes else set()
+
+    def capture_filter(mdl, method_name):
+        return (method_name == "__call__" and len(mdl.path) == 1
+                and mdl.path[0] in want)
+
+    @jax.jit
+    def embed_step(variables, batch):
+        inputs = trainer._preprocess_eval(batch)
+        logits, inter = module.apply(
+            variables, *inputs, train=False,
+            capture_intermediates=capture_filter,
+            mutable=["intermediates"])
+        inter = inter["intermediates"]
+        feats = {}
+        if tiny_mod is not None:
+            # TinyCNN sows a spatial (B, H, W, C) map; pool to (B, C)
+            fmap = inter["features"][0]
+            feats[tiny_mod] = jnp.mean(fmap, axis=(1, 2))
+        else:
+            for name, scope in scopes.items():
+                feats[name] = inter[scope]["__call__"][0]
+        logits = logits.astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1)[:, 1]
+        preds = jnp.argmax(logits, axis=-1)
+        return ({k: v.astype(jnp.float32) for k, v in feats.items()},
+                probs, preds)
+
+    bs = mesh_mod.pad_batch_to_mesh(trainer.cfg.eval_bs, trainer.mesh)
+    feat_parts: Dict[str, List[np.ndarray]] = {}
+    prob_parts, pred_parts = [], []
+    for batch in data_loader.device_prefetch(
+            data_loader.batch_slices(dataset, np.arange(len(dataset)), bs),
+            trainer.batch_sharding):
+        feats, probs, preds = embed_step(variables, batch)
+        for k, v in feats.items():
+            feat_parts.setdefault(k, []).append(np.asarray(v))
+        prob_parts.append(np.asarray(probs))
+        pred_parts.append(np.asarray(preds))
+
+    n = len(dataset)
+    out: Dict[str, np.ndarray] = {
+        "probs": np.concatenate(prob_parts)[:n],
+        "preds": np.concatenate(pred_parts)[:n],
+    }
+    names = sorted(feat_parts)
+    for k in names:
+        out[f"feat_{k}"] = np.concatenate(feat_parts[k])[:n]
+    if len(names) > 1:
+        # trunk-concat order matches the fusion head's input layout
+        # (models/fusion.py:101: [rgb | thermal])
+        order = [m for m in trainer.spec.inputs if m in feat_parts]
+        out["feat_fused"] = np.concatenate(
+            [out[f"feat_{m}"] for m in order], axis=1)
+    return out
+
+
+def l2_normalize(x: np.ndarray, eps: float = 1e-12) -> np.ndarray:
+    x = np.asarray(x, np.float32)
+    return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), eps)
+
+
+def cosine_topk(queries: np.ndarray, index: np.ndarray, k: int
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact cosine top-k: ``(indices, sims)`` each ``(Q, k)``, most
+    similar first.  One (Q, D) @ (D, N) matmul."""
+    k = min(int(k), index.shape[0])
+    sims = l2_normalize(queries) @ l2_normalize(index).T       # (Q, N)
+    top = np.argsort(-sims, axis=1)[:, :k]
+    return top, np.take_along_axis(sims, top, axis=1)
+
+
+def uncertainty_order(probs: np.ndarray) -> np.ndarray:
+    """Indices sorted most-uncertain first (|P(ulcer) − 0.5| ascending) —
+    the active-learning triage ranking."""
+    return np.argsort(np.abs(np.asarray(probs) - 0.5), kind="stable")
+
+
+def save_embeddings(path, out: Dict[str, np.ndarray], *,
+                    paths: Optional[List[str]] = None,
+                    labels: Optional[np.ndarray] = None,
+                    model: str = "", embedding: str = "") -> None:
+    """Write an ``.npz`` embedding index: features + probs/preds (+ paths,
+    + labels when embedding a labeled split) + provenance strings."""
+    arrays = dict(out)
+    if paths is not None:
+        arrays["paths"] = np.asarray([str(p) for p in paths])
+    if labels is not None:
+        arrays["labels"] = np.asarray(labels, np.int32)
+    arrays["model"] = np.asarray(model)
+    arrays["embedding"] = np.asarray(embedding)
+    np.savez_compressed(path, **arrays)
+
+
+def load_embeddings(path) -> Dict[str, np.ndarray]:
+    with np.load(path, allow_pickle=False) as z:
+        return {k: z[k] for k in z.files}
