@@ -168,6 +168,14 @@ def run_training(recipe: TrainRecipe,
 
     _write_run_info(ckpt_dir, recipe, args, train_cfg, argv)
 
+    # Drift baseline: per-channel intensity histograms + moments of the
+    # TRAIN split's raw uint8 images (eval/drift.py). serve auto-loads it
+    # to score live traffic (PSI); predict --drift-check uses it offline.
+    from dfu_multimodal_tpu.eval import drift as drift_mod
+    drift_mod.save_baseline(
+        ckpt_dir / drift_mod.BASELINE_FILENAME,
+        drift_mod.baseline_from_arrays(datasets["train"].arrays))
+
     results = {"best_val_f1": best_val_f1}
     if not args.skip_test_eval:
         print("\nEvaluating on test set...")

@@ -98,6 +98,13 @@ def main(argv=None):
         print(f"deployment config copied into bundle "
               f"(threshold={dep.get('threshold')}, "
               f"temperature={dep.get('temperature')})")
+    # likewise the training-split drift baseline (eval/drift.py), so
+    # serve --exported can monitor input drift without the checkpoint dir
+    from dfu_multimodal_tpu.eval.drift import BASELINE_FILENAME
+    drift_src = Path(args.checkpoint) / BASELINE_FILENAME
+    if drift_src.exists():
+        (args.out / BASELINE_FILENAME).write_text(drift_src.read_text())
+        print("drift baseline copied into bundle")
 
     total = sum(p.stat().st_size for p in args.out.iterdir())
     print(f"exported {name} -> {args.out}  buckets={meta['buckets']}  "

@@ -78,6 +78,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "program). 0 = off")
     parser.add_argument("--seed", type=int, default=0,
                         help="PRNG seed for the --tta augmentations")
+    parser.add_argument("--drift-check", action="store_true",
+                        help="score the inputs' intensity distribution "
+                             "against the checkpoint's training-split "
+                             "drift_baseline.json (PSI per channel; "
+                             "stable < 0.1, major drift >= 0.25) and "
+                             "print the report")
     parser.add_argument("--ignore-deployment", action="store_true",
                         help="do not auto-load <checkpoint>/"
                              "deployment.json (the val-tuned threshold/"
@@ -116,6 +122,25 @@ def main(argv=None):
         paths = paths[:n]
         arrays = {trainer.spec.inputs[0]: arrays[primary][:n],
                   "thermal": decode_all(th_paths[:n], args.image_size)}
+
+    if args.drift_check:
+        import json as json_mod
+
+        from dfu_multimodal_tpu.eval import drift as drift_mod
+        baseline = drift_mod.load_baseline(
+            args.checkpoint / drift_mod.BASELINE_FILENAME)
+        if baseline is None:
+            print(f"drift check: no {drift_mod.BASELINE_FILENAME} in "
+                  f"{args.checkpoint} (written by training runs of this "
+                  "framework) — skipping")
+        else:
+            mon = drift_mod.DriftMonitor(baseline, min_images=1)
+            for m, arr in arrays.items():
+                mon.update(m, arr)
+            rep = mon.report()
+            print("DRIFT CHECK vs training-split baseline "
+                  f"(verdict: {rep['verdict']}):")
+            print(json_mod.dumps(rep["modalities"], indent=2))
 
     if args.int8 and model_name in ("thermal_only", "rgb_only", "multimodal"):
         # Quantize the restored fp32 trunks once, then rebuild the engine

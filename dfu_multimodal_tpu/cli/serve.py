@@ -98,6 +98,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--no-warmup", action="store_true",
                         help="skip pre-compiling the batch buckets "
                              "(first requests then pay XLA compiles)")
+    parser.add_argument("--no-drift-monitor", action="store_true",
+                        help="do not score live inputs against each "
+                             "model's drift_baseline.json (training-split "
+                             "intensity statistics written by the "
+                             "trainers; PSI report on /metrics and "
+                             "/healthz)")
     return parser
 
 
@@ -148,6 +154,22 @@ def _resolve_deployment(directory: Path, args):
     return threshold, temperature
 
 
+def _drift_monitor(directory: Path, args):
+    """DriftMonitor over <dir>/drift_baseline.json (written by every
+    training run) unless --no-drift-monitor; a missing file means no
+    monitoring for that model (exported bundles may carry one too)."""
+    if getattr(args, "no_drift_monitor", False):
+        return None
+    from dfu_multimodal_tpu.eval import drift as drift_mod
+    baseline = drift_mod.load_baseline(
+        Path(directory) / drift_mod.BASELINE_FILENAME)
+    if baseline is None:
+        return None
+    print(f"{Path(directory).name}: drift monitoring on "
+          f"(baseline: {sorted(baseline['modalities'])})")
+    return drift_mod.DriftMonitor(baseline)
+
+
 def _load_engine(ckpt: Path, model_name, args, cfg, modalities):
     from dfu_multimodal_tpu.serve.engine import ServingEngine
 
@@ -158,7 +180,8 @@ def _load_engine(ckpt: Path, model_name, args, cfg, modalities):
         trainer, state, image_size=args.image_size,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
         pipeline_depth=args.pipeline_depth, threshold=threshold,
-        temperature=temperature, max_queue=args.max_queue)
+        temperature=temperature, max_queue=args.max_queue,
+        drift_monitor=_drift_monitor(ckpt, args))
 
 
 def main(argv=None):
@@ -206,7 +229,8 @@ def main(argv=None):
             servable, None, image_size=servable.image_size,
             buckets=servable.buckets, max_wait_ms=args.max_wait_ms,
             pipeline_depth=args.pipeline_depth, threshold=thr,
-            temperature=temp, max_queue=args.max_queue)
+            temperature=temp, max_queue=args.max_queue,
+            drift_monitor=_drift_monitor(Path(bundle), args))
     router = ModelRouter(engines)
 
     if not args.no_warmup:

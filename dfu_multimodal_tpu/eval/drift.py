@@ -1,0 +1,208 @@
+"""Input-distribution drift monitoring for production serving.
+
+Beyond-reference, opt-in surface.  The reference has no deployment story at
+all (SURVEY.md §5); a deployed screening model silently degrades when the
+input distribution moves — a new camera, different lighting, a different
+thermal sensor — long before anyone re-runs an evaluation.  This module
+implements the standard production monitor:
+
+- **Baseline**: per-modality, per-channel 32-bin intensity histograms +
+  channel means/stds computed over the TRAINING split's uint8 images.
+  Written to ``<checkpoint>/drift_baseline.json`` by every training run
+  (cheap: one pass of ``np.bincount`` on arrays already in RAM).
+- **Live accumulation**: :class:`DriftMonitor` folds the same statistics
+  over incoming requests (a ~150k-pixel ``bincount`` per image — host-side
+  noise next to the forward pass).
+- **Score**: the Population Stability Index per channel,
+  ``PSI = Σ (pᵢ − qᵢ)·ln(pᵢ/qᵢ)`` over the histogram bins, plus the channel
+  mean shift in baseline-σ units.  Industry rule-of-thumb verdicts:
+  PSI < 0.1 stable, < 0.25 moderate drift, ≥ 0.25 major drift.
+
+``serve`` auto-loads the baseline next to its checkpoint and reports the
+verdict on ``/metrics`` and ``/healthz``; ``predict --drift-check`` prints
+the same report for an offline batch.  All statistics are on raw uint8
+images (pre-normalization), so the monitor sees exactly what the camera
+produced, independent of model preprocessing.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+N_BINS = 32                      # 256 / 32 = 8 intensity levels per bin
+_EPS = 1e-4                      # PSI smoothing for empty bins
+
+BASELINE_FILENAME = "drift_baseline.json"
+
+PSI_MODERATE = 0.1               # rule-of-thumb thresholds
+PSI_MAJOR = 0.25
+
+
+def channel_histograms(u8: np.ndarray) -> np.ndarray:
+    """(3, N_BINS) int64 counts over a ``(N, H, W, 3)`` or ``(H, W, 3)``
+    uint8 image array; bins are fixed width-8 intensity ranges."""
+    u8 = np.asarray(u8)
+    if u8.dtype != np.uint8:
+        raise ValueError(f"expected uint8 images, got {u8.dtype}")
+    flat = u8.reshape(-1, u8.shape[-1])
+    return np.stack([
+        np.bincount(flat[:, c] >> 3, minlength=N_BINS).astype(np.int64)
+        for c in range(flat.shape[-1])])
+
+
+def _moments(u8: np.ndarray):
+    flat = np.asarray(u8).reshape(-1, u8.shape[-1]).astype(np.float64)
+    return flat.mean(axis=0), flat.std(axis=0)
+
+
+def baseline_from_arrays(arrays: Dict[str, np.ndarray]) -> Dict:
+    """Build the drift baseline from ``{modality: (N, H, W, 3) uint8}``
+    (the training split as the loader holds it)."""
+    out: Dict = {"bins": N_BINS, "modalities": {}}
+    for mod, arr in arrays.items():
+        counts = channel_histograms(arr)
+        mean, std = _moments(arr)
+        out["modalities"][mod] = {
+            "hist": (counts / counts.sum(axis=1, keepdims=True)).tolist(),
+            "mean": mean.tolist(),
+            "std": std.tolist(),
+            "n_images": int(arr.shape[0]) if arr.ndim == 4 else 1,
+        }
+    return out
+
+
+def save_baseline(path, baseline: Dict) -> None:
+    Path(path).write_text(json.dumps(baseline, indent=2))
+
+
+def load_baseline(path) -> Optional[Dict]:
+    p = Path(path)
+    if not p.exists():
+        return None
+    return json.loads(p.read_text())
+
+
+def psi(expected: np.ndarray, actual: np.ndarray) -> float:
+    """Population Stability Index between two discrete distributions
+    (probability vectors or count vectors; both are renormalized with
+    ``_EPS`` smoothing so empty bins stay finite)."""
+    p = np.asarray(expected, np.float64) + _EPS
+    q = np.asarray(actual, np.float64) + _EPS
+    p /= p.sum()
+    q /= q.sum()
+    return float(np.sum((q - p) * np.log(q / p)))
+
+
+def verdict_for(psi_max: float) -> str:
+    if psi_max < PSI_MODERATE:
+        return "stable"
+    if psi_max < PSI_MAJOR:
+        return "moderate_drift"
+    return "major_drift"
+
+
+def drift_report(baseline_mod: Dict, counts: np.ndarray,
+                 mean: np.ndarray, n_images: int) -> Dict:
+    """Compare accumulated stats against one modality's baseline entry."""
+    base_hist = np.asarray(baseline_mod["hist"], np.float64)
+    base_mean = np.asarray(baseline_mod["mean"], np.float64)
+    base_std = np.maximum(np.asarray(baseline_mod["std"], np.float64), 1e-6)
+    per_channel = [psi(base_hist[c], counts[c])
+                   for c in range(base_hist.shape[0])]
+    shift = (np.asarray(mean, np.float64) - base_mean) / base_std
+    psi_max = max(per_channel)
+    return {
+        "n_images": int(n_images),
+        "psi_per_channel": [round(v, 4) for v in per_channel],
+        "psi_max": round(psi_max, 4),
+        "mean_shift_sigma": [round(float(s), 3) for s in shift],
+        "verdict": verdict_for(psi_max),
+    }
+
+
+class DriftMonitor:
+    """Thread-safe accumulator of live input statistics per modality.
+
+    ``update(modality, u8_image_or_batch)`` folds counts in; ``report()``
+    scores everything seen so far against the baseline.  A monitor without
+    a baseline still accumulates (reported as ``no_baseline``) so a
+    baseline written later can be applied retroactively.
+    """
+
+    def __init__(self, baseline: Optional[Dict] = None,
+                 min_images: int = 20):
+        self.baseline = baseline
+        # below this many accumulated images PSI is sampling noise;
+        # report 'warming_up' instead of a verdict
+        self.min_images = int(min_images)
+        self._lock = threading.Lock()
+        self._counts: Dict[str, np.ndarray] = {}
+        self._sum: Dict[str, np.ndarray] = {}
+        self._n_pixels: Dict[str, int] = {}
+        self._n_images: Dict[str, int] = {}
+
+    def update(self, modality: str, u8: np.ndarray) -> None:
+        u8 = np.asarray(u8)
+        counts = channel_histograms(u8)
+        flat = u8.reshape(-1, u8.shape[-1])
+        csum = flat.sum(axis=0, dtype=np.int64)
+        n_img = u8.shape[0] if u8.ndim == 4 else 1
+        with self._lock:
+            if modality not in self._counts:
+                self._counts[modality] = counts
+                self._sum[modality] = csum
+                self._n_pixels[modality] = flat.shape[0]
+                self._n_images[modality] = n_img
+            else:
+                self._counts[modality] += counts
+                self._sum[modality] += csum
+                self._n_pixels[modality] += flat.shape[0]
+                self._n_images[modality] += n_img
+
+    def reset(self) -> None:
+        with self._lock:
+            self._counts.clear()
+            self._sum.clear()
+            self._n_pixels.clear()
+            self._n_images.clear()
+
+    def report(self) -> Dict:
+        with self._lock:
+            snapshot = {m: (self._counts[m].copy(),
+                            self._sum[m].copy(),
+                            self._n_pixels[m], self._n_images[m])
+                        for m in self._counts}
+        out: Dict = {"modalities": {}, "verdict": "no_data"}
+        if not snapshot:
+            return out
+        base_mods = (self.baseline or {}).get("modalities", {})
+        worst = -1.0
+        verdicts = []
+        for mod, (counts, csum, n_pix, n_img) in snapshot.items():
+            mean = csum / max(1, n_pix)
+            if mod not in base_mods:
+                out["modalities"][mod] = {"n_images": n_img,
+                                          "verdict": "no_baseline"}
+                continue
+            if n_img < self.min_images:
+                out["modalities"][mod] = {"n_images": n_img,
+                                          "verdict": "warming_up"}
+                continue
+            rep = drift_report(base_mods[mod], counts, mean, n_img)
+            out["modalities"][mod] = rep
+            worst = max(worst, rep["psi_max"])
+            verdicts.append(rep["verdict"])
+        if verdicts:
+            out["verdict"] = verdict_for(worst)
+            out["psi_max"] = round(worst, 4)
+        elif any(v.get("verdict") == "warming_up"
+                 for v in out["modalities"].values()):
+            out["verdict"] = "warming_up"
+        elif out["modalities"]:
+            out["verdict"] = "no_baseline"
+        return out

@@ -132,7 +132,8 @@ class ServingEngine:
                  buckets: Optional[Sequence[int]] = None,
                  threshold: Optional[float] = None,
                  temperature: Optional[float] = None,
-                 max_queue: Optional[int] = None):
+                 max_queue: Optional[int] = None,
+                 drift_monitor=None):
         # clinical operating point: predict Ulcer when P(ulcer) >=
         # threshold instead of argmax (eval/threshold.py picks one on a
         # validation split); None keeps the default argmax prediction
@@ -172,6 +173,10 @@ class ServingEngine:
             self.buckets = tuple(sorted(set(ladder)))
 
         self.pipeline_depth = max(1, int(pipeline_depth))
+        # input drift monitoring (eval/drift.py::DriftMonitor): fold live
+        # request statistics in on the batcher thread, score against the
+        # training-split baseline in stats(). None = off.
+        self.drift_monitor = drift_monitor
         # bounded admission: reject (EngineOverloaded -> HTTP 503) once
         # max_queue requests are waiting, instead of queueing without
         # limit; None keeps the unbounded legacy behavior
@@ -330,6 +335,14 @@ class ServingEngine:
                         batch[m][i] = sample[m]
             batch["label"] = np.zeros(bucket, np.int32)
             batch["valid"] = (np.arange(bucket) < n).astype(np.float32)
+            if self.drift_monitor is not None and record:
+                # per provided modality only — black fill-ins for absent
+                # modalities are padding, not camera output
+                for m in self.inputs:
+                    rows = [i for i, (s, _, _) in enumerate(items)
+                            if m in s]
+                    if rows:
+                        self.drift_monitor.update(m, batch[m][rows])
             batch = jax.device_put(batch, self.trainer.batch_sharding)
             out = self._eval_step(self._variables, batch)
         except Exception as exc:                     # fan the failure out
@@ -403,6 +416,8 @@ class ServingEngine:
                 "p99": round(float(np.percentile(lat, 99)), 3),
                 "mean": round(float(lat.mean()), 3),
                 "window": int(lat.size)}
+        if self.drift_monitor is not None:
+            out["drift"] = self.drift_monitor.report()
         return out
 
 

@@ -98,6 +98,14 @@ class PredictHandler(BaseHTTPRequestHandler):
                    if e.threshold is not None or e.temperature is not None}
             if dep:
                 health["deployment"] = dep
+            # input-drift verdict per monitored model (PSI vs the
+            # training-split baseline, eval/drift.py) — the ops signal
+            # that the camera/site distribution moved
+            drift = {n: e.drift_monitor.report().get("verdict", "no_data")
+                     for n, e in self.router.engines.items()
+                     if e.drift_monitor is not None}
+            if drift:
+                health["drift"] = drift
             self._send_json(200, health)
         elif self.path == "/metrics":
             self._send_json(200, self.router.stats())
