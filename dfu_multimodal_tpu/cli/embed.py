@@ -76,6 +76,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--rank-uncertainty", action="store_true",
                         help="order the report most-uncertain first "
                              "(active-learning triage)")
+    parser.add_argument("--near-dup-check", action="store_true",
+                        help="leakage audit (needs --data-dir): embed all "
+                             "three splits and report cross-split pairs "
+                             "above --near-dup-threshold cosine "
+                             "similarity — catches re-encoded/resized "
+                             "copies the SHA-256 gate cannot see")
+    parser.add_argument("--near-dup-threshold", type=float, default=0.99)
     parser.add_argument("--output", type=Path, default=None,
                         help="write embeddings + probs to this .npz")
     parser.add_argument("--csv", type=Path, default=None,
@@ -101,6 +108,58 @@ def _pick_embedding(out, requested):
     return "fused" if "fused" in keys else keys[0]
 
 
+def _near_dup_check(args, trainer, state):
+    """Embed every split, report cross-split near-duplicate pairs (the
+    leakage the exact-hash gate cannot see).  Advisory: prints + optional
+    CSV; returns the hit list for programmatic use."""
+    feats_by_split, paths_by_split = {}, {}
+    emb_name = None
+    for split in ("train", "val", "test"):
+        if len(trainer.spec.inputs) > 1:
+            ds = load_paired(args.data_dir, split, args.image_size,
+                             strategy="pseudo", seed=0,
+                             cache_dir=args.cache_dir)
+            primary = trainer.spec.inputs[0]
+            split_paths = [str(p) for p in ds.paths.get(
+                primary, [f"{split}[{i}]" for i in range(len(ds))])]
+        else:
+            mod = trainer.spec.inputs[0]
+            ds = load_single_modality(args.data_dir / mod, split,
+                                      args.image_size, mod,
+                                      cache_dir=args.cache_dir)
+            split_paths = [str(p) for p in ds.paths[mod]]
+        out = embed_mod.extract_features(trainer, state, ds)
+        emb_name = _pick_embedding(out, args.embedding)
+        feats_by_split[split] = out[f"feat_{emb_name}"]
+        paths_by_split[split] = split_paths
+        print(f"  {split}: {len(ds)} images embedded ({emb_name})")
+
+    hits = embed_mod.cross_split_near_duplicates(
+        feats_by_split, paths_by_split, args.near_dup_threshold)
+    print(f"\nNEAR-DUPLICATE LEAKAGE AUDIT "
+          f"(cosine >= {args.near_dup_threshold}, {emb_name} space): "
+          f"{len(hits)} cross-split pair(s)")
+    for h in hits[:25]:
+        print(f"  {h['sim']:.4f}  {h['split_a']}/"
+              f"{Path(h['path_a']).name}  ~  {h['split_b']}/"
+              f"{Path(h['path_b']).name}")
+    if len(hits) > 25:
+        print(f"  ... {len(hits) - 25} more (see --csv)")
+    if not hits:
+        print("  no cross-split near-duplicates — splits look clean "
+              "beyond the exact-hash gate")
+    if args.csv:
+        with open(args.csv, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["sim", "split_a", "path_a", "split_b", "path_b"])
+            for h in hits:
+                w.writerow([f"{h['sim']:.6f}", h["split_a"], h["path_a"],
+                            h["split_b"], h["path_b"]])
+        print(f"Wrote {args.csv}")
+    return {"near_duplicates": hits, "threshold": args.near_dup_threshold,
+            "embedding": emb_name}
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     if (args.images is None) == (args.data_dir is None):
@@ -117,6 +176,12 @@ def main(argv=None):
     trainer = Trainer(model_name, cfg, modalities,
                       attention_impl=args.attention_impl)
     state = trainer.restore(args.checkpoint, image_size=args.image_size)
+
+    if args.near_dup_check:
+        if args.data_dir is None:
+            raise SystemExit("--near-dup-check needs --data-dir (it "
+                             "audits the train/val/test splits)")
+        return _near_dup_check(args, trainer, state)
 
     labels = None
     if args.data_dir is not None:

@@ -144,6 +144,39 @@ def cosine_topk(queries: np.ndarray, index: np.ndarray, k: int
     return top, np.take_along_axis(sims, top, axis=1)
 
 
+def cross_split_near_duplicates(
+        feats: Dict[str, np.ndarray],
+        paths: Dict[str, List[str]],
+        threshold: float = 0.99) -> List[Dict]:
+    """Embedding-space leakage audit: pairs of images in DIFFERENT splits
+    whose trunk embeddings exceed ``threshold`` cosine similarity.
+
+    The SHA-256 leakage gate (data/leakage.py, mirroring reference
+    notebooks/train_rgb_only.py:138-165) catches only bit-identical
+    files; a re-encoded, resized, or lightly cropped copy of a training
+    image sitting in the test split passes it and silently inflates every
+    test metric.  Near-identical trunk embeddings are the standard signal
+    for that.  Returns ``[{split_a, path_a, split_b, path_b, sim}]``
+    sorted most-similar first; splits are compared pairwise in the given
+    key order.
+    """
+    names = list(feats)
+    hits: List[Dict] = []
+    for ai in range(len(names)):
+        for bi in range(ai + 1, len(names)):
+            a, b = names[ai], names[bi]
+            if not len(feats[a]) or not len(feats[b]):
+                continue
+            sims = l2_normalize(feats[a]) @ l2_normalize(feats[b]).T
+            ii, jj = np.nonzero(sims >= threshold)
+            for i, j in zip(ii, jj):
+                hits.append({"split_a": a, "path_a": str(paths[a][i]),
+                             "split_b": b, "path_b": str(paths[b][j]),
+                             "sim": float(sims[i, j])})
+    hits.sort(key=lambda h: -h["sim"])
+    return hits
+
+
 def uncertainty_order(probs: np.ndarray) -> np.ndarray:
     """Indices sorted most-uncertain first (|P(ulcer) − 0.5| ascending) —
     the active-learning triage ranking."""

@@ -1,5 +1,7 @@
 """Embedding extraction + retrieval (eval/embed.py, cli/embed.py)."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -135,6 +137,54 @@ def test_embed_cli_rank_uncertainty(tiny_run, tmp_path):
     lines = csv_out.read_text().splitlines()[1:]
     margins = [abs(float(l.split(",")[1]) - 0.5) for l in lines]
     assert margins == sorted(margins)          # most uncertain first
+
+
+def test_cross_split_near_duplicates():
+    from dfu_multimodal_tpu.eval.embed import cross_split_near_duplicates
+    rng = np.random.default_rng(0)
+    train = rng.normal(size=(10, 16)).astype(np.float32)
+    test = rng.normal(size=(4, 16)).astype(np.float32)
+    test[2] = train[7] * 3.0              # same direction = cosine 1.0
+    hits = cross_split_near_duplicates(
+        {"train": train, "test": test},
+        {"train": [f"t{i}" for i in range(10)],
+         "test": [f"x{i}" for i in range(4)]}, threshold=0.99)
+    assert len(hits) == 1
+    h = hits[0]
+    assert (h["path_a"], h["path_b"]) == ("t7", "x2")
+    assert h["sim"] == pytest.approx(1.0, abs=1e-5)
+    # same-split duplicates are NOT reported (cross-split only)
+    train2 = np.concatenate([train, train[:1]])
+    hits2 = cross_split_near_duplicates(
+        {"train": train2, "test": test},
+        {"train": [f"t{i}" for i in range(11)],
+         "test": [f"x{i}" for i in range(4)]}, threshold=0.99)
+    assert all(h["split_a"] != h["split_b"] for h in hits2)
+
+
+def test_embed_cli_near_dup_check(tiny_run, tmp_path):
+    """Plant a pixel-identical copy of a training image in the test split
+    under a different name (invisible to the SHA gate only if re-encoded;
+    here it IS byte-identical, which the embedding audit must flag too)."""
+    import shutil
+
+    from dfu_multimodal_tpu.cli.embed import main
+    data, ckpt, _, _ = tiny_run
+    src = next((data / "rgb" / "train" / "ulcer").glob("*.jpg"))
+    planted = data / "rgb" / "test" / "ulcer" / "planted_copy.jpg"
+    shutil.copy(src, planted)
+    try:
+        res = main(["--checkpoint", str(ckpt), "--model", "tiny_rgb",
+                    "--data-dir", str(data), "--image-size", "32",
+                    "--batch-size", "8", "--compute-dtype", "float32",
+                    "--near-dup-check", "--near-dup-threshold", "0.9999",
+                    "--csv", str(tmp_path / "dups.csv")])
+        names = {(Path(h["path_a"]).name, Path(h["path_b"]).name)
+                 for h in res["near_duplicates"]}
+        assert (src.name, "planted_copy.jpg") in names
+        assert (tmp_path / "dups.csv").exists()
+    finally:
+        planted.unlink()
 
 
 def test_embed_cli_input_validation(tiny_run):
