@@ -39,6 +39,8 @@ COMMANDS = {
     "ablation": ("ablation_study", "RGB vs thermal vs multimodal ablation"),
     "predict": ("predict", "batch inference on an image directory"),
     "embed": ("embed", "trunk embeddings: retrieval + uncertainty triage"),
+    "model-card": ("model_card",
+                   "audit-ready markdown card from checkpoint artifacts"),
     "serve": ("serve", "online micro-batching HTTP daemon"),
     "export-model": ("export_model", "freeze a checkpoint to jax.export"),
     "organize-dataset": ("organize_clean_dataset",
