@@ -83,6 +83,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "similarity — catches re-encoded/resized "
                              "copies the SHA-256 gate cannot see")
     parser.add_argument("--near-dup-threshold", type=float, default=0.99)
+    parser.add_argument("--ignore-deployment", action="store_true",
+                        help="do not apply <checkpoint>/deployment.json "
+                             "(val-tuned threshold/temperature) to the "
+                             "reported probs/preds — by default embed "
+                             "agrees with predict/serve")
     parser.add_argument("--output", type=Path, default=None,
                         help="write embeddings + probs to this .npz")
     parser.add_argument("--csv", type=Path, default=None,
@@ -98,6 +103,43 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def _load_split(trainer, data_dir: Path, split: str, image_size: int,
+                cache_dir, seed: int = 0):
+    """``(ArrayDataset, {modality: [path str]})`` for one labeled split —
+    shared by index-building mode and the near-dup audit (multimodal
+    splits are pseudo-paired, the model's input contract)."""
+    if len(trainer.spec.inputs) > 1:
+        ds = load_paired(Path(data_dir), split, image_size,
+                         strategy="pseudo", seed=seed, cache_dir=cache_dir)
+    else:
+        mod = trainer.spec.inputs[0]
+        ds = load_single_modality(Path(data_dir) / mod, split, image_size,
+                                  mod, cache_dir=cache_dir)
+    paths = {m: [str(p) if p is not None else f"{split}[{i}]"
+                 for i, p in enumerate(
+                     ds.paths.get(m, [None] * len(ds)))]
+             for m in trainer.spec.inputs}
+    return ds, paths
+
+
+def _apply_deployment(out, checkpoint: Path, ignore: bool) -> None:
+    """Apply the checkpoint's persisted val-tuned deployment config to the
+    reported probs/preds, exactly like predict/serve do — embed's triage
+    ranking and printed predictions must agree with the deployed system,
+    not with raw argmax-at-0.5."""
+    from dfu_multimodal_tpu.eval.deployment import resolve_deployment
+    threshold, temperature, note = resolve_deployment(
+        checkpoint, None, None, ignore)
+    if note:
+        print(f"Loaded {note}")
+    if temperature is not None:
+        from dfu_multimodal_tpu.eval.calibration import apply_temperature
+        out["probs"] = apply_temperature(out["probs"], temperature)
+    if threshold is not None:
+        from dfu_multimodal_tpu.eval.threshold import apply_threshold
+        out["preds"] = apply_threshold(out["probs"], threshold)
+
+
 def _pick_embedding(out, requested):
     keys = [k[5:] for k in out if k.startswith("feat_")]
     if requested:
@@ -110,37 +152,38 @@ def _pick_embedding(out, requested):
 
 def _near_dup_check(args, trainer, state):
     """Embed every split, report cross-split near-duplicate pairs (the
-    leakage the exact-hash gate cannot see).  Advisory: prints + optional
-    CSV; returns the hit list for programmatic use."""
-    feats_by_split, paths_by_split = {}, {}
-    emb_name = None
+    leakage the exact-hash gate cannot see).  Audited PER TRUNK SPACE
+    (rgb / thermal separately, never the fused concat): in the fused
+    space a duplicated RGB image gets a *different* pseudo-paired thermal
+    partner per split, diluting its cosine similarity below any sane
+    threshold — exactly the duplicate this audit exists to catch.
+    Advisory: prints + optional CSV; returns the hit list."""
+    per_mod_feats = {m: {} for m in trainer.spec.inputs}
+    per_mod_paths = {m: {} for m in trainer.spec.inputs}
     for split in ("train", "val", "test"):
-        if len(trainer.spec.inputs) > 1:
-            ds = load_paired(args.data_dir, split, args.image_size,
-                             strategy="pseudo", seed=0,
-                             cache_dir=args.cache_dir)
-            primary = trainer.spec.inputs[0]
-            split_paths = [str(p) for p in ds.paths.get(
-                primary, [f"{split}[{i}]" for i in range(len(ds))])]
-        else:
-            mod = trainer.spec.inputs[0]
-            ds = load_single_modality(args.data_dir / mod, split,
-                                      args.image_size, mod,
-                                      cache_dir=args.cache_dir)
-            split_paths = [str(p) for p in ds.paths[mod]]
+        ds, paths = _load_split(trainer, args.data_dir, split,
+                                args.image_size, args.cache_dir)
         out = embed_mod.extract_features(trainer, state, ds)
-        emb_name = _pick_embedding(out, args.embedding)
-        feats_by_split[split] = out[f"feat_{emb_name}"]
-        paths_by_split[split] = split_paths
-        print(f"  {split}: {len(ds)} images embedded ({emb_name})")
+        for m in trainer.spec.inputs:
+            per_mod_feats[m][split] = out[f"feat_{m}"]
+            per_mod_paths[m][split] = paths[m]
+        print(f"  {split}: {len(ds)} images embedded "
+              f"({', '.join(trainer.spec.inputs)})")
 
-    hits = embed_mod.cross_split_near_duplicates(
-        feats_by_split, paths_by_split, args.near_dup_threshold)
+    hits = []
+    for m in trainer.spec.inputs:
+        for h in embed_mod.cross_split_near_duplicates(
+                per_mod_feats[m], per_mod_paths[m],
+                args.near_dup_threshold):
+            hits.append({**h, "embedding": m})
+    hits.sort(key=lambda h: -h["sim"])
+    spaces = "/".join(trainer.spec.inputs)
     print(f"\nNEAR-DUPLICATE LEAKAGE AUDIT "
-          f"(cosine >= {args.near_dup_threshold}, {emb_name} space): "
+          f"(cosine >= {args.near_dup_threshold}, per-trunk {spaces} "
+          f"space{'s' if len(trainer.spec.inputs) > 1 else ''}): "
           f"{len(hits)} cross-split pair(s)")
     for h in hits[:25]:
-        print(f"  {h['sim']:.4f}  {h['split_a']}/"
+        print(f"  {h['sim']:.4f}  [{h['embedding']}]  {h['split_a']}/"
               f"{Path(h['path_a']).name}  ~  {h['split_b']}/"
               f"{Path(h['path_b']).name}")
     if len(hits) > 25:
@@ -151,13 +194,15 @@ def _near_dup_check(args, trainer, state):
     if args.csv:
         with open(args.csv, "w", newline="") as f:
             w = csv.writer(f)
-            w.writerow(["sim", "split_a", "path_a", "split_b", "path_b"])
+            w.writerow(["sim", "embedding", "split_a", "path_a",
+                        "split_b", "path_b"])
             for h in hits:
-                w.writerow([f"{h['sim']:.6f}", h["split_a"], h["path_a"],
+                w.writerow([f"{h['sim']:.6f}", h["embedding"],
+                            h["split_a"], h["path_a"],
                             h["split_b"], h["path_b"]])
         print(f"Wrote {args.csv}")
     return {"near_duplicates": hits, "threshold": args.near_dup_threshold,
-            "embedding": emb_name}
+            "embedding": spaces}
 
 
 def main(argv=None):
@@ -185,19 +230,10 @@ def main(argv=None):
 
     labels = None
     if args.data_dir is not None:
-        if len(trainer.spec.inputs) > 1:
-            ds = load_paired(args.data_dir, args.split, args.image_size,
-                             strategy="pseudo", seed=cfg.seed,
-                             cache_dir=args.cache_dir)
-            primary = trainer.spec.inputs[0]
-            paths = [str(p) for p in ds.paths.get(
-                primary, [f"{args.split}[{i}]" for i in range(len(ds))])]
-        else:
-            mod = trainer.spec.inputs[0]
-            ds = load_single_modality(args.data_dir / mod, args.split,
-                                      args.image_size, mod,
-                                      cache_dir=args.cache_dir)
-            paths = [str(p) for p in ds.paths[mod]]
+        ds, split_paths = _load_split(trainer, args.data_dir, args.split,
+                                      args.image_size, args.cache_dir,
+                                      seed=cfg.seed)
+        paths = split_paths[trainer.spec.inputs[0]]
         labels = np.asarray(ds.labels)
     else:
         paths = [str(p) for p in list_images(args.images)]
@@ -218,6 +254,7 @@ def main(argv=None):
     print(f"Embedding {len(ds)} images with {model_name} "
           f"({args.compute_dtype})")
     out = embed_mod.extract_features(trainer, state, ds)
+    _apply_deployment(out, args.checkpoint, args.ignore_deployment)
     emb_name = _pick_embedding(out, args.embedding)
     feats = out[f"feat_{emb_name}"]
     print(f"Feature spaces: "

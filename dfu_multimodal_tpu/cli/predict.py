@@ -135,8 +135,16 @@ def main(argv=None):
                   "framework) — skipping")
         else:
             mon = drift_mod.DriftMonitor(baseline, min_images=1)
+            # score only modalities the user actually supplied: with a
+            # multimodal checkpoint and no --thermal-images the thermal
+            # array is a duplicate of the RGB photos (inference fill-in,
+            # predict.py above) — RGB pixels against the thermal baseline
+            # would report guaranteed spurious major_drift
+            provided = {primary} | ({"thermal"} if args.thermal_images
+                                    is not None else set())
             for m, arr in arrays.items():
-                mon.update(m, arr)
+                if m in provided:
+                    mon.update(m, arr)
             rep = mon.report()
             print("DRIFT CHECK vs training-split baseline "
                   f"(verdict: {rep['verdict']}):")

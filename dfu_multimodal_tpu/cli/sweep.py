@@ -152,11 +152,16 @@ def enumerate_trials(specs: Sequence[ParamSpec], random_n: int,
     return trials
 
 
-def trial_key(params: Dict) -> str:
+def trial_key(params: Dict, context: Optional[Dict] = None) -> str:
     """Stable identity of a configuration (resume key): canonical JSON of
-    the sorted params, hashed.  Floats round-trip through repr, so the
-    same sampled value always maps to the same key."""
-    canon = json.dumps({k: params[k] for k in sorted(params)},
+    the sorted params PLUS the non-swept context (model, base config,
+    image size, replicates), hashed.  Without the context, re-running a
+    widened sweep with e.g. a different --epochs or --model would match
+    stale records and silently reuse their scores.  Floats round-trip
+    through repr, so the same sampled value always maps to the same
+    key."""
+    canon = json.dumps({"params": {k: params[k] for k in sorted(params)},
+                        "context": context or {}},
                        sort_keys=True, default=repr)
     return hashlib.sha256(canon.encode()).hexdigest()[:16]
 
@@ -256,6 +261,13 @@ def main(argv=None) -> Dict:
     trials = enumerate_trials(specs, args.random, base_cfg.seed)
     if not trials:
         raise SystemExit("empty trial list")
+    # resume identity: swept params + everything else that shapes a
+    # trial's score — swept fields excluded so explicit base flags don't
+    # double in (they're overridden per trial anyway)
+    context = {k: v for k, v in dataclasses.asdict(base_cfg).items()
+               if k not in set(fields)}
+    context.update(model=zoo_name, image_size=args.image_size,
+                   replicates=args.replicates, modality=args.modality)
 
     out_dir = Path(data_cfg.checkpoint_root) / f"sweep_{args.modality}"
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -284,9 +296,12 @@ def main(argv=None) -> Dict:
           f"(test split untouched)")
     class_weights = class_weights_from_labels(train_ds.labels)
 
-    records: List[Dict] = list(done.values())
-    for i, params in enumerate(trials, 1):
-        key = trial_key(params)
+    # only records matching THIS sweep's trial identities participate in
+    # the ranking — trials.jsonl may hold runs under other configs
+    # (different epochs/model/replicates), which must re-run, not rank
+    keys = [trial_key(p, context) for p in trials]
+    records: List[Dict] = [done[k] for k in keys if k in done]
+    for i, (params, key) in enumerate(zip(trials, keys), 1):
         desc = ", ".join(f"{k}={v:.3g}" if isinstance(v, float)
                          else f"{k}={v}" for k, v in sorted(params.items()))
         if key in done:

@@ -129,22 +129,30 @@ class DriftMonitor:
     """Thread-safe accumulator of live input statistics per modality.
 
     ``update(modality, u8_image_or_batch)`` folds counts in; ``report()``
-    scores everything seen so far against the baseline.  A monitor without
-    a baseline still accumulates (reported as ``no_baseline``) so a
+    scores the statistics against the baseline.  A monitor without a
+    baseline still accumulates (reported as ``no_baseline``) so a
     baseline written later can be applied retroactively.
+
+    Statistics are kept as a ROLLING WINDOW of the most recent
+    ``window_images`` per modality (default 2000, chunk-granular): a
+    lifetime accumulator would dilute a camera swap after weeks of
+    stable uptime into undetectability — the verdict must track *recent*
+    traffic, not the server's whole history.
     """
 
     def __init__(self, baseline: Optional[Dict] = None,
-                 min_images: int = 20):
+                 min_images: int = 20, window_images: int = 2000):
+        import collections
         self.baseline = baseline
         # below this many accumulated images PSI is sampling noise;
         # report 'warming_up' instead of a verdict
         self.min_images = int(min_images)
+        self.window_images = int(window_images)
         self._lock = threading.Lock()
-        self._counts: Dict[str, np.ndarray] = {}
-        self._sum: Dict[str, np.ndarray] = {}
-        self._n_pixels: Dict[str, int] = {}
-        self._n_images: Dict[str, int] = {}
+        # modality -> deque of (counts, channel_sum, n_pixels, n_images)
+        # chunks; oldest chunks are evicted once the window overflows
+        self._chunks: Dict[str, "collections.deque"] = {}
+        self._deque = collections.deque
 
     def update(self, modality: str, u8: np.ndarray) -> None:
         u8 = np.asarray(u8)
@@ -153,30 +161,28 @@ class DriftMonitor:
         csum = flat.sum(axis=0, dtype=np.int64)
         n_img = u8.shape[0] if u8.ndim == 4 else 1
         with self._lock:
-            if modality not in self._counts:
-                self._counts[modality] = counts
-                self._sum[modality] = csum
-                self._n_pixels[modality] = flat.shape[0]
-                self._n_images[modality] = n_img
-            else:
-                self._counts[modality] += counts
-                self._sum[modality] += csum
-                self._n_pixels[modality] += flat.shape[0]
-                self._n_images[modality] += n_img
+            chunks = self._chunks.setdefault(modality, self._deque())
+            chunks.append((counts, csum, flat.shape[0], n_img))
+            total = sum(c[3] for c in chunks)
+            while len(chunks) > 1 and total - chunks[0][3] >= \
+                    self.window_images:
+                total -= chunks.popleft()[3]
 
     def reset(self) -> None:
         with self._lock:
-            self._counts.clear()
-            self._sum.clear()
-            self._n_pixels.clear()
-            self._n_images.clear()
+            self._chunks.clear()
 
     def report(self) -> Dict:
         with self._lock:
-            snapshot = {m: (self._counts[m].copy(),
-                            self._sum[m].copy(),
-                            self._n_pixels[m], self._n_images[m])
-                        for m in self._counts}
+            snapshot = {}
+            for m, chunks in self._chunks.items():
+                if not chunks:
+                    continue
+                snapshot[m] = (
+                    np.sum([c[0] for c in chunks], axis=0),
+                    np.sum([c[1] for c in chunks], axis=0),
+                    sum(c[2] for c in chunks),
+                    sum(c[3] for c in chunks))
         out: Dict = {"modalities": {}, "verdict": "no_data"}
         if not snapshot:
             return out

@@ -74,6 +74,16 @@ def extract_features(trainer, state, dataset: ArrayDataset
     variables = trainer.variables(state)
     want = set(scopes.values()) if scopes else set()
 
+    # One compiled program per trainer, reused across calls — the 3-split
+    # near-dup audit calls extract_features three times, and a fresh
+    # jax.jit closure per call would re-trace/re-compile the identical
+    # forward each time.
+    cached = getattr(trainer, "_embed_step_cache", None)
+    if cached is not None:
+        embed_step = cached
+        bs = mesh_mod.pad_batch_to_mesh(trainer.cfg.eval_bs, trainer.mesh)
+        return _run_embed(trainer, embed_step, variables, dataset, bs)
+
     def capture_filter(mdl, method_name):
         return (method_name == "__call__" and len(mdl.path) == 1
                 and mdl.path[0] in want)
@@ -100,7 +110,15 @@ def extract_features(trainer, state, dataset: ArrayDataset
         return ({k: v.astype(jnp.float32) for k, v in feats.items()},
                 probs, preds)
 
+    trainer._embed_step_cache = embed_step
     bs = mesh_mod.pad_batch_to_mesh(trainer.cfg.eval_bs, trainer.mesh)
+    return _run_embed(trainer, embed_step, variables, dataset, bs)
+
+
+def _run_embed(trainer, embed_step, variables, dataset: ArrayDataset,
+               bs: int) -> Dict[str, np.ndarray]:
+    from dfu_multimodal_tpu.data import loader as data_loader
+
     feat_parts: Dict[str, List[np.ndarray]] = {}
     prob_parts, pred_parts = [], []
     for batch in data_loader.device_prefetch(
@@ -161,7 +179,7 @@ def cross_split_near_duplicates(
     key order.
     """
     names = list(feats)
-    hits: List[Dict] = []
+    best: Dict[tuple, Dict] = {}
     for ai in range(len(names)):
         for bi in range(ai + 1, len(names)):
             a, b = names[ai], names[bi]
@@ -170,10 +188,14 @@ def cross_split_near_duplicates(
             sims = l2_normalize(feats[a]) @ l2_normalize(feats[b]).T
             ii, jj = np.nonzero(sims >= threshold)
             for i, j in zip(ii, jj):
-                hits.append({"split_a": a, "path_a": str(paths[a][i]),
-                             "split_b": b, "path_b": str(paths[b][j]),
-                             "sim": float(sims[i, j])})
-    hits.sort(key=lambda h: -h["sim"])
+                # dedupe by path pair (pseudo-paired datasets repeat rows
+                # via modulo cycling), keeping the max similarity
+                key = (a, str(paths[a][i]), b, str(paths[b][j]))
+                s = float(sims[i, j])
+                if key not in best or s > best[key]["sim"]:
+                    best[key] = {"split_a": a, "path_a": key[1],
+                                 "split_b": b, "path_b": key[3], "sim": s}
+    hits = sorted(best.values(), key=lambda h: -h["sim"])
     return hits
 
 

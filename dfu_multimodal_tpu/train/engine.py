@@ -127,6 +127,13 @@ class Trainer:
                  class_weights: Optional[np.ndarray] = None,
                  mesh=None, attention_impl: str = "auto",
                  block_impl: str = "auto", rgb_impl: str = "auto"):
+        # every CLI builds a Trainer, so this is the one chokepoint where
+        # the persistent XLA compile cache can cover the whole product
+        # surface (train -> eval -> predict -> serve are separate
+        # processes re-compiling identical programs otherwise)
+        from dfu_multimodal_tpu.utils.compile_cache import (
+            enable_persistent_cache)
+        enable_persistent_cache()
         self.cfg = cfg
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         self.compute_dtype = dtype

@@ -1,1 +1,2 @@
-from dfu_multimodal_tpu.utils import artifacts, checkpoint, logging  # noqa: F401
+from dfu_multimodal_tpu.utils import (artifacts, checkpoint,  # noqa: F401
+                                      compile_cache, logging)

@@ -88,6 +88,22 @@ def test_monitor_stable_then_drifted():
     assert mon.report()["verdict"] == "major_drift"
 
 
+def test_monitor_rolling_window_forgets_old_traffic():
+    """A camera swap after a long stable run must flip the verdict once
+    the window rolls over — lifetime accumulation would dilute it."""
+    baseline = baseline_from_arrays({"rgb": u8_images(200, mean=120)})
+    mon = DriftMonitor(baseline, min_images=10, window_images=100)
+    for s in range(10):                      # 500 stable images
+        mon.update("rgb", u8_images(50, mean=120, seed=s))
+    assert mon.report()["verdict"] == "stable"
+    # window keeps ~100 recent images, so 3x50 shifted images dominate
+    for s in range(3):
+        mon.update("rgb", u8_images(50, mean=200, seed=100 + s))
+    rep = mon.report()
+    assert rep["verdict"] == "major_drift"
+    assert rep["modalities"]["rgb"]["n_images"] <= 200   # bounded window
+
+
 def test_monitor_unknown_modality_and_single_image():
     mon = DriftMonitor(baseline_from_arrays({"rgb": u8_images(20, 120)}),
                        min_images=1)

@@ -147,6 +147,34 @@ def test_sweep_cli_resume_skips_recorded(tmp_path):
     assert out["n_trials"] == 2
 
 
+def test_sweep_resume_reruns_on_changed_context(tmp_path):
+    """--resume must NOT reuse a score recorded under a different
+    non-swept config (epochs here) — the trial identity includes the
+    context, so the trial re-runs and only the fresh record ranks."""
+    import json as json_mod
+
+    from dfu_multimodal_tpu.cli.sweep import main
+    from dfu_multimodal_tpu.data import make_synthetic_dataset
+
+    data = tmp_path / "data"
+    make_synthetic_dataset(data, images_per_class=12, size=32)
+    base = ["--data-dir", str(data),
+            "--checkpoint-root", str(tmp_path / "logs"),
+            "--modality", "rgb", "--model", "tiny_rgb",
+            "--param", "lr=3e-3", "--batch-size", "8",
+            "--image-size", "32", "--compute-dtype", "float32",
+            "--seed", "0"]
+    main(base + ["--epochs", "1"])
+    jsonl = tmp_path / "logs" / "sweep_rgb" / "trials.jsonl"
+    assert len(jsonl.read_text().splitlines()) == 1
+
+    out = main(base + ["--epochs", "2", "--resume"])
+    lines = [json_mod.loads(l) for l in jsonl.read_text().splitlines()]
+    assert len(lines) == 2                     # re-ran, did not skip
+    assert lines[0]["key"] != lines[1]["key"]  # distinct identities
+    assert out["n_trials"] == 1                # stale record excluded
+
+
 def test_sweep_cli_replicates(tmp_path):
     from dfu_multimodal_tpu.cli.sweep import main
     from dfu_multimodal_tpu.data import make_synthetic_dataset
