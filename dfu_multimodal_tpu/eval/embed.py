@@ -45,6 +45,8 @@ TRUNK_SCOPES: Dict[str, Dict[str, str]] = {
                             "thermal": "thermal_encoder"},
     "legacy_rgb_resnet_fusion": {"rgb": "rgb_encoder",
                                  "thermal": "thermal_encoder"},
+    "tiny_fusion": {"rgb": "rgb_branch",                   # (B, 32) each
+                    "thermal": "thermal_branch"},
 }
 _TINY = {"tiny_rgb": "rgb", "tiny_thermal": "thermal"}
 

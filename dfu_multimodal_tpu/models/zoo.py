@@ -66,8 +66,51 @@ class TinyCNN(nn.Module):
                         name="head")(x.astype(jnp.float32))
 
 
+class TinyTrunk(nn.Module):
+    """Pooled conv trunk for :class:`TinyFusion` — emits a (B, 32)
+    feature vector like the real trunks emit (B, 2048)/(B, 768)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        x = x.astype(self.dtype)
+        for i, feats in enumerate((16, 32)):
+            x = nn.Conv(feats, (3, 3), strides=(2, 2), dtype=self.dtype,
+                        name=f"conv{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.5,
+                             dtype=self.dtype, name=f"bn{i}")(x)
+            x = nn.relu(x)
+        return jnp.mean(x, axis=(1, 2))
+
+
+class TinyFusion(nn.Module):
+    """Two-input late-fusion smoke model (not in the reference): the
+    structural twin of ``MultimodalFusionClassifier`` — per-modality
+    trunk scopes ``rgb_branch``/``thermal_branch`` feeding a concat MLP —
+    at TinyCNN cost, so every multimodal code path (fusion engines,
+    modality routing, per-trunk embedding audits, dual-modality drift)
+    tests in seconds on CPU."""
+
+    num_classes: int = 2
+    drop_rate: float = 0.2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, rgb, thermal, *, train: bool = False, taps=None):
+        r = TinyTrunk(self.dtype, name="rgb_branch")(rgb, train=train)
+        t = TinyTrunk(self.dtype, name="thermal_branch")(thermal,
+                                                         train=train)
+        fused = jnp.concatenate([r, t], axis=-1)
+        fused = nn.Dropout(self.drop_rate,
+                           deterministic=not train)(fused)
+        return nn.Dense(self.num_classes, dtype=jnp.float32,
+                        name="head")(fused.astype(jnp.float32))
+
+
 register(ModelSpec("tiny_rgb", TinyCNN, ("rgb",), 32))
 register(ModelSpec("tiny_thermal", TinyCNN, ("thermal",), 32))
+register(ModelSpec("tiny_fusion", TinyFusion, ("rgb", "thermal"), 64))
 register(ModelSpec("rgb_only", ResNetClassifier, ("rgb",), 2048))
 register(ModelSpec("thermal_only", ViTClassifier, ("thermal",), 768))
 register(ModelSpec("multimodal", MultimodalFusionClassifier,

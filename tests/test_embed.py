@@ -187,6 +187,75 @@ def test_embed_cli_near_dup_check(tiny_run, tmp_path):
         planted.unlink()
 
 
+@pytest.fixture(scope="module")
+def tiny_fusion_run(tmp_path_factory):
+    """Train the two-input tiny_fusion briefly — exercises the full
+    multimodal path (paired loading, dual trunks, fused embedding)."""
+    from dfu_multimodal_tpu import config
+    from dfu_multimodal_tpu.data import make_synthetic_dataset
+    from dfu_multimodal_tpu.data.loader import load_paired
+    from dfu_multimodal_tpu.train.engine import Trainer
+
+    root = tmp_path_factory.mktemp("embed_fusion")
+    data = root / "data"
+    make_synthetic_dataset(data, images_per_class=10, size=32)
+    train = load_paired(data, "train", 32, strategy="pseudo", seed=0)
+    val = load_paired(data, "val", 32, strategy="pseudo", seed=0)
+    cfg = config.TrainConfig(batch_size=8, num_epochs=1,
+                             learning_rate=3e-3, save_best_after_epoch=1,
+                             compute_dtype="float32", seed=0)
+    trainer = Trainer("tiny_fusion", cfg,
+                      {"rgb": config.rgb_modality(),
+                       "thermal": config.thermal_modality()},
+                      class_weights=np.array([1.0, 1.0], np.float32))
+    ckpt = root / "ckpt"
+    trainer.fit(train, val, checkpoint_dir=ckpt, image_size=32,
+                log=lambda s: None)
+    return data, ckpt, trainer, train
+
+
+def test_extract_features_multimodal_fused_layout(tiny_fusion_run):
+    """Two trunk spaces plus feat_fused in the fusion head's [rgb |
+    thermal] concat order."""
+    from dfu_multimodal_tpu.eval.embed import extract_features
+    _, ckpt, trainer, train = tiny_fusion_run
+    state = trainer.restore(ckpt, image_size=32)
+    out = extract_features(trainer, state, train)
+    n = len(train)
+    assert out["feat_rgb"].shape == (n, 32)
+    assert out["feat_thermal"].shape == (n, 32)
+    assert out["feat_fused"].shape == (n, 64)
+    np.testing.assert_array_equal(out["feat_fused"][:, :32],
+                                  out["feat_rgb"])
+    np.testing.assert_array_equal(out["feat_fused"][:, 32:],
+                                  out["feat_thermal"])
+
+
+def test_near_dup_check_multimodal_audits_per_trunk(tiny_fusion_run,
+                                                    tmp_path):
+    """A duplicated RGB image must be flagged in the rgb trunk space even
+    though its pseudo-paired thermal partners differ per split (which
+    dilutes the fused space — the reason the audit is per-trunk)."""
+    import shutil
+
+    from dfu_multimodal_tpu.cli.embed import main
+    data, ckpt, _, _ = tiny_fusion_run
+    src = next((data / "rgb" / "train" / "ulcer").glob("*.jpg"))
+    planted = data / "rgb" / "test" / "ulcer" / "planted_rgb.jpg"
+    shutil.copy(src, planted)
+    try:
+        res = main(["--checkpoint", str(ckpt), "--model", "tiny_fusion",
+                    "--data-dir", str(data), "--image-size", "32",
+                    "--batch-size", "8", "--compute-dtype", "float32",
+                    "--near-dup-check", "--near-dup-threshold", "0.9999"])
+        rgb_hits = {(Path(h["path_a"]).name, Path(h["path_b"]).name)
+                    for h in res["near_duplicates"]
+                    if h["embedding"] == "rgb"}
+        assert (src.name, "planted_rgb.jpg") in rgb_hits
+    finally:
+        planted.unlink()
+
+
 def test_embed_cli_input_validation(tiny_run):
     from dfu_multimodal_tpu.cli.embed import main
     _, ckpt, _, _ = tiny_run
@@ -206,7 +275,8 @@ def test_trunk_scope_mapping_covers_zoo():
 @pytest.mark.parametrize("name", ["rgb_only", "thermal_only", "multimodal",
                                   "efficientnet_rgb",
                                   "legacy_gated_fusion",
-                                  "legacy_rgb_resnet_fusion"])
+                                  "legacy_rgb_resnet_fusion",
+                                  "tiny_fusion"])
 def test_trunk_scopes_resolve_abstractly(name):
     """TRUNK_SCOPES names must match the real Flax auto/explicit scope
     names, with the documented feature dims — verified without compiling
@@ -237,8 +307,10 @@ def test_trunk_scopes_resolve_abstractly(name):
 
     _, inter = jax.eval_shape(run, variables)
     inter = inter["intermediates"]
-    dims = {"ResNet_0": 2048, "ViT_0": 768, "rgb_branch": 2048,
-            "thermal_branch": 768, "EfficientNetB0_0": 1280,
+    dims = {"ResNet_0": 2048, "ViT_0": 768,
+            "rgb_branch": 2048 if name == "multimodal" else 32,
+            "thermal_branch": 768 if name == "multimodal" else 32,
+            "EfficientNetB0_0": 1280,
             "rgb_encoder": None, "thermal_encoder": 1280}
     for emb, scope in scopes.items():
         assert scope in inter, (name, scope, sorted(inter))
