@@ -144,6 +144,39 @@ def test_serving_engine_reports_drift():
     assert drift["modalities"]["rgb"]["n_images"] == 16
 
 
+def test_serving_absent_modality_never_pollutes_monitor():
+    """A multimodal request carrying only RGB fills thermal with black
+    padding for the forward — the monitor must see the RGB pixels but
+    NOT the black thermal fill-in."""
+    import jax
+
+    from dfu_multimodal_tpu import config
+    from dfu_multimodal_tpu.serve.engine import ServingEngine
+    from dfu_multimodal_tpu.train.engine import Trainer
+
+    size = 32
+    cfg = config.TrainConfig(batch_size=8, eval_batch_size=8,
+                             compute_dtype="float32",
+                             mesh=config.MeshConfig(data=1))
+    trainer = Trainer("tiny_fusion", cfg,
+                      {"rgb": config.rgb_modality(),
+                       "thermal": config.thermal_modality()})
+    state = trainer.init_state(jax.random.PRNGKey(0), image_size=size)
+    baseline = baseline_from_arrays(
+        {"rgb": u8_images(30, 120, size=size),
+         "thermal": u8_images(30, 120, size=size)})
+    mon = DriftMonitor(baseline, min_images=1)
+    engine = ServingEngine(trainer, state, image_size=size, max_batch=8,
+                           max_wait_ms=50.0, drift_monitor=mon)
+    engine.warmup()
+    with engine:
+        engine.predict([{"rgb": img}          # no thermal provided
+                        for img in u8_images(4, 120, size=size)])
+    rep = mon.report()
+    assert rep["modalities"]["rgb"]["n_images"] == 4
+    assert "thermal" not in rep["modalities"]   # padding never counted
+
+
 def test_train_cli_writes_baseline(tmp_path):
     """Every training run persists drift_baseline.json next to the
     checkpoint with one entry per input modality."""
