@@ -122,11 +122,12 @@ def _load_split(trainer, data_dir: Path, split: str, image_size: int,
     return ds, paths
 
 
-def _apply_deployment(out, checkpoint: Path, ignore: bool) -> None:
+def _apply_deployment(out, checkpoint: Path, ignore: bool):
     """Apply the checkpoint's persisted val-tuned deployment config to the
     reported probs/preds, exactly like predict/serve do — embed's triage
     ranking and printed predictions must agree with the deployed system,
-    not with raw argmax-at-0.5."""
+    not with raw argmax-at-0.5.  Returns the applied threshold (None when
+    argmax), which is also the triage-ranking center."""
     from dfu_multimodal_tpu.eval.deployment import resolve_deployment
     threshold, temperature, note = resolve_deployment(
         checkpoint, None, None, ignore)
@@ -138,6 +139,7 @@ def _apply_deployment(out, checkpoint: Path, ignore: bool) -> None:
     if threshold is not None:
         from dfu_multimodal_tpu.eval.threshold import apply_threshold
         out["preds"] = apply_threshold(out["probs"], threshold)
+    return threshold
 
 
 def _pick_embedding(out, requested):
@@ -254,7 +256,8 @@ def main(argv=None):
     print(f"Embedding {len(ds)} images with {model_name} "
           f"({args.compute_dtype})")
     out = embed_mod.extract_features(trainer, state, ds)
-    _apply_deployment(out, args.checkpoint, args.ignore_deployment)
+    threshold = _apply_deployment(out, args.checkpoint,
+                                  args.ignore_deployment)
     emb_name = _pick_embedding(out, args.embedding)
     feats = out[f"feat_{emb_name}"]
     print(f"Feature spaces: "
@@ -309,9 +312,11 @@ def main(argv=None):
                          int(out["preds"][q]), []])
 
     if args.rank_uncertainty:
-        order = embed_mod.uncertainty_order(out["probs"])
+        center = 0.5 if threshold is None else threshold
+        order = embed_mod.uncertainty_order(out["probs"], center=center)
         rows = [rows[i] for i in order]
-        print("\nTriage ranking (most uncertain first):")
+        print(f"\nTriage ranking (most uncertain first; decision "
+              f"boundary {center}):")
     print(f"{'image':44s}  P(ulcer)  pred     "
           + ("nearest index cases" if neighbor_cols else ""))
     for path, prob, pred, neigh in rows[:40]:

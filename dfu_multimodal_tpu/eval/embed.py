@@ -201,10 +201,14 @@ def cross_split_near_duplicates(
     return hits
 
 
-def uncertainty_order(probs: np.ndarray) -> np.ndarray:
-    """Indices sorted most-uncertain first (|P(ulcer) − 0.5| ascending) —
-    the active-learning triage ranking."""
-    return np.argsort(np.abs(np.asarray(probs) - 0.5), kind="stable")
+def uncertainty_order(probs: np.ndarray, center: float = 0.5) -> np.ndarray:
+    """Indices sorted most-uncertain first (|P(ulcer) − center|
+    ascending) — the active-learning triage ranking.  ``center`` is the
+    operating decision boundary: 0.5 for argmax, the deployed threshold
+    when one is configured (cases nearest the boundary that actually
+    decides are the ones worth review)."""
+    return np.argsort(np.abs(np.asarray(probs) - float(center)),
+                      kind="stable")
 
 
 def save_embeddings(path, out: Dict[str, np.ndarray], *,

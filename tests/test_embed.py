@@ -37,6 +37,9 @@ def test_uncertainty_order():
     assert order[0] == 1                       # exactly 0.5 first
     assert order[1] == 3
     assert set(order[2:]) == {0, 2}
+    # deployed operating point recenters the triage boundary
+    order_t = uncertainty_order(probs, center=0.9)
+    assert order_t[0] == 0
 
 
 def test_save_load_roundtrip(tmp_path):
