@@ -206,6 +206,14 @@ def run_training(recipe: TrainRecipe,
         results.update(test_acc=test_acc, test_f1=test_m.f1,
                        test_loss=test_m.loss)
         print(f"\nTraining complete!")
-        print(f"Best model saved to: {ckpt_dir / 'best_model.msgpack'}")
+        if (ckpt_dir / "best_model.msgpack").exists():
+            print(f"Best model saved to: {ckpt_dir / 'best_model.msgpack'}")
+        else:
+            # reference save contract: best-by-val-F1, epoch >=
+            # save_best_after_epoch, STRICT improvement over 0.0 — a run
+            # whose val F1 never rose above zero writes nothing
+            print("WARNING: no best_model checkpoint was written — val F1 "
+                  f"never improved after epoch {train_cfg.save_best_after_epoch} "
+                  "(train longer, or lower --save-best-after)")
         print(f"Test results saved to: {ckpt_dir / 'test_results.pt'}")
     return results
