@@ -259,6 +259,30 @@ def test_near_dup_check_multimodal_audits_per_trunk(tiny_fusion_run,
         planted.unlink()
 
 
+def test_embed_cli_multimodal_images_mode(tiny_fusion_run, tmp_path):
+    """--images + --thermal-images retrieval on a two-input model: the
+    fused space indexes and queries consistently."""
+    from dfu_multimodal_tpu.cli.embed import main
+    data, ckpt, _, _ = tiny_fusion_run
+
+    index = tmp_path / "idx.npz"
+    res = main(["--checkpoint", str(ckpt), "--model", "tiny_fusion",
+                "--data-dir", str(data), "--split", "train",
+                "--image-size", "32", "--batch-size", "8",
+                "--compute-dtype", "float32", "--output", str(index)])
+    assert res["embedding"] == "fused" and res["dims"] == 64
+
+    res2 = main(["--checkpoint", str(ckpt), "--model", "tiny_fusion",
+                 "--images", str(data / "rgb" / "val" / "healthy"),
+                 "--thermal-images",
+                 str(data / "thermal" / "val" / "healthy"),
+                 "--image-size", "32", "--batch-size", "8",
+                 "--compute-dtype", "float32",
+                 "--index", str(index), "--neighbors", "2"])
+    assert res2["embedding"] == "fused"
+    assert res2["n"] >= 1
+
+
 def test_embed_cli_input_validation(tiny_run):
     from dfu_multimodal_tpu.cli.embed import main
     _, ckpt, _, _ = tiny_run

@@ -175,6 +175,24 @@ def test_sweep_resume_reruns_on_changed_context(tmp_path):
     assert out["n_trials"] == 1                # stale record excluded
 
 
+def test_sweep_cli_multimodal_smoke(tmp_path):
+    """Multimodal sweep path: paired loading + the two-input tiny_fusion
+    model through the same engine."""
+    from dfu_multimodal_tpu.cli.sweep import main
+    from dfu_multimodal_tpu.data import make_synthetic_dataset
+
+    data = tmp_path / "data"
+    make_synthetic_dataset(data, images_per_class=10, size=32)
+    out = main(["--data-dir", str(data),
+                "--checkpoint-root", str(tmp_path / "logs"),
+                "--modality", "multimodal", "--model", "tiny_fusion",
+                "--param", "lr=3e-3", "--epochs", "1",
+                "--batch-size", "8", "--image-size", "32",
+                "--compute-dtype", "float32", "--seed", "0"])
+    assert out["n_trials"] == 1
+    assert 0.0 <= out["best"]["best_val_f1_mean"] <= 1.0
+
+
 def test_sweep_cli_replicates(tmp_path):
     from dfu_multimodal_tpu.cli.sweep import main
     from dfu_multimodal_tpu.data import make_synthetic_dataset
