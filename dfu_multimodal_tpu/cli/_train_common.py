@@ -174,7 +174,8 @@ def run_training(recipe: TrainRecipe,
     from dfu_multimodal_tpu.eval import drift as drift_mod
     drift_mod.save_baseline(
         ckpt_dir / drift_mod.BASELINE_FILENAME,
-        drift_mod.baseline_from_arrays(datasets["train"].arrays))
+        drift_mod.baseline_from_arrays(datasets["train"].arrays,
+                                       paths=datasets["train"].paths))
 
     results = {"best_val_f1": best_val_f1}
     if not args.skip_test_eval:

@@ -55,23 +55,59 @@ def channel_histograms(u8: np.ndarray) -> np.ndarray:
         for c in range(flat.shape[-1])])
 
 
-def _moments(u8: np.ndarray):
-    flat = np.asarray(u8).reshape(-1, u8.shape[-1]).astype(np.float64)
-    return flat.mean(axis=0), flat.std(axis=0)
+def _fine_counts_chunked(arr: np.ndarray, chunk: int = 256) -> np.ndarray:
+    """(C, 256) per-channel full-resolution intensity counts, accumulated
+    in row chunks — constant memory even over a memmap-backed cache
+    array (data/cache.py) far larger than RAM."""
+    arr = arr if arr.ndim == 4 else arr[None]
+    nch = arr.shape[-1]
+    counts = np.zeros((nch, 256), np.int64)
+    for lo in range(0, arr.shape[0], chunk):
+        flat = np.asarray(arr[lo:lo + chunk]).reshape(-1, nch)
+        idx = (flat.astype(np.int32)
+               + np.arange(nch, dtype=np.int32) * 256)
+        counts += np.bincount(idx.ravel(),
+                              minlength=nch * 256).reshape(nch, 256)
+    return counts
 
 
-def baseline_from_arrays(arrays: Dict[str, np.ndarray]) -> Dict:
+def baseline_from_arrays(arrays: Dict[str, np.ndarray],
+                         paths: Optional[Dict[str, list]] = None) -> Dict:
     """Build the drift baseline from ``{modality: (N, H, W, 3) uint8}``
-    (the training split as the loader holds it)."""
+    (the training split as the loader holds it).
+
+    Statistics are exact moments/histograms derived from one chunked
+    256-bin counting pass — no float64 materialization of the dataset,
+    so memmap-cached splits larger than RAM stream through.
+
+    ``paths``: the dataset's per-modality path lists when available.
+    Rows with path ``None`` are EXCLUDED — those are the loader's black
+    missing-modality placeholders (data/pairing.py aligned pairing), and
+    serving deliberately never counts black fill-ins in live statistics
+    (serve/engine.py), so baking them into the baseline would guarantee
+    spurious drift verdicts.
+    """
     out: Dict = {"bins": N_BINS, "modalities": {}}
     for mod, arr in arrays.items():
-        counts = channel_histograms(arr)
-        mean, std = _moments(arr)
+        arr4 = arr if arr.ndim == 4 else arr[None]
+        mod_paths = (paths or {}).get(mod)
+        if mod_paths is not None and any(p is None for p in mod_paths):
+            real = [i for i, p in enumerate(mod_paths) if p is not None]
+            if not real:
+                continue
+            arr4 = arr4[real]
+        fine = _fine_counts_chunked(arr4)                  # (C, 256)
+        n_pix = fine.sum(axis=1)                           # per channel
+        vals = np.arange(256, dtype=np.float64)
+        mean = (fine @ vals) / n_pix
+        var = (fine @ vals**2) / n_pix - mean**2
+        counts = fine.reshape(fine.shape[0], N_BINS,
+                              256 // N_BINS).sum(axis=2)
         out["modalities"][mod] = {
             "hist": (counts / counts.sum(axis=1, keepdims=True)).tolist(),
             "mean": mean.tolist(),
-            "std": std.tolist(),
-            "n_images": int(arr.shape[0]) if arr.ndim == 4 else 1,
+            "std": np.sqrt(np.maximum(var, 0.0)).tolist(),
+            "n_images": int(arr4.shape[0]),
         }
     return out
 
@@ -96,6 +132,35 @@ def psi(expected: np.ndarray, actual: np.ndarray) -> float:
     p /= p.sum()
     q /= q.sum()
     return float(np.sum((q - p) * np.log(q / p)))
+
+
+def _validate_baseline(baseline: Dict) -> None:
+    """Reject malformed/incompatible baselines at CONSTRUCTION time — a
+    bad file must fail server startup loudly, not crash every later
+    ``/healthz``/``/metrics`` call once enough images accumulate."""
+    bins = baseline.get("bins")
+    if bins != N_BINS:
+        raise ValueError(
+            f"drift baseline has {bins} bins, this build uses {N_BINS} — "
+            "regenerate it (re-run training, or baseline_from_arrays)")
+    mods = baseline.get("modalities")
+    if not isinstance(mods, dict) or not mods:
+        raise ValueError("drift baseline has no 'modalities' entries")
+    for mod, entry in mods.items():
+        for key in ("hist", "mean", "std"):
+            if key not in entry:
+                raise ValueError(
+                    f"drift baseline modality {mod!r} lacks {key!r}")
+        hist = np.asarray(entry["hist"], np.float64)
+        if hist.ndim != 2 or hist.shape[1] != N_BINS:
+            raise ValueError(
+                f"drift baseline modality {mod!r} hist shape "
+                f"{hist.shape} != (channels, {N_BINS})")
+        if len(entry["mean"]) != hist.shape[0] \
+                or len(entry["std"]) != hist.shape[0]:
+            raise ValueError(
+                f"drift baseline modality {mod!r}: mean/std length "
+                f"disagrees with {hist.shape[0]} hist channels")
 
 
 def verdict_for(psi_max: float) -> str:
@@ -144,6 +209,8 @@ class DriftMonitor:
                  min_images: int = 20, window_images: int = 2000,
                  pixel_stride: int = 4):
         import collections
+        if baseline is not None:
+            _validate_baseline(baseline)
         self.baseline = baseline
         # below this many accumulated images PSI is sampling noise;
         # report 'warming_up' instead of a verdict

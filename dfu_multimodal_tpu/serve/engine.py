@@ -195,18 +195,28 @@ class ServingEngine:
     # ------------------------------------------------------------ lifecycle
 
     def start(self) -> "ServingEngine":
-        if self._thread is None:
+        if self._thread is not None and self._thread.is_alive():
+            # includes a thread that outlived a timed-out stop(): clearing
+            # the flag resumes it as THE batcher — never spawn a second
             self._stop.clear()
-            self._thread = threading.Thread(target=self._loop,
-                                            name="dfu-serve-batcher",
-                                            daemon=True)
-            self._thread.start()
+            return self
+        self._stop.clear()
+        self._thread = threading.Thread(target=self._loop,
+                                        name="dfu-serve-batcher",
+                                        daemon=True)
+        self._thread.start()
         return self
 
     def stop(self, timeout: float = 5.0) -> None:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=timeout)
+            if self._thread.is_alive():
+                # a stalled fetch outlived the join window (possible over
+                # a slow tunnel RPC): KEEP the reference so a later
+                # start() resumes this thread via _stop.clear() instead
+                # of spawning a second batcher next to it
+                return
             self._thread = None
         # fail any stragglers enqueued after the drain
         while True:
@@ -227,7 +237,23 @@ class ServingEngine:
     def submit(self, sample: Dict[str, np.ndarray]) -> Future:
         """Enqueue one sample (``{modality: (S, S, 3) uint8}``; missing
         modalities fill black, matching the loader's masked-modality
-        convention).  Returns a Future of ``(prob_ulcer, pred_int)``."""
+        convention).  Returns a Future of ``(prob_ulcer, pred_int)``.
+
+        Shape/dtype are validated HERE so one malformed direct-API
+        sample raises to its own caller instead of blowing up inside the
+        batcher's shared assembly and failing every request coalesced
+        into the same batch."""
+        S = self.image_size
+        for m, arr in sample.items():
+            if m not in self.inputs:
+                raise ValueError(
+                    f"unknown modality {m!r}; model takes "
+                    f"{list(self.inputs)}")
+            a = np.asarray(arr)
+            if a.shape != (S, S, 3) or a.dtype != np.uint8:
+                raise ValueError(
+                    f"sample[{m!r}] must be ({S}, {S}, 3) uint8, got "
+                    f"{a.shape} {a.dtype}")
         fut: Future = Future()
         try:
             self._queue.put_nowait((sample, fut, time.monotonic()))
@@ -417,7 +443,12 @@ class ServingEngine:
                 "mean": round(float(lat.mean()), 3),
                 "window": int(lat.size)}
         if self.drift_monitor is not None:
-            out["drift"] = self.drift_monitor.report()
+            # monitoring must never take down the metrics/liveness
+            # surface — a reporting bug degrades to an error string
+            try:
+                out["drift"] = self.drift_monitor.report()
+            except Exception as exc:            # pragma: no cover
+                out["drift"] = {"verdict": "error", "error": str(exc)}
         return out
 
 
@@ -482,14 +513,31 @@ class ModelRouter:
         if self.single is not None:
             return self.single
         mods = set(modalities)
-        exact = [e for e in self.engines.values()
+        exact = [(n, e) for n, e in self.engines.items()
                  if set(e.inputs) == mods]
+        if len(exact) > 1:
+            # two served models take the same inputs (e.g. two RGB
+            # checkpoints): implicit routing would pick one silently, and
+            # WHICH one could flip across restarts — refuse, like the
+            # explicit path 404s on an unknown name
+            raise KeyError(
+                "ambiguous request: models "
+                + ", ".join(sorted(n for n, _ in exact))
+                + f" all take {sorted(mods)} — use /v1/predict/<model>")
         if exact:
-            return exact[0]
+            return exact[0][1]
         covered = [e for e in self.engines.values()
                    if set(e.inputs) <= mods]
         if covered:
-            return max(covered, key=lambda e: len(e.inputs))
+            best = max(len(e.inputs) for e in covered)
+            top = [(n, e) for n, e in self.engines.items()
+                   if e in covered and len(e.inputs) == best]
+            if len(top) > 1:
+                raise KeyError(
+                    "ambiguous request: models "
+                    + ", ".join(sorted(n for n, _ in top))
+                    + " match equally — use /v1/predict/<model>")
+            return top[0][1]
         raise KeyError(
             f"no served model accepts modalities {sorted(mods)}; "
             f"serving " + ", ".join(

@@ -101,7 +101,13 @@ class PredictHandler(BaseHTTPRequestHandler):
             # input-drift verdict per monitored model (PSI vs the
             # training-split baseline, eval/drift.py) — the ops signal
             # that the camera/site distribution moved
-            drift = {n: e.drift_monitor.report().get("verdict", "no_data")
+            def _verdict(e):
+                try:
+                    return e.drift_monitor.report().get("verdict",
+                                                        "no_data")
+                except Exception:               # pragma: no cover
+                    return "error"
+            drift = {n: _verdict(e)
                      for n, e in self.router.engines.items()
                      if e.drift_monitor is not None}
             if drift:

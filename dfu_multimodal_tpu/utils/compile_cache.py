@@ -36,6 +36,9 @@ def enable_persistent_cache() -> None:
         return
     if current:
         return                                   # explicit config wins
+    if os.environ.get("DFU_NO_CACHE") == "1":
+        return          # the test harness's no-cache escape hatch
+                        # (tests/conftest.py) must really mean no cache
     env = os.environ.get("DFU_JAX_CACHE_DIR")
     if env == "":
         return                                   # explicitly disabled

@@ -48,3 +48,11 @@ def test_default_path_selection(monkeypatch, tmp_path):
     monkeypatch.setenv("DFU_JAX_CACHE_DIR", "")
     compile_cache.enable_persistent_cache()
     assert not calls
+
+    # the test harness's DFU_NO_CACHE=1 escape hatch must really mean
+    # no cache — not fall through to the home-dir default
+    monkeypatch.delenv("DFU_JAX_CACHE_DIR")
+    monkeypatch.setenv("DFU_NO_CACHE", "1")
+    monkeypatch.setattr(compile_cache, "_DONE", False)
+    compile_cache.enable_persistent_cache()
+    assert not calls

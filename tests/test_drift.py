@@ -69,6 +69,49 @@ def test_drift_report_mean_shift_units():
     assert rep["verdict"] == "major_drift"
 
 
+def test_baseline_moments_exact_and_chunked():
+    """Histogram-derived mean/std must equal the direct float64 moments
+    (they are exact for uint8), and chunked counting must not depend on
+    the chunk boundary."""
+    arr = u8_images(70, mean=113, spread=40, seed=2)
+    base = baseline_from_arrays({"rgb": arr})["modalities"]["rgb"]
+    flat = arr.reshape(-1, 3).astype(np.float64)
+    np.testing.assert_allclose(base["mean"], flat.mean(axis=0),
+                               rtol=0, atol=1e-9)
+    np.testing.assert_allclose(base["std"], flat.std(axis=0),
+                               rtol=0, atol=1e-9)
+
+
+def test_baseline_excludes_placeholder_rows():
+    """Rows whose path is None (the loader's black missing-modality
+    placeholders) must not pollute the baseline — serving never counts
+    black fill-ins in live stats."""
+    real = u8_images(20, mean=120)
+    black = np.zeros((5, 16, 16, 3), np.uint8)
+    arr = np.concatenate([real, black])
+    paths = {"rgb": [f"p{i}" for i in range(20)] + [None] * 5}
+    polluted = baseline_from_arrays({"rgb": arr})["modalities"]["rgb"]
+    clean = baseline_from_arrays({"rgb": arr},
+                                 paths=paths)["modalities"]["rgb"]
+    assert clean["n_images"] == 20
+    assert polluted["hist"][0][0] > clean["hist"][0][0]  # black bin mass
+    ref = baseline_from_arrays({"rgb": real})["modalities"]["rgb"]
+    np.testing.assert_allclose(clean["hist"], ref["hist"], atol=1e-12)
+
+
+def test_monitor_rejects_malformed_baseline():
+    good = baseline_from_arrays({"rgb": u8_images(10, 120)})
+    DriftMonitor(good)                           # fine
+    with pytest.raises(ValueError, match="bins"):
+        DriftMonitor({**good, "bins": 64})
+    with pytest.raises(ValueError, match="modalities"):
+        DriftMonitor({"bins": 32, "modalities": {}})
+    broken = {"bins": 32, "modalities": {"rgb": {"hist": [[0.5] * 32] * 3,
+                                                 "mean": [1, 2, 3]}}}
+    with pytest.raises(ValueError, match="lacks 'std'"):
+        DriftMonitor(broken)
+
+
 def test_monitor_stable_then_drifted():
     baseline = baseline_from_arrays({"rgb": u8_images(200, mean=120)})
     mon = DriftMonitor(baseline, min_images=10)

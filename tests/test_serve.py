@@ -47,6 +47,33 @@ def rand_images(n, seed=0):
     return rng.integers(0, 256, size=(n, SIZE, SIZE, 3), dtype=np.uint8)
 
 
+def test_submit_validates_sample_shape(served):
+    """One malformed direct-API sample must raise to ITS caller at
+    submit(), never reach the batcher and fail a coalesced batch."""
+    _, _, engine = served
+    with pytest.raises(ValueError, match="uint8"):
+        engine.submit({"rgb": np.zeros((SIZE, SIZE, 3), np.float32)})
+    with pytest.raises(ValueError, match="must be"):
+        engine.submit({"rgb": np.zeros((SIZE + 1, SIZE, 3), np.uint8)})
+    with pytest.raises(ValueError, match="unknown modality"):
+        engine.submit({"depth": np.zeros((SIZE, SIZE, 3), np.uint8)})
+    # valid requests continue to work after the rejects
+    (prob, pred), = engine.predict([{"rgb": rand_images(1)[0]}])
+    assert 0.0 <= prob <= 1.0
+
+
+def test_router_rejects_ambiguous_modalities(served):
+    """Two engines with identical input sets: implicit routing must
+    refuse (which model answered could otherwise flip per restart)."""
+    trainer, state, engine = served
+    other = ServingEngine(trainer, state, image_size=SIZE, max_batch=8)
+    router = ModelRouter({"rgb_a": engine, "rgb_b": other})
+    with pytest.raises(KeyError, match="ambiguous"):
+        router.select(["rgb"])
+    # explicit selection still works
+    assert router.select(["rgb"], explicit="rgb_b") is other
+
+
 def test_engine_matches_eval_epoch(served):
     """Row-for-row parity with the offline eval path: the batcher pads to
     buckets and masks with valid=0, which must not change any real row's
