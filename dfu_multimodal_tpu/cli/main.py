@@ -29,6 +29,8 @@ COMMANDS = {
                                 "train the late-fusion multimodal model"),
     "train-legacy": ("train_legacy",
                      "EfficientNet/gated-fusion legacy variants"),
+    "pretrain": ("pretrain",
+                 "self-supervised trunk pretraining (SimCLR / MAE)"),
     "cross-validate": ("cross_validate",
                        "k-fold CV with patient-level grouping"),
     "sweep": ("sweep", "hyperparameter grid / random search"),

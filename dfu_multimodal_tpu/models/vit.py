@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import field
-from typing import Any, Callable
+from typing import Any, Callable, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -487,7 +487,16 @@ class ViT(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False,
-                 taps: Taps = None) -> jnp.ndarray:
+                 taps: Taps = None,
+                 keep_ids: Optional[jnp.ndarray] = None,
+                 return_tokens: bool = False) -> jnp.ndarray:
+        """``keep_ids`` (B, K) int32 patch indices: after positional
+        embedding, keep only those patch tokens (CLS always kept) — the
+        masked-autoencoder pretraining path (train/ssl.py), where the
+        encoder sees the visible 25% of patches.  ``return_tokens``
+        returns the full post-norm token sequence (B, 1+K, hidden)
+        instead of the CLS feature.  Both default off; the classifier
+        forward is unchanged."""
         dtype = canonical_dtype(self.dtype)
         b, h, w, c = x.shape
         p = self.patch_size
@@ -510,6 +519,15 @@ class ViT(nn.Module):
             (1, gh * gw + 1, self.hidden_dim), jnp.float32)
         x = x + pos_embed.astype(dtype)
 
+        if keep_ids is not None:
+            # Gather the visible patch tokens (pos-embed already added, so
+            # each kept token carries its original position).  Static K
+            # keeps the program shape fixed under jit.
+            cls_tok, patches = x[:, :1], x[:, 1:]
+            patches = jnp.take_along_axis(
+                patches, keep_ids[:, :, None].astype(jnp.int32), axis=1)
+            x = jnp.concatenate([cls_tok, patches], axis=1)
+
         block_cls, block_args = self._resolve_block()
         if self.scan_blocks:
             # One scanned block: params stacked (depth, ...), a single
@@ -530,6 +548,8 @@ class ViT(nn.Module):
 
         x = nn.LayerNorm(epsilon=1e-6, dtype=dtype, param_dtype=jnp.float32,
                          name="norm")(x)
+        if return_tokens:
+            return x.astype(jnp.float32)     # (B, 1+K, hidden)
         return x[:, 0].astype(jnp.float32)   # CLS token features
 
 
