@@ -51,6 +51,12 @@ def build_parser() -> argparse.ArgumentParser:
                    default="bfloat16")
     p.add_argument("--temperature", type=float, default=0.2,
                    help="SimCLR NT-Xent temperature")
+    p.add_argument("--simclr-no-color-jitter", action="store_true",
+                   help="drop color jitter from the SimCLR views so the "
+                        "features stay color-SENSITIVE — recommended when "
+                        "the class signal is chromatic (e.g. ulcer "
+                        "redness); measured rationale in "
+                        "RESULTS_REHEARSAL.md")
     p.add_argument("--mask-ratio", type=float, default=0.75,
                    help="MAE masked-patch fraction")
     p.add_argument("--save-every", type=int, default=0,
@@ -87,6 +93,7 @@ def main(argv=None) -> int:
         weight_decay=args.weight_decay, warmup_epochs=args.warmup_epochs,
         seed=args.seed, compute_dtype=args.compute_dtype,
         temperature=args.temperature, mask_ratio=args.mask_ratio,
+        simclr_color_jitter=not args.simclr_no_color_jitter,
         save_every=args.save_every,
         vit_patch=args.vit_patch, vit_hidden=args.vit_hidden,
         vit_depth=args.vit_depth, vit_heads=args.vit_heads,

@@ -43,14 +43,31 @@ def _add_blob(rng: np.random.Generator, img: np.ndarray,
 
 
 def make_image(rng: np.random.Generator, modality: str, label: int,
-               size: int = 224) -> np.ndarray:
+               size: int = 224, difficulty: str = "easy") -> np.ndarray:
+    """``difficulty='easy'`` (default, used by tests/benchmarks): strongly
+    separable classes.  ``'hard'``: both classes carry 1-2 distractor
+    blobs and the ulcer signal is a subtler color shift — built for the
+    SSL-pretraining rehearsal, where a trivially-separable task would let
+    a from-scratch baseline saturate and mask any initialization effect."""
     if modality == "rgb":
         img = _base_texture(rng, size, (196, 160, 130))     # skin tone
-        if label == 1:
+        if difficulty == "hard":
+            for _ in range(rng.integers(1, 3)):
+                img = _add_blob(rng, img, tuple(
+                    rng.uniform((150, 100, 80), (200, 150, 120))))
+            if label == 1:
+                img = _add_blob(rng, img, (168, 95, 85))    # subtle redness
+        elif label == 1:
             img = _add_blob(rng, img, (150, 40, 35))        # dark red ulcer
     else:
         heat = _base_texture(rng, size, (90, 60, 120))      # cool palette
-        if label == 1:
+        if difficulty == "hard":
+            for _ in range(rng.integers(1, 3)):
+                heat = _add_blob(rng, heat, tuple(
+                    rng.uniform((120, 90, 90), (180, 140, 110))))
+            if label == 1:
+                heat = _add_blob(rng, heat, (200, 160, 95))  # warm-ish spot
+        elif label == 1:
             heat = _add_blob(rng, heat, (250, 200, 60))     # hot spot
         img = heat
     return np.clip(img, 0, 255).astype(np.uint8)
@@ -60,7 +77,8 @@ def make_synthetic_dataset(
         root: Path, images_per_class: int = 8, size: int = 224,
         seed: int = 0,
         split_fractions: Tuple[float, float] = (0.6, 0.2),
-        counts: Dict[str, Dict[str, Tuple[int, int]]] = None) -> Path:
+        counts: Dict[str, Dict[str, Tuple[int, int]]] = None,
+        difficulty: str = "easy") -> Path:
     """Write a synthetic dataset tree under ``root``.
 
     ``counts`` optionally gives exact (healthy, ulcer) counts per
@@ -84,7 +102,8 @@ def make_synthetic_dataset(
                 out_dir = root / modality / split / cls
                 out_dir.mkdir(parents=True, exist_ok=True)
                 for i in range(n):
-                    img = make_image(rng, modality, cls_idx, size)
+                    img = make_image(rng, modality, cls_idx, size,
+                                     difficulty=difficulty)
                     Image.fromarray(img).save(out_dir / f"{i:06d}.jpg",
                                               quality=90)
     return root

@@ -78,6 +78,13 @@ class PretrainConfig:
     temperature: float = 0.2
     proj_hidden: int = 512
     proj_dim: int = 128
+    # SimCLR's view augmentation encodes which invariances the features
+    # keep: color jitter makes them color-INVARIANT, which is wrong when
+    # the class signal is chromatic (ulcer redness).  Measured on the
+    # hard synthetic rehearsal: with jitter, fine-tune F1 at 32 labels/
+    # class LANDS BELOW from-scratch (0.81 vs 0.89); without, see
+    # RESULTS_REHEARSAL.md.  Disable for color-diagnostic domains.
+    simclr_color_jitter: bool = True
     # MAE
     mask_ratio: float = 0.75
     norm_pix: bool = True
@@ -96,14 +103,18 @@ class PretrainConfig:
 # --------------------------------------------------------------- augment
 
 
-def simclr_augment(base: AugmentConfig) -> AugmentConfig:
+def simclr_augment(base: AugmentConfig,
+                   color_jitter: bool = True) -> AugmentConfig:
     """Strengthened view pipeline: contrastive learning needs harder
     positives than supervised training (SimCLR's central finding), so the
     affine crop/scale range and jitter widen relative to the reference
-    train transforms; flips/rotation stay."""
+    train transforms; flips/rotation stay.  ``color_jitter=False`` keeps
+    the features color-SENSITIVE — use when the class signal is chromatic
+    (see PretrainConfig.simclr_color_jitter)."""
     return dataclasses.replace(
         base, aug_prob=1.0, affine=True, affine_degrees=30.0,
         affine_translate=0.2, affine_scale=(0.4, 1.0),
+        color_jitter=base.color_jitter and color_jitter,
         brightness=0.4, contrast=0.4, saturation=0.4)
 
 
@@ -117,9 +128,12 @@ def mae_augment(base: AugmentConfig) -> AugmentConfig:
         affine_translate=0.1, affine_scale=(0.6, 1.0))
 
 
-def ssl_modality(modality: ModalityConfig, method: str) -> ModalityConfig:
-    aug = (simclr_augment if method == "simclr" else mae_augment)(
-        modality.augment)
+def ssl_modality(modality: ModalityConfig, method: str,
+                 color_jitter: bool = True) -> ModalityConfig:
+    if method == "simclr":
+        aug = simclr_augment(modality.augment, color_jitter)
+    else:
+        aug = mae_augment(modality.augment)
     return dataclasses.replace(modality, augment=aug)
 
 
@@ -357,7 +371,8 @@ class SSLTrainer:
         self.mesh = mesh if mesh is not None else mesh_mod.make_mesh(cfg.mesh)
         self.batch_sharding = mesh_mod.batch_sharding(self.mesh)
         self.replicated = mesh_mod.replicated(self.mesh)
-        self.modality = ssl_modality(modality, cfg.method)
+        self.modality = ssl_modality(modality, cfg.method,
+                                     cfg.simclr_color_jitter)
         vit_cfg = (cfg.vit_patch, cfg.vit_hidden, cfg.vit_depth,
                    cfg.vit_heads)
         # multi-device meshes can't run the Mosaic kernels (CLAUDE.md

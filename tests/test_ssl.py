@@ -293,6 +293,44 @@ def test_simclr_loss_identical_across_mesh_shapes(tmp_path):
     assert losses[1] == pytest.approx(losses[-1], rel=2e-4)
 
 
+def test_simclr_color_jitter_toggle():
+    """simclr_color_jitter=False keeps the views color-sensitive; the
+    thermal base (no jitter) never gains jitter either way."""
+    from dfu_multimodal_tpu.train.ssl import ssl_modality
+
+    rgb = config.rgb_modality()
+    assert ssl_modality(rgb, "simclr", True).augment.color_jitter
+    assert not ssl_modality(rgb, "simclr", False).augment.color_jitter
+    th = config.thermal_modality()
+    assert not ssl_modality(th, "simclr", True).augment.color_jitter
+    # MAE views never jitter (pixel reconstruction target)
+    assert not ssl_modality(rgb, "mae").augment.color_jitter
+
+
+def test_hard_synthetic_variant(tmp_path):
+    """difficulty='hard' (SSL-rehearsal data) produces valid images whose
+    class signal is subtler than the default; the default stays unchanged."""
+    from dfu_multimodal_tpu.data.synthetic import make_image
+
+    rng = np.random.default_rng(0)
+    for modality in ("rgb", "thermal"):
+        img_h = make_image(np.random.default_rng(1), modality, 0, 64,
+                           difficulty="hard")
+        img_u = make_image(np.random.default_rng(1), modality, 1, 64,
+                           difficulty="hard")
+        assert img_h.shape == (64, 64, 3) and img_h.dtype == np.uint8
+        assert not np.array_equal(img_h, img_u)   # label changes the image
+    # easy default is bit-identical to the pre-difficulty behavior for a
+    # fixed generator stream (same rng consumption order)
+    a = make_image(np.random.default_rng(5), "rgb", 1, 64)
+    b = make_image(np.random.default_rng(5), "rgb", 1, 64,
+                   difficulty="easy")
+    np.testing.assert_array_equal(a, b)
+    make_synthetic_dataset(tmp_path / "hard", images_per_class=4, size=32,
+                           difficulty="hard")
+    assert len(list((tmp_path / "hard").rglob("*.jpg"))) > 0
+
+
 # ---------------------------------------------------------------- CLI
 
 
