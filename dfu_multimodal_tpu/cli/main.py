@@ -31,6 +31,9 @@ COMMANDS = {
                      "EfficientNet/gated-fusion legacy variants"),
     "pretrain": ("pretrain",
                  "self-supervised trunk pretraining (SimCLR / MAE)"),
+    "self-train": ("self_train",
+                   "semi-supervised pseudo-labeling over an unlabeled "
+                   "pool"),
     "cross-validate": ("cross_validate",
                        "k-fold CV with patient-level grouping"),
     "sweep": ("sweep", "hyperparameter grid / random search"),

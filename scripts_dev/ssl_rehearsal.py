@@ -130,6 +130,9 @@ def main():
     ap.add_argument("--no-color-jitter", action="store_true",
                     help="SimCLR views without color jitter (the variant "
                          "for chromatic class signals)")
+    ap.add_argument("--self-train", action="store_true",
+                    help="stage 6: semi-supervised self-training at the "
+                         "smallest label budget, scratch-init vs SSL-init")
     args = ap.parse_args()
     if args.scale > 1:
         for m in COUNTS:
@@ -217,6 +220,45 @@ def main():
         print(f"    {k:>3}/class: scratch F1 {f1_s:.4f} (acc {acc_s:.4f})"
               f"  |  simclr-init F1 {f1_p:.4f} (acc {acc_p:.4f})")
         table.append((k, f1_s, f1_p))
+
+    # ---- [6] optional self-training at the smallest label budget --------
+    if args.self_train:
+        from dfu_multimodal_tpu.data.loader import ArrayDataset
+        from dfu_multimodal_tpu.train.self_train import (SelfTrainConfig,
+                                                         self_train)
+        k = min(args.labels)
+        rng = np.random.default_rng(3)   # same subset as stage 4
+        keep = np.concatenate([
+            rng.permutation(np.where(rgb_train.labels == c)[0])[:k]
+            for c in (0, 1)])
+        keep_sorted = np.asarray(sorted(keep.tolist()))
+        rest = np.setdiff1d(np.arange(len(rgb_train)), keep_sorted)
+
+        def take(ds, ix):
+            return ArrayDataset(
+                arrays={m: a[ix] for m, a in ds.arrays.items()},
+                labels=ds.labels[ix],
+                paths={m: [p[i] for i in ix]
+                       for m, p in ds.paths.items()})
+
+        labeled, pool = take(rgb_train, keep_sorted), take(rgb_train, rest)
+        print(f"[6] self-training (rgb_only, {k} labels/class + "
+              f"{len(pool)} unlabeled pool, 3 rounds @ 0.9):")
+        tcfg = config.TrainConfig(batch_size=min(16, 2 * k),
+                                  num_epochs=args.ft_epochs,
+                                  save_best_after_epoch=1, seed=0,
+                                  lr_schedule="cosine", warmup_epochs=0.5)
+        for tag, init in (("scratch-init", None), ("ssl-init", pre_dir)):
+            st = SelfTrainConfig(rounds=3, threshold=0.9)
+            trainer, state, report = self_train(
+                "rgb_only", st, tcfg, {"rgb": config.rgb_modality()},
+                labeled, pool, rgb_val,
+                work / f"st_{tag}", init_from=init, log=lambda s: None)
+            m, _ = trainer.run_eval_epoch(state, rgb_test)
+            adopted = [r.get("adopted") for r in report]
+            print(f"    {tag}: test F1 {m.f1:.4f} (acc {m.accuracy:.4f}) "
+                  f"best round {max(report, key=lambda r: r['val_f1'])['round']}"
+                  f" adopted={adopted}")
 
     # ---- [5] optional MAE thermal ---------------------------------------
     if args.mae:
