@@ -34,6 +34,8 @@ COMMANDS = {
     "self-train": ("self_train",
                    "semi-supervised pseudo-labeling over an unlabeled "
                    "pool"),
+    "distill": ("distill",
+                "compress a trained teacher into a smaller student"),
     "cross-validate": ("cross_validate",
                        "k-fold CV with patient-level grouping"),
     "sweep": ("sweep", "hyperparameter grid / random search"),

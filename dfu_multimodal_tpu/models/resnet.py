@@ -74,6 +74,40 @@ class Bottleneck(nn.Module):
         return nn.relu(y + residual)
 
 
+class BasicBlock(nn.Module):
+    """3x3(stride) -> 3x3 with projection shortcut (torchvision
+    BasicBlock) — the ResNet-18/34 block.  Exists for the distillation
+    student (`dfu distill`): a 11M-param edge-deployable model the heavy
+    trunks compress into; the reference itself never uses ResNet-18."""
+
+    features: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+        dtype = canonical_dtype(self.dtype)
+        bn = partial(nn.BatchNorm, use_running_average=not train,
+                     momentum=0.9, epsilon=1e-5, dtype=dtype,
+                     param_dtype=jnp.float32)
+        conv = partial(nn.Conv, use_bias=False, dtype=dtype,
+                       param_dtype=jnp.float32)
+        shortcut = x
+        if x.shape[-1] != self.features or self.stride != 1:
+            shortcut = conv(self.features, (1, 1),
+                            strides=(self.stride, self.stride),
+                            name="proj_conv")(x)
+            shortcut = bn(name="proj_bn")(shortcut)
+        y = conv(self.features, (3, 3),
+                 strides=(self.stride, self.stride),
+                 padding=((1, 1), (1, 1)), name="conv1")(x)
+        y = nn.relu(bn(name="bn1")(y))
+        y = conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
+                 name="conv2")(y)
+        y = bn(name="bn2")(y)
+        return nn.relu(y + shortcut)
+
+
 class _ConvKernel(nn.Module):
     """Parameter holder producing the exact tree of bias-free ``nn.Conv``."""
 
@@ -178,6 +212,9 @@ class ResNet(nn.Module):
     dtype: Any = jnp.float32
     block_impl: str = "auto"
     calibrate: bool = False
+    # "bottleneck" (ResNet-50 family, 4x expansion) or "basic"
+    # (ResNet-18/34, 1x) — the distillation student uses "basic"
+    block_type: str = "bottleneck"
 
     def _use_fused(self, train: bool) -> bool:
         if train:
@@ -206,7 +243,10 @@ class ResNet(nn.Module):
             for block_idx in range(num_blocks):
                 stride = 2 if stage_idx > 1 and block_idx == 0 else 1
                 name = f"stage{stage_idx}_block{block_idx}"
-                if fused and stride == 1:
+                if self.block_type == "basic":
+                    x = BasicBlock(width, stride, dtype=dtype,
+                                   name=name)(x, train=train)
+                elif fused and stride == 1:
                     x = FusedBottleneck(width, dtype=dtype,
                                         interpret=interpret,
                                         name=name)(x, train=train)
@@ -225,6 +265,12 @@ def ResNet50(dtype: Any = jnp.float32, **kwargs) -> ResNet:
                   dtype=dtype, **kwargs)
 
 
+def ResNet18(dtype: Any = jnp.float32, **kwargs) -> ResNet:
+    """11.2M-param trunk (512-d features) — the distillation student."""
+    return ResNet(stage_sizes=(2, 2, 2, 2), widths=(64, 128, 256, 512),
+                  dtype=dtype, block_type="basic", **kwargs)
+
+
 class ResNetClassifier(nn.Module):
     """ResNet50 trunk + Dropout(0.5) + Linear(2048 -> num_classes) head —
     the reference's ``RGBOnlyModel`` contract (train_rgb_only.py:200-217)."""
@@ -233,13 +279,17 @@ class ResNetClassifier(nn.Module):
     drop_rate: float = 0.5
     dtype: Any = jnp.float32
     block_impl: str = "auto"
+    trunk: str = "resnet50"       # or "resnet18" (distillation student)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False,
                  taps: Taps = None) -> jnp.ndarray:
         # trunk scope pinned to "ResNet_0" (the auto-name of the original
         # flax trunk) so both impls share one checkpoint key
-        if self.block_impl == "int8":
+        if self.trunk == "resnet18":
+            feats = ResNet18(dtype=self.dtype, name="ResNet_0")(
+                x, train=train, taps=taps)
+        elif self.block_impl == "int8":
             from dfu_multimodal_tpu.models.resnet_q8 import Int8ResNet50
             feats = Int8ResNet50(dtype=self.dtype, name="ResNet_0")(
                 x, train=train, taps=taps)

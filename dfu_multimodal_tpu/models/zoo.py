@@ -9,6 +9,7 @@ extended_metrics.py:307-367, ablation_study.py:116-157, etc.).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Any, Callable, Dict, Tuple
 
 import flax.linen as nn
@@ -112,6 +113,14 @@ register(ModelSpec("tiny_rgb", TinyCNN, ("rgb",), 32))
 register(ModelSpec("tiny_thermal", TinyCNN, ("thermal",), 32))
 register(ModelSpec("tiny_fusion", TinyFusion, ("rgb", "thermal"), 64))
 register(ModelSpec("rgb_only", ResNetClassifier, ("rgb",), 2048))
+# ResNet-18 students for `dfu distill` (11M params, 512-d features; no
+# reference counterpart — the compressed edge-deployment target)
+register(ModelSpec("resnet18_rgb",
+                   partial(ResNetClassifier, trunk="resnet18"),
+                   ("rgb",), 512))
+register(ModelSpec("resnet18_thermal",
+                   partial(ResNetClassifier, trunk="resnet18"),
+                   ("thermal",), 512))
 register(ModelSpec("thermal_only", ViTClassifier, ("thermal",), 768))
 register(ModelSpec("multimodal", MultimodalFusionClassifier,
                    ("rgb", "thermal"), 2816))

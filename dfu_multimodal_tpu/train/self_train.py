@@ -98,8 +98,7 @@ def select_confident(probs: np.ndarray, threshold: float,
     if balance:
         k = min(len(per_class[0]), len(per_class[1]))
         per_class = [idx[:k] for idx in per_class]
-    for c, idx in enumerate(per_class):
-        chosen.append(idx)
+    chosen = per_class
     indices = np.concatenate(chosen) if chosen else np.zeros(0, np.int64)
     return indices.astype(np.int64), preds[indices].astype(np.int32)
 
