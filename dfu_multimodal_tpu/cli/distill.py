@@ -91,8 +91,7 @@ def main(argv=None) -> int:
 
     # teacher restore (throwaway Trainer for the flexible restore path)
     tcfg = cfg_mod.TrainConfig(compute_dtype=args.compute_dtype)
-    t_trainer = Trainer(teacher_model, tcfg, modalities,
-                        attention_impl="xla", block_impl="flax")
+    t_trainer = Trainer(teacher_model, tcfg, modalities)
     t_state = t_trainer.restore(args.teacher_checkpoint,
                                 image_size=args.image_size)
     teacher_variables = t_trainer.variables(t_state)

@@ -150,7 +150,7 @@ def main(argv=None):
                   f"(verdict: {rep['verdict']}):")
             print(json_mod.dumps(rep["modalities"], indent=2))
 
-    if args.int8 and model_name in ("thermal_only", "rgb_only", "multimodal"):
+    if args.int8:
         # Quantize the restored fp32 trunks once, then rebuild the engine
         # around the int8 serving paths (serve/engine.py): fused int8
         # Pallas blocks for the ViT, calibrated static-scale int8 XLA

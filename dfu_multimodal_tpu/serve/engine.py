@@ -59,6 +59,16 @@ def quantize_for_serving(trainer, state, image_size: int = 224,
     from dfu_multimodal_tpu.train.engine import Trainer
 
     model_name = trainer.spec.name
+    if model_name not in ("thermal_only", "rgb_only", "multimodal"):
+        # the int8 paths are built for the production trunks: resnet_q8
+        # is ResNet-50-bottleneck-specific and the fused q8 kernels are
+        # ViT-encoder-shaped — quantizing e.g. a distilled ResNet-18
+        # student here would fail deep inside calibration with a shape
+        # error, so reject with the actual contract instead
+        raise ValueError(
+            f"int8 serving is not supported for model {model_name!r}: "
+            "it covers rgb_only / thermal_only / multimodal (ResNet-50 "
+            "+ ViT-B/16 trunks). Serve other models fp32/bf16.")
     qvars = trainer.variables(state)
     vit_impl = "auto"
     rgb_impl = "auto"

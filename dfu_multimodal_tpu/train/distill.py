@@ -89,16 +89,14 @@ class DistillTrainer(Trainer):
                              "--grad-accum, --qat or --ema-decay")
         super().__init__(student_model, cfg, modalities,
                          class_weights=class_weights, mesh=mesh, **kwargs)
-        # teacher always runs its XLA/flax path: it shares the student's
-        # jitted (possibly multi-device) program, where Mosaic kernels
-        # can't be partitioned; eval-mode forward only, so the XLA convs
-        # are already at their roofline (docs/DESIGN.md).
-        tkwargs = {}
-        tspec = zoo.get(teacher_model)
-        if tspec.name in ("thermal_only", "multimodal"):
-            tkwargs = {"attention_impl": "xla", "block_impl": "flax"}
+        # teacher impls stay "auto": the teacher forward shares the
+        # student's jitted (possibly multi-device) program, and "auto"
+        # resolves per-process exactly along that boundary — fused Pallas
+        # blocks on a single TPU device, XLA/flax paths under any
+        # multi-device mesh where Mosaic custom calls can't be
+        # partitioned (models/common.py::mosaic_kernels_ok).
         self.teacher_module, self.teacher_spec = zoo.build(
-            teacher_model, dtype=self.compute_dtype, **tkwargs)
+            teacher_model, dtype=self.compute_dtype)
         missing = [m for m in self.teacher_spec.inputs
                    if m not in modalities]
         if missing:

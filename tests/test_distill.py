@@ -187,7 +187,7 @@ def test_distill_rejects_missing_teacher_modality():
 # -------------------------------------------------------------------- CLI
 
 
-def test_distill_cli_smoke(synth, tmp_path):
+def test_distill_cli_smoke_and_predict_consumes_student(synth, tmp_path):
     from dfu_multimodal_tpu.cli import distill as cli
 
     *_, ckpt, _, _ = teacher_checkpoint(synth, tmp_path)
@@ -205,3 +205,28 @@ def test_distill_cli_smoke(synth, tmp_path):
     res = torch.load(out / "test_results.pt", weights_only=False)
     assert res["teacher_model"] == "tiny_rgb"
     assert 0.0 <= res["test_f1"] <= 1.0
+
+    # the distilled checkpoint is a first-class artifact: predict must
+    # resolve the student architecture from the checkpoint meta alone
+    from dfu_multimodal_tpu.cli import predict as predict_cli
+    csv_out = tmp_path / "preds.csv"
+    predict_cli.main(["--checkpoint", str(out),
+                      "--images", str(synth / "rgb" / "test" / "ulcer"),
+                      "--output", str(csv_out), "--image-size", "32",
+                      "--compute-dtype", "float32"])
+    lines = csv_out.read_text().strip().splitlines()
+    assert len(lines) >= 2 and lines[0].startswith("path,")
+
+
+def test_int8_serving_rejects_non_production_models():
+    """quantize_for_serving guards its trunk-specific int8 paths: a
+    distilled/tiny student must be rejected with the contract, not fail
+    deep inside ResNet-50 calibration (`predict --int8` funnels here)."""
+    from dfu_multimodal_tpu.serve.engine import quantize_for_serving
+
+    cfg = config.TrainConfig(compute_dtype="float32")
+    tr = Trainer("tiny_rgb", cfg, {"rgb": config.rgb_modality()})
+    state = tr.init_state(jax.random.PRNGKey(0), image_size=32)
+    with pytest.raises(ValueError, match="not supported"):
+        quantize_for_serving(tr, state, image_size=32,
+                             calib_u8=np.zeros((2, 32, 32, 3), np.uint8))

@@ -131,7 +131,13 @@ def test_pipelined_batcher_matches_sequential(served):
 
 
 def test_quantize_for_serving_requires_calibration():
-    trainer, state = make_serving_trainer()
+    # rgb_only (a production trunk): non-production models are rejected
+    # before the calibration check (tests/test_distill.py)
+    cfg = config.TrainConfig(batch_size=8, eval_batch_size=8,
+                             compute_dtype="float32",
+                             mesh=config.MeshConfig(data=1))
+    trainer = Trainer("rgb_only", cfg, {"rgb": config.rgb_modality()})
+    state = trainer.init_state(jax.random.PRNGKey(0), image_size=SIZE)
     with pytest.raises(ValueError, match="calib"):
         quantize_for_serving(trainer, state, image_size=SIZE)
 
