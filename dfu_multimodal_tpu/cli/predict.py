@@ -155,10 +155,11 @@ def main(argv=None):
         # around the int8 serving paths (serve/engine.py): fused int8
         # Pallas blocks for the ViT, calibrated static-scale int8 XLA
         # convs for the ResNet.
-        from dfu_multimodal_tpu.serve.engine import quantize_for_serving
+        from dfu_multimodal_tpu.serve.engine import (RESNET_TRUNK_MODELS,
+                                                     quantize_for_serving)
 
         calib_u8 = None
-        if "rgb" in trainer.spec.inputs:
+        if model_name in RESNET_TRUNK_MODELS:
             if args.calib_images is not None:
                 calib_paths = list_images(args.calib_images)[:32]
                 if not calib_paths:

@@ -122,13 +122,14 @@ def restore_trainer(ckpt: Path, model_name, args, cfg, modalities):
     state = trainer.restore(ckpt, image_size=args.image_size)
 
     if args.int8:
+        from dfu_multimodal_tpu.serve.engine import RESNET_TRUNK_MODELS
         calib_u8 = None
-        if "rgb" in trainer.spec.inputs:
+        if model_name in RESNET_TRUNK_MODELS:
             from dfu_multimodal_tpu.data.layout import list_images
             from dfu_multimodal_tpu.data.loader import decode_all
 
             if args.calib_images is None:
-                raise SystemExit("--int8 with an RGB trunk requires "
+                raise SystemExit("--int8 with a ResNet trunk requires "
                                  "--calib-images (static activation-scale "
                                  "calibration set)")
             paths = list_images(args.calib_images)[:32]

@@ -64,6 +64,9 @@ PARAM_FIELDS = {
     "lr_schedule": "lr_schedule",
     "grad_accum": "grad_accum",
     "early_stop_patience": "early_stop_patience",
+    "loss": "loss",
+    "focal_gamma": "focal_gamma",
+    "mixup_alpha": "mixup_alpha",
 }
 INT_FIELDS = {"batch_size", "num_epochs", "grad_accum",
               "early_stop_patience"}

@@ -193,6 +193,20 @@ class TrainConfig:
     # replaying everything after the best one.  The best-model artifact
     # contract is untouched.
     save_last: bool = False
+    # Training loss (train/engine.py). 'ce' = the reference's
+    # class-weighted cross-entropy (default, bit-compatible). 'focal'
+    # = focal loss FL = w·(1-p_y)^gamma·CE — down-weights easy examples,
+    # the standard alternative for hard class imbalance; validation/test
+    # losses stay plain weighted CE so runs remain comparable.
+    loss: str = "ce"                       # 'ce' | 'focal'
+    focal_gamma: float = 2.0
+    # Mixup (train/engine.py::mixup_batch): per-batch lam ~ Beta(a, a),
+    # inputs mixed with a random permutation partner, loss the
+    # lam-weighted sum over both label targets. Padded rows never
+    # corrupt a real one (a row whose partner is padding keeps lam=1).
+    # 0 disables (reference behavior). Train-step metrics score the
+    # unmixed labels (standard practice).
+    mixup_alpha: float = 0.0
     eval_batch_size: Optional[int] = None  # defaults to batch_size
     weighted_sampling: bool = True         # WeightedRandomSampler equivalent
     class_weighted_loss: bool = True       # class-weighted CE equivalent
@@ -282,6 +296,16 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                              "ViT kernels snapped to the int8 serving "
                              "grid (straight-through estimator), making "
                              "predict --int8 conversion ~lossless")
+    parser.add_argument("--loss", choices=["ce", "focal"], default="ce",
+                        help="training loss: class-weighted CE (reference "
+                             "default) or focal loss (down-weights easy "
+                             "examples; eval stays CE)")
+    parser.add_argument("--focal-gamma", type=float, default=2.0,
+                        help="focal-loss focusing exponent (with "
+                             "--loss focal)")
+    parser.add_argument("--mixup-alpha", type=float, default=0.0,
+                        help="mixup Beta(a, a) strength (e.g. 0.2); "
+                             "0 = off (reference behavior)")
 
 
 def train_config_from_args(args: argparse.Namespace,
@@ -302,6 +326,9 @@ def train_config_from_args(args: argparse.Namespace,
     updates["optimizer_mu_dtype"] = args.optimizer_mu_dtype
     updates["grad_accum"] = args.grad_accum
     updates["qat"] = args.qat
+    updates["loss"] = getattr(args, "loss", "ce")
+    updates["focal_gamma"] = getattr(args, "focal_gamma", 2.0)
+    updates["mixup_alpha"] = getattr(args, "mixup_alpha", 0.0)
     updates["lr_schedule"] = getattr(args, "lr_schedule", "constant")
     updates["warmup_epochs"] = getattr(args, "warmup_epochs", 0.0)
     updates["ema_decay"] = getattr(args, "ema_decay", 0.0)

@@ -36,6 +36,8 @@ from dfu_multimodal_tpu.data.loader import ArrayDataset
 # pooled instead (zoo.py:62).
 TRUNK_SCOPES: Dict[str, Dict[str, str]] = {
     "rgb_only": {"rgb": "ResNet_0"},                       # (B, 2048)
+    "resnet18_rgb": {"rgb": "ResNet_0"},                   # (B, 512)
+    "resnet18_thermal": {"thermal": "ResNet_0"},           # (B, 512)
     "thermal_only": {"thermal": "ViT_0"},                  # (B, 768)
     "multimodal": {"rgb": "rgb_branch",                    # (B, 2048)
                    "thermal": "thermal_branch"},           # (B, 768)

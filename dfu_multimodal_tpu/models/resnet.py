@@ -78,11 +78,22 @@ class BasicBlock(nn.Module):
     """3x3(stride) -> 3x3 with projection shortcut (torchvision
     BasicBlock) — the ResNet-18/34 block.  Exists for the distillation
     student (`dfu distill`): a 11M-param edge-deployable model the heavy
-    trunks compress into; the reference itself never uses ResNet-18."""
+    trunks compress into; the reference itself never uses ResNet-18.
+
+    ``calibrate=True`` sows conv-input absmaxes exactly like
+    :class:`Bottleneck` (the projection reads the block input, so it
+    shares ``conv1_in``) — models/resnet_q8.py consumes these for the
+    int8 student serving path."""
 
     features: int
     stride: int = 1
     dtype: Any = jnp.float32
+    calibrate: bool = False
+
+    def _cal(self, name: str, x: jnp.ndarray) -> None:
+        if self.calibrate:
+            self.sow("calibration", name,
+                     jnp.max(jnp.abs(x.astype(jnp.float32))))
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
@@ -93,6 +104,7 @@ class BasicBlock(nn.Module):
         conv = partial(nn.Conv, use_bias=False, dtype=dtype,
                        param_dtype=jnp.float32)
         shortcut = x
+        self._cal("conv1_in", x)
         if x.shape[-1] != self.features or self.stride != 1:
             shortcut = conv(self.features, (1, 1),
                             strides=(self.stride, self.stride),
@@ -102,6 +114,7 @@ class BasicBlock(nn.Module):
                  strides=(self.stride, self.stride),
                  padding=((1, 1), (1, 1)), name="conv1")(x)
         y = nn.relu(bn(name="bn1")(y))
+        self._cal("conv2_in", y)
         y = conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
                  name="conv2")(y)
         y = bn(name="bn2")(y)
@@ -245,6 +258,7 @@ class ResNet(nn.Module):
                 name = f"stage{stage_idx}_block{block_idx}"
                 if self.block_type == "basic":
                     x = BasicBlock(width, stride, dtype=dtype,
+                                   calibrate=self.calibrate,
                                    name=name)(x, train=train)
                 elif fused and stride == 1:
                     x = FusedBottleneck(width, dtype=dtype,
@@ -286,7 +300,11 @@ class ResNetClassifier(nn.Module):
                  taps: Taps = None) -> jnp.ndarray:
         # trunk scope pinned to "ResNet_0" (the auto-name of the original
         # flax trunk) so both impls share one checkpoint key
-        if self.trunk == "resnet18":
+        if self.trunk == "resnet18" and self.block_impl == "int8":
+            from dfu_multimodal_tpu.models.resnet_q8 import Int8ResNet18
+            feats = Int8ResNet18(dtype=self.dtype, name="ResNet_0")(
+                x, train=train, taps=taps)
+        elif self.trunk == "resnet18":
             feats = ResNet18(dtype=self.dtype, name="ResNet_0")(
                 x, train=train, taps=taps)
         elif self.block_impl == "int8":

@@ -109,6 +109,29 @@ class Int8Bottleneck(nn.Module):
         return nn.relu(x + y)
 
 
+class Int8BasicBlock(nn.Module):
+    """Serving-only int8 ResNet-18/34 block (3x3 -> 3x3, projection
+    shortcut) — the distilled student's int8 path.  The projection reads
+    the block input, so it reuses conv1's activation scale (mirrors the
+    flax BasicBlock's calibration layout)."""
+
+    features: int
+    stride: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        f = self.features
+        shortcut = x
+        if x.shape[-1] != f or self.stride != 1:
+            shortcut = _QConv(f, (1, 1), self.stride, dtype=self.dtype,
+                              name="proj")(x)
+        y = nn.relu(_QConv(f, (3, 3), self.stride, dtype=self.dtype,
+                           name="conv1")(x))
+        y = _QConv(f, (3, 3), dtype=self.dtype, name="conv2")(y)
+        return nn.relu(shortcut + y)
+
+
 class Int8ResNet(nn.Module):
     """Int8 serving twin of :class:`~dfu_multimodal_tpu.models.resnet.ResNet`.
     Parameters come from :func:`quantize_resnet_params`; same tap points."""
@@ -116,6 +139,7 @@ class Int8ResNet(nn.Module):
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     widths: Sequence[int] = (64, 128, 256, 512)
     dtype: Any = jnp.bfloat16
+    block_type: str = "bottleneck"     # or "basic" (ResNet-18/34)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False,
@@ -135,12 +159,14 @@ class Int8ResNet(nn.Module):
         x = nn.relu(x + stem_b).astype(dtype)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
+        block_cls = (Int8BasicBlock if self.block_type == "basic"
+                     else Int8Bottleneck)
         for stage_idx, (num_blocks, width) in enumerate(
                 zip(self.stage_sizes, self.widths), start=1):
             for block_idx in range(num_blocks):
                 stride = 2 if stage_idx > 1 and block_idx == 0 else 1
-                x = Int8Bottleneck(width, stride, dtype=dtype,
-                                   name=f"stage{stage_idx}_block{block_idx}")(x)
+                x = block_cls(width, stride, dtype=dtype,
+                              name=f"stage{stage_idx}_block{block_idx}")(x)
             x = tap(self, f"stage{stage_idx}", x, taps)
 
         x = jnp.mean(x, axis=(1, 2))
@@ -150,6 +176,12 @@ class Int8ResNet(nn.Module):
 def Int8ResNet50(dtype: Any = jnp.bfloat16, **kwargs) -> Int8ResNet:
     return Int8ResNet(stage_sizes=(3, 4, 6, 3), widths=(64, 128, 256, 512),
                       dtype=dtype, **kwargs)
+
+
+def Int8ResNet18(dtype: Any = jnp.bfloat16, **kwargs) -> Int8ResNet:
+    """Int8 twin of the distilled ResNet-18 student."""
+    return Int8ResNet(stage_sizes=(2, 2, 2, 2), widths=(64, 128, 256, 512),
+                      dtype=dtype, block_type="basic", **kwargs)
 
 
 # ------------------------------------------------------------- conversion
@@ -180,11 +212,14 @@ def calibrate_resnet(module, variables, batches):
 
 
 def quantize_resnet_params(variables, act_absmax,
-                           stage_sizes=(3, 4, 6, 3)):
+                           stage_sizes=(3, 4, 6, 3),
+                           block_type="bottleneck"):
     """fp32 ResNet variables (params + batch_stats) + calibration absmaxes
     -> the Int8ResNet param tree.  ``act_absmax`` maps
     (block_name, conv_name, 'absmax', 0) tuples — the keys produced by
-    :func:`calibrate_resnet` — to float absmax values."""
+    :func:`calibrate_resnet` — to float absmax values.  ``block_type``
+    selects the bottleneck (ResNet-50) or basic (ResNet-18/34 student)
+    layout."""
     params = variables["params"]
     stats = variables["batch_stats"]
 
@@ -211,26 +246,51 @@ def quantize_resnet_params(variables, act_absmax,
         for block_idx in range(num_blocks):
             name = f"stage{stage_idx}_block{block_idx}"
             blk = {"conv1": qconv(name, "conv1", "bn1"),
-                   "conv2": qconv(name, "conv2", "bn2"),
-                   "conv3": qconv(name, "conv3", "bn3")}
-            if "down_conv" in params[name]:
-                # the projection reads the block input — conv1's scale
-                blk["down"] = qconv(name, "down_conv", "down_bn",
+                   "conv2": qconv(name, "conv2", "bn2")}
+            if block_type == "bottleneck":
+                blk["conv3"] = qconv(name, "conv3", "bn3")
+                if "down_conv" in params[name]:
+                    # the projection reads the block input — conv1's scale
+                    blk["down"] = qconv(name, "down_conv", "down_bn",
+                                        cal_conv="conv1")
+            elif "proj_conv" in params[name]:
+                blk["proj"] = qconv(name, "proj_conv", "proj_bn",
                                     cal_conv="conv1")
             out[name] = blk
     return {"params": out}
 
 
+def _trunk_architecture(trunk_params):
+    """(stage_sizes, block_type) inferred from a flax ResNet param tree —
+    lets :func:`quantize_rgb_trunks` serve both the ResNet-50 production
+    trunk and the ResNet-18 distillation student without being told."""
+    sizes = []
+    for stage_idx in range(1, 99):
+        n = 0
+        while f"stage{stage_idx}_block{n}" in trunk_params:
+            n += 1
+        if n == 0:
+            break
+        sizes.append(n)
+    if not sizes:
+        raise ValueError("not a ResNet param tree (no stageN_blockM keys)")
+    block_type = ("bottleneck" if "conv3" in trunk_params["stage1_block0"]
+                  else "basic")
+    return tuple(sizes), block_type
+
+
 def quantize_rgb_trunks(variables, calib_batches, dtype=jnp.bfloat16,
                         trunk_names=("rgb_branch", "ResNet_0")):
-    """Quantize every ResNet-50 trunk in a model's variables for the int8
+    """Quantize every ResNet trunk in a model's variables for the int8
     serving path (fusion ``rgb_impl="int8"`` / classifier
     ``block_impl="int8"``): calibrate activation scales on
     ``calib_batches`` (iterable of NORMALIZED NHWC arrays), fold BN,
-    per-channel-quantize weights.  Returns new variables — the trunk's
-    params are replaced by the Int8ResNet tree and its batch_stats entry
-    dropped; everything else (other branches, heads) is untouched."""
-    from dfu_multimodal_tpu.models.resnet import ResNet50
+    per-channel-quantize weights.  The trunk architecture (ResNet-50
+    production trunk or ResNet-18 distillation student) is inferred from
+    the param tree.  Returns new variables — the trunk's params are
+    replaced by the Int8ResNet tree and its batch_stats entry dropped;
+    everything else (other branches, heads) is untouched."""
+    from dfu_multimodal_tpu.models.resnet import ResNet
 
     params = dict(variables["params"])
     stats = dict(variables.get("batch_stats", {}))
@@ -240,10 +300,14 @@ def quantize_rgb_trunks(variables, calib_batches, dtype=jnp.bfloat16,
             continue
         found = True
         trunk_vars = {"params": params[name], "batch_stats": stats[name]}
-        calib_module = ResNet50(dtype=dtype, block_impl="flax",
-                                calibrate=True)
+        stage_sizes, block_type = _trunk_architecture(params[name])
+        calib_module = ResNet(stage_sizes=stage_sizes,
+                              block_type=block_type, dtype=dtype,
+                              block_impl="flax", calibrate=True)
         absmax = calibrate_resnet(calib_module, trunk_vars, calib_batches)
-        params[name] = quantize_resnet_params(trunk_vars, absmax)["params"]
+        params[name] = quantize_resnet_params(
+            trunk_vars, absmax, stage_sizes=stage_sizes,
+            block_type=block_type)["params"]
         del stats[name]
     if not found:
         raise ValueError(f"no ResNet trunk found under {trunk_names}")

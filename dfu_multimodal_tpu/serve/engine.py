@@ -36,6 +36,13 @@ import numpy as np
 
 from dfu_multimodal_tpu.parallel import mesh as mesh_mod
 
+# models with an int8 serving path, and the subset whose ResNet trunk
+# needs activation-scale calibration images (models/resnet_q8.py infers
+# ResNet-50 vs the distilled ResNet-18 from the param tree)
+RESNET_TRUNK_MODELS = frozenset(
+    {"rgb_only", "multimodal", "resnet18_rgb", "resnet18_thermal"})
+INT8_MODELS = RESNET_TRUNK_MODELS | {"thermal_only"}
+
 
 def quantize_for_serving(trainer, state, image_size: int = 224,
                          calib_u8: Optional[np.ndarray] = None,
@@ -59,20 +66,18 @@ def quantize_for_serving(trainer, state, image_size: int = 224,
     from dfu_multimodal_tpu.train.engine import Trainer
 
     model_name = trainer.spec.name
-    if model_name not in ("thermal_only", "rgb_only", "multimodal"):
-        # the int8 paths are built for the production trunks: resnet_q8
-        # is ResNet-50-bottleneck-specific and the fused q8 kernels are
-        # ViT-encoder-shaped — quantizing e.g. a distilled ResNet-18
-        # student here would fail deep inside calibration with a shape
-        # error, so reject with the actual contract instead
+    if model_name not in INT8_MODELS:
+        # the int8 paths are trunk-specific (ResNet conv PTQ + fused q8
+        # ViT encoder kernels) — reject other models with the contract
+        # instead of failing deep inside calibration with a shape error
         raise ValueError(
             f"int8 serving is not supported for model {model_name!r}: "
-            "it covers rgb_only / thermal_only / multimodal (ResNet-50 "
-            "+ ViT-B/16 trunks). Serve other models fp32/bf16.")
+            f"it covers {sorted(INT8_MODELS)}. Serve other models "
+            "fp32/bf16.")
     qvars = trainer.variables(state)
     vit_impl = "auto"
     rgb_impl = "auto"
-    if "thermal" in trainer.spec.inputs:
+    if model_name in ("thermal_only", "multimodal"):
         from dfu_multimodal_tpu.models.vit import quantize_variables
 
         qvars = quantize_variables(qvars)
@@ -90,16 +95,21 @@ def quantize_for_serving(trainer, state, image_size: int = 224,
                 "to one chip.")
         vit_impl = ("fused_q8" if mosaic_kernels_ok()
                     else "fused_q8_interpret")
-    if "rgb" in trainer.spec.inputs:
+    if model_name in RESNET_TRUNK_MODELS:
         from dfu_multimodal_tpu.data.transforms import eval_normalize
         from dfu_multimodal_tpu.models.resnet_q8 import quantize_rgb_trunks
 
         if calib_u8 is None or len(calib_u8) == 0:
             raise ValueError(
-                "int8 serving of an RGB trunk needs calibration images "
+                "int8 serving of a ResNet trunk needs calibration images "
                 "(calib_u8) to fix the static activation scales")
+        # calibrate with the modality that actually feeds the ResNet
+        # trunk: rgb for rgb_only/multimodal/resnet18_rgb, thermal for
+        # the resnet18_thermal student
+        calib_modality = ("rgb" if "rgb" in trainer.spec.inputs
+                          else trainer.spec.inputs[0])
         calib = eval_normalize(jnp.asarray(calib_u8[:32]),
-                               trainer.modalities["rgb"],
+                               trainer.modalities[calib_modality],
                                trainer.compute_dtype)
         qvars = quantize_rgb_trunks(qvars, [calib],
                                     dtype=trainer.compute_dtype)

@@ -84,9 +84,12 @@ class DistillTrainer(Trainer):
                  mesh=None, **kwargs):
         if (int(getattr(cfg, "grad_accum", 1)) > 1
                 or getattr(cfg, "qat", False)
-                or float(getattr(cfg, "ema_decay", 0.0)) > 0.0):
+                or float(getattr(cfg, "ema_decay", 0.0)) > 0.0
+                or getattr(cfg, "loss", "ce") != "ce"
+                or float(getattr(cfg, "mixup_alpha", 0.0)) > 0.0):
             raise ValueError("distillation does not compose with "
-                             "--grad-accum, --qat or --ema-decay")
+                             "--grad-accum, --qat, --ema-decay, "
+                             "--loss focal or --mixup-alpha")
         super().__init__(student_model, cfg, modalities,
                          class_weights=class_weights, mesh=mesh, **kwargs)
         # teacher impls stay "auto": the teacher forward shares the

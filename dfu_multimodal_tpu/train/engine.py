@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass
+from functools import partial
 from pathlib import Path
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
@@ -71,13 +72,61 @@ def class_weights_from_labels(labels: np.ndarray) -> np.ndarray:
         np.float32)
 
 
+def per_sample_ce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    return optax.softmax_cross_entropy_with_integer_labels(
+        logits.astype(jnp.float32), labels)
+
+
+def per_sample_focal(logits: jnp.ndarray, labels: jnp.ndarray,
+                     gamma: float) -> jnp.ndarray:
+    """Focal loss (Lin et al. 2017): (1 - p_y)^gamma · CE, with
+    p_y = exp(-CE) — the true-class softmax probability.  gamma=0
+    reduces exactly to CE; the per-class alpha weighting is carried by
+    the engine's existing class weights."""
+    ce = per_sample_ce(logits, labels)
+    return ce * (1.0 - jnp.exp(-ce)) ** gamma
+
+
+def weighted_mean(terms: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
+    return (jnp.sum(weights * terms)
+            / jnp.maximum(jnp.sum(weights), 1e-12))
+
+
 def weighted_ce(logits: jnp.ndarray, labels: jnp.ndarray,
                 weights: jnp.ndarray) -> jnp.ndarray:
     """torch ``CrossEntropyLoss(weight=w)`` semantics: Σ wᵢ·ceᵢ / Σ wᵢ."""
-    ce = optax.softmax_cross_entropy_with_integer_labels(
-        logits.astype(jnp.float32), labels)
-    wsum = jnp.sum(weights)
-    return jnp.sum(weights * ce) / jnp.maximum(wsum, 1e-12)
+    return weighted_mean(per_sample_ce(logits, labels), weights)
+
+
+def mixup_batch(rng: jax.Array, inputs, valid: jnp.ndarray, alpha: float):
+    """Mix each input with a random permutation partner.
+
+    One lam ~ Beta(alpha, alpha) per batch (standard mixup), demoted to
+    lam=1 per-row when the partner is a padded row — padding never bleeds
+    into a real sample.  Returns (mixed_inputs, perm, lam_row)."""
+    b = valid.shape[0]
+    lam = jax.random.beta(rng, alpha, alpha)
+    perm = jax.random.permutation(jax.random.fold_in(rng, 1), b)
+    lam_row = jnp.where(valid[perm] > 0, lam, 1.0).astype(jnp.float32)
+
+    def mix(x):
+        lr = lam_row.reshape((b,) + (1,) * (x.ndim - 1)).astype(x.dtype)
+        return x * lr + x[perm] * (1 - lr)
+
+    return tuple(mix(x) for x in inputs), perm, lam_row
+
+
+def mixup_loss(per_sample, logits, labels, weights, valid, perm, lam_row):
+    """lam-weighted two-target loss, normalized by the lam-weighted
+    weight mass (reduces exactly to ``weighted_mean`` at lam=1).  Both
+    terms are gated by the ROW's own validity — a padded row must not
+    contribute through its partner's weight either."""
+    la = per_sample(logits, labels)
+    lb = per_sample(logits, labels[perm])
+    v = valid.astype(jnp.float32)
+    wa, wb = v * lam_row * weights, v * (1.0 - lam_row) * weights[perm]
+    num = jnp.sum(wa * la + wb * lb)
+    return num / jnp.maximum(jnp.sum(wa + wb), 1e-12)
 
 
 def learning_rate_schedule(cfg):
@@ -184,10 +233,13 @@ class Trainer:
                         "can't be auto-partitioned (wrap in shard_map, or "
                         "use the XLA impls / a single-device mesh).")
         # int8 ResNet serving trunk (models/resnet_q8.py): the fusion model
-        # takes it as rgb_impl, the standalone classifier as block_impl
+        # takes it as rgb_impl, the standalone classifiers (ResNet-50
+        # rgb_only + the distilled ResNet-18 students) as block_impl
         if spec_probe.name == "multimodal":
             kwargs["rgb_impl"] = rgb_impl
-        elif spec_probe.name == "rgb_only" and rgb_impl == "int8":
+        elif (spec_probe.name in ("rgb_only", "resnet18_rgb",
+                                  "resnet18_thermal")
+              and rgb_impl == "int8"):
             kwargs["block_impl"] = "int8"
         self.module, self.spec = zoo.build(
             model_name, drop_rate=cfg.drop_rate, dtype=dtype, **kwargs)
@@ -285,6 +337,20 @@ class Trainer:
         accum = max(1, int(getattr(self.cfg, "grad_accum", 1)))
         qat = bool(getattr(self.cfg, "qat", False))
         ema_decay = float(getattr(self.cfg, "ema_decay", 0.0))
+        loss_name = getattr(self.cfg, "loss", "ce")
+        if loss_name == "focal":
+            gamma = float(getattr(self.cfg, "focal_gamma", 2.0))
+            per_sample = partial(per_sample_focal, gamma=gamma)
+        elif loss_name == "ce":
+            per_sample = per_sample_ce
+        else:
+            raise ValueError(f"unknown loss {loss_name!r} "
+                             "(choose 'ce' or 'focal')")
+        mixup_alpha = float(getattr(self.cfg, "mixup_alpha", 0.0))
+        if mixup_alpha > 0.0 and accum > 1:
+            raise ValueError("mixup does not compose with --grad-accum "
+                             "(mix pairs would be confined to one "
+                             "microbatch); use one or the other")
 
         def ema_update(ema, new_params):
             # Static python branch: no lax.cond, the EMA tree-map simply
@@ -316,12 +382,26 @@ class Trainer:
                 rng, state.step))
             inputs = self._preprocess_train(aug_rng, batch)
             labels = batch["label"]
-            weights = self._sample_weights(labels, batch["valid"])
+            valid = batch["valid"]
+            weights = self._sample_weights(labels, valid)
+            if mixup_alpha > 0.0:
+                # a derived key, not a third split: the default path's
+                # RNG streams stay bit-identical to mixup-off runs
+                mixed, perm, lam_row = mixup_batch(
+                    jax.random.fold_in(aug_rng, 7), inputs, valid,
+                    mixup_alpha)
+            else:
+                mixed = inputs
 
             def loss_fn(params):
                 logits, new_bs = apply_model(params, state.batch_stats,
-                                             inputs, drop_rng)
-                loss = weighted_ce(logits, labels, weights)
+                                             mixed, drop_rng)
+                if mixup_alpha > 0.0:
+                    loss = mixup_loss(per_sample, logits, labels, weights,
+                                      valid, perm, lam_row)
+                else:
+                    loss = weighted_mean(per_sample(logits, labels),
+                                         weights)
                 return loss, (logits, new_bs)
 
             (loss, (logits, new_bs)), grads = jax.value_and_grad(
@@ -369,9 +449,8 @@ class Trainer:
 
             def unnorm_loss(params, bs, xs, ys, ws, dr):
                 logits, new_bs = apply_model(params, bs, xs, dr)
-                ce = optax.softmax_cross_entropy_with_integer_labels(
-                    logits.astype(jnp.float32), ys)
-                return jnp.sum(ws * ce), (logits, new_bs)
+                return jnp.sum(ws * per_sample(logits, ys)), (logits,
+                                                              new_bs)
 
             def body(carry, x):
                 gacc, bs = carry

@@ -218,10 +218,10 @@ def test_distill_cli_smoke_and_predict_consumes_student(synth, tmp_path):
     assert len(lines) >= 2 and lines[0].startswith("path,")
 
 
-def test_int8_serving_rejects_non_production_models():
-    """quantize_for_serving guards its trunk-specific int8 paths: a
-    distilled/tiny student must be rejected with the contract, not fail
-    deep inside ResNet-50 calibration (`predict --int8` funnels here)."""
+def test_int8_serving_rejects_unsupported_models():
+    """quantize_for_serving guards its trunk-specific int8 paths: models
+    without one must be rejected with the contract, not fail deep inside
+    calibration (`predict --int8` funnels here)."""
     from dfu_multimodal_tpu.serve.engine import quantize_for_serving
 
     cfg = config.TrainConfig(compute_dtype="float32")
@@ -230,3 +230,34 @@ def test_int8_serving_rejects_non_production_models():
     with pytest.raises(ValueError, match="not supported"):
         quantize_for_serving(tr, state, image_size=32,
                              calib_u8=np.zeros((2, 32, 32, 3), np.uint8))
+
+
+def test_resnet18_int8_serving_roundtrip():
+    """The distilled student has a full int8 serving path: architecture
+    auto-detected from the param tree (basic blocks, 2-2-2-2), quantized
+    via the same quantize_for_serving chokepoint, logits tracking fp32."""
+    from dfu_multimodal_tpu.serve.engine import quantize_for_serving
+
+    cfg = config.TrainConfig(batch_size=4, eval_batch_size=4,
+                             compute_dtype="float32",
+                             mesh=config.MeshConfig(data=1))
+    mods = {"thermal": config.thermal_modality(blur=False)}
+    tr = Trainer("resnet18_thermal", cfg, mods)
+    state = tr.init_state(jax.random.PRNGKey(0), image_size=32)
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (4, 32, 32, 3), np.uint8)
+    from dfu_multimodal_tpu.data.transforms import eval_normalize
+    x = eval_normalize(jnp.asarray(imgs), mods["thermal"], jnp.float32)
+    logits_fp = tr.module.apply(tr.variables(state), x, train=False)
+
+    q_tr, q_state = quantize_for_serving(tr, state, image_size=32,
+                                         calib_u8=imgs)
+    logits_q8 = q_tr.module.apply(q_tr.variables(q_state), x, train=False)
+    assert np.all(np.isfinite(logits_q8))
+    assert float(np.max(np.abs(logits_q8 - logits_fp))) < 0.2
+    # param tree really is the int8 one (no batch_stats, q8 kernels)
+    params = q_state.params["ResNet_0"]
+    assert "kernel_q8" in params["stage1_block0"]["conv1"]
+    assert "proj" in params["stage2_block0"]
+    assert "proj" not in params["stage1_block0"]
