@@ -305,8 +305,14 @@ def main():
     if (on_tpu and not args.int8
             and not os.environ.get("DFU_BENCH_SKIP_LATENCY")):
         try:
-            b1_ms = round(measure(1, 5, chain=20)["p50_batch_latency_ms"], 3)
-            b8_ms = round(measure(8, 5, chain=20)["p50_batch_latency_ms"], 3)
+            # sub-ms per-iteration latencies need chains long enough to
+            # dominate the tunnel RTT jitter (±10 ms, CLAUDE.md): at
+            # chain=20 a b1 run is ~12 ms of device time against a 30 ms
+            # RTT and the subtraction can collapse to ~0.
+            b1_ms = round(measure(1, 5,
+                                  chain=100)["p50_batch_latency_ms"], 3)
+            b8_ms = round(measure(8, 5,
+                                  chain=50)["p50_batch_latency_ms"], 3)
         except Exception as exc:                      # pragma: no cover
             print(f"latency measurement failed: {exc}", file=sys.stderr)
 

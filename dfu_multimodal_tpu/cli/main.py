@@ -36,6 +36,8 @@ COMMANDS = {
                    "pool"),
     "distill": ("distill",
                 "compress a trained teacher into a smaller student"),
+    "soup": ("soup",
+             "average same-architecture checkpoints into one model"),
     "cross-validate": ("cross_validate",
                        "k-fold CV with patient-level grouping"),
     "sweep": ("sweep", "hyperparameter grid / random search"),
