@@ -197,3 +197,22 @@ def test_two_input_bundle_parity(tmp_path):
     np.testing.assert_allclose(np.asarray(frozen["probs"]),
                                np.asarray(live["probs"]),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_export_distilled_student_bundle(tmp_path):
+    """Distilled ResNet-18 students export and replay like any checkpoint
+    (the edge-deployment path: distill -> export -> serve --exported)."""
+    trainer, state = tiny_trainer("resnet18_rgb")
+    out = tmp_path / "resnet18_rgb"
+    meta = export_bundle(trainer, state, out, image_size=SIZE, buckets=(2,))
+    assert meta["model"] == "resnet18_rgb"
+    servable = load_bundle(out)
+    batch = rand_batch(("rgb",), 2, seed=3)
+    engine = ServingEngine(servable, None, image_size=SIZE,
+                           buckets=servable.buckets, max_wait_ms=100.0)
+    with engine:
+        got = engine.predict([{"rgb": img} for img in batch["rgb"]])
+    live = trainer.eval_step(trainer.variables(state), batch)
+    np.testing.assert_allclose([p for p, _ in got],
+                               np.asarray(live["probs"]), rtol=1e-5,
+                               atol=1e-6)
