@@ -38,6 +38,8 @@ COMMANDS = {
                 "compress a trained teacher into a smaller student"),
     "soup": ("soup",
              "average same-architecture checkpoints into one model"),
+    "robustness": ("robustness",
+                   "F1 under parametric corruptions x severity levels"),
     "cross-validate": ("cross_validate",
                        "k-fold CV with patient-level grouping"),
     "sweep": ("sweep", "hyperparameter grid / random search"),
