@@ -97,6 +97,7 @@ def build_card(ckpt: Path, metrics_dir: Optional[Path]) -> str:
     run_info = _load_json(ckpt / "run_info.json") or {}
     deployment = _load_json(ckpt / "deployment.json")
     drift = _load_json(ckpt / "drift_baseline.json")
+    robustness = _load_json(ckpt / "robustness_report.json")
     results = None
     if metrics_dir is not None and (metrics_dir / "results.pt").exists():
         from dfu_multimodal_tpu.utils.artifacts import load_pt
@@ -230,6 +231,18 @@ def build_card(ckpt: Path, metrics_dir: Optional[Path]) -> str:
         mods = ", ".join(sorted(drift.get("modalities", {})))
         L.append(f"Input drift monitoring baseline present ({mods}); "
                  "`serve` scores live traffic (PSI) on `/metrics`.")
+    if robustness and robustness.get("results"):
+        worst = min(robustness["results"], key=lambda r: r["worst_f1"])
+        frag = [r for r in robustness["results"]
+                if r["verdict"] == "fragile"]
+        L.append(
+            f"Corruption robustness swept on {robustness.get('split')} "
+            f"(`robustness_report.json`, clean F1 "
+            f"{_fmt(robustness.get('clean_f1'))}): "
+            f"{len(frag)}/{len(robustness['results'])} axes fragile; "
+            f"worst = {worst['corruption']} on "
+            f"{'+'.join(worst['modalities'])} "
+            f"(F1 {_fmt(worst['worst_f1'])} at max severity).")
     L.append("")
 
     L.append("## Intended use & limitations")

@@ -84,3 +84,25 @@ def test_card_missing_checkpoint_errors(tmp_path):
     from dfu_multimodal_tpu.cli.model_card import main
     with pytest.raises(SystemExit, match="not found"):
         main(["--checkpoint", str(tmp_path / "nope")])
+
+
+def test_card_includes_robustness_report(trained):
+    from dfu_multimodal_tpu.cli.model_card import main
+    report = {"model": "tiny_rgb", "split": "test", "clean_f1": 0.91,
+              "clean_acc": 0.9, "severities": [1, 5],
+              "results": [
+                  {"corruption": "gaussian_noise", "modalities": ["rgb"],
+                   "f1": [0.9, 0.88], "acc": [0.9, 0.88],
+                   "worst_f1": 0.88, "verdict": "robust"},
+                  {"corruption": "brightness", "modalities": ["rgb"],
+                   "f1": [0.8, 0.4], "acc": [0.8, 0.5],
+                   "worst_f1": 0.4, "verdict": "fragile"}]}
+    (trained / "robustness_report.json").write_text(json.dumps(report))
+    try:
+        main(["--checkpoint", str(trained)])
+        card = (trained / "MODEL_CARD.md").read_text()
+        assert "Corruption robustness" in card
+        assert "1/2 axes fragile" in card
+        assert "brightness" in card
+    finally:
+        (trained / "robustness_report.json").unlink()
