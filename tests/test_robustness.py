@@ -51,6 +51,21 @@ def test_brightness_and_contrast_semantics():
                                rtol=1e-5)
 
 
+def test_switch_matches_direct_apply():
+    from dfu_multimodal_tpu.eval.robustness import (CORRUPTIONS,
+                                                    apply_corruption_switch)
+    x = imgs()
+    k = jax.random.PRNGKey(3)
+    for i, name in enumerate(CORRUPTIONS):
+        p = jnp.float32(SEVERITY_PARAMS[name][2])
+        direct = apply_corruption(name, x, p, k)
+        switched = apply_corruption_switch(jnp.int32(i), x, p, k)
+        # atol: switch branches compile (fused) while the direct path runs
+        # op-by-op — last-ulp differences surface near the 0/255 clips
+        np.testing.assert_allclose(switched, direct, rtol=1e-5, atol=1e-3,
+                                   err_msg=name)
+
+
 def test_unknown_corruption_rejected():
     with pytest.raises(ValueError, match="unknown corruption"):
         apply_corruption("fog", imgs(), jnp.float32(1.0),
@@ -94,6 +109,25 @@ def test_sweep_report_shape(trained):
     assert len(entry["f1"]) == 2
     assert entry["verdict"] in ("robust", "moderate", "fragile")
     assert all(0.0 <= v <= 1.0 for v in entry["f1"])
+
+
+def test_one_trace_serves_all_corruptions(trained, monkeypatch):
+    """The whole corruption grid must replay ONE compiled program per
+    modality subset (re-jits are minutes each over the remote-compile
+    tunnel; the eval itself is sub-second)."""
+    from dfu_multimodal_tpu.eval import robustness as R
+
+    _, _, tr, state, val = trained
+    traces = []
+    orig = R.apply_corruption_switch
+    monkeypatch.setattr(
+        R, "apply_corruption_switch",
+        lambda *a: (traces.append(1), orig(*a))[1])
+    step = R.make_step(tr, ("rgb",))
+    for name in R.CORRUPTIONS:
+        R.corrupted_counts(tr, state, val, name, ("rgb",), [1],
+                           step=step)
+    assert sum(traces) == 1        # traced once, replayed for all four
 
 
 def test_sweep_rejects_unknown_modality(trained):
