@@ -307,12 +307,14 @@ def main():
         try:
             # sub-ms per-iteration latencies need chains long enough to
             # dominate the tunnel RTT jitter (±10 ms, CLAUDE.md): at
-            # chain=20 a b1 run is ~12 ms of device time against a 30 ms
-            # RTT and the subtraction can collapse to ~0.
+            # chain=100 a b1 run is ~60 ms of device time against a
+            # 30±10 ms RTT — one high RTT sample collapses the
+            # subtraction to ~0 (observed).  chain=500 puts ~320 ms of
+            # device time behind the fetch, so the jitter is <4% noise.
             b1_ms = round(measure(1, 5,
-                                  chain=100)["p50_batch_latency_ms"], 3)
+                                  chain=500)["p50_batch_latency_ms"], 3)
             b8_ms = round(measure(8, 5,
-                                  chain=50)["p50_batch_latency_ms"], 3)
+                                  chain=100)["p50_batch_latency_ms"], 3)
         except Exception as exc:                      # pragma: no cover
             print(f"latency measurement failed: {exc}", file=sys.stderr)
 
