@@ -40,6 +40,9 @@ COMMANDS = {
              "average same-architecture checkpoints into one model"),
     "robustness": ("robustness",
                    "F1 under parametric corruptions x severity levels"),
+    "compare": ("compare",
+                "paired statistical comparison of two checkpoints "
+                "(McNemar + bootstrap deltas)"),
     "cross-validate": ("cross_validate",
                        "k-fold CV with patient-level grouping"),
     "sweep": ("sweep", "hyperparameter grid / random search"),
