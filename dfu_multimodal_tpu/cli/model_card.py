@@ -98,6 +98,7 @@ def build_card(ckpt: Path, metrics_dir: Optional[Path]) -> str:
     deployment = _load_json(ckpt / "deployment.json")
     drift = _load_json(ckpt / "drift_baseline.json")
     robustness = _load_json(ckpt / "robustness_report.json")
+    compare = _load_json(ckpt / "compare_report.json")
     results = None
     if metrics_dir is not None and (metrics_dir / "results.pt").exists():
         from dfu_multimodal_tpu.utils.artifacts import load_pt
@@ -243,6 +244,17 @@ def build_card(ckpt: Path, metrics_dir: Optional[Path]) -> str:
             f"worst = {worst['corruption']} on "
             f"{'+'.join(worst['modalities'])} "
             f"(F1 {_fmt(worst['worst_f1'])} at max severity).")
+    if compare and compare.get("mcnemar"):
+        mc = compare["mcnemar"]
+        acc = compare.get("deltas", {}).get("accuracy", {})
+        L.append(
+            f"Paired comparison vs `{compare.get('model_a')}` "
+            f"(`compare_report.json`, {compare.get('n')} "
+            f"{compare.get('split')} rows): McNemar exact "
+            f"p = {_fmt(mc.get('p_value'))} "
+            f"({'significant' if mc.get('significant') else 'not significant'}"
+            f"); Δaccuracy {_fmt(acc.get('delta'))} "
+            f"[{_fmt(acc.get('lo'))}, {_fmt(acc.get('hi'))}].")
     L.append("")
 
     L.append("## Intended use & limitations")

@@ -106,3 +106,24 @@ def test_card_includes_robustness_report(trained):
         assert "brightness" in card
     finally:
         (trained / "robustness_report.json").unlink()
+
+
+def test_card_includes_compare_report(trained):
+    from dfu_multimodal_tpu.cli.model_card import main
+    report = {"model_a": "tiny_rgb", "model_b": "tiny_rgb",
+              "split": "test", "n": 40,
+              "mcnemar": {"n01_only_a": 1, "n10_only_b": 8,
+                          "p_value": 0.0391, "significant": True},
+              "deltas": {"accuracy": {"a": 0.80, "b": 0.975,
+                                      "delta": 0.175, "lo": 0.05,
+                                      "hi": 0.30, "n_valid": 200,
+                                      "significant": True}}}
+    (trained / "compare_report.json").write_text(json.dumps(report))
+    try:
+        main(["--checkpoint", str(trained)])
+        card = (trained / "MODEL_CARD.md").read_text()
+        assert "Paired comparison vs `tiny_rgb`" in card
+        assert "McNemar exact p = 0.039" in card
+        assert "significant" in card
+    finally:
+        (trained / "compare_report.json").unlink()
