@@ -14,9 +14,12 @@ distilled student, ingredient vs soup): the dataset is built over the
 UNION of their input modalities — pseudo-paired when either needs both
 (same strategy/seed as the multimodal trainer, reference
 notebooks/train_multimodal_fusion.py pairing) — so both models always
-score the identical row list. Decisions are the standard argmax rule
-(the reference's; per-deployment thresholds are a different question —
-tune them per model with `extended-metrics --operating-point`).
+score the identical row list. Each checkpoint's persisted
+``deployment.json`` (temperature scaling + operating-point threshold,
+eval/deployment.py) is applied by default — the same auto-apply contract
+as ``predict``/``serve`` — so the comparison is between the models AS
+DEPLOYED, not raw argmax; ``--ignore-deployment`` opts out (both sides
+then use the reference's argmax rule).
 
 No reference analogue: the reference's ablation study compares bare
 point estimates (notebooks/ablation_study.py), which at ~130-row test
@@ -52,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--alpha", type=float, default=0.05,
                    help="significance level (default 0.05)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ignore-deployment", action="store_true",
+                   help="score both models with raw argmax instead of "
+                        "each checkpoint's persisted deployment.json "
+                        "threshold/temperature")
     p.add_argument("--out", type=Path, default=None,
                    help="write the JSON report here "
                         "(default: <checkpoint-b>/compare_report.json)")
@@ -75,7 +82,24 @@ def _evaluate_checkpoint(ckpt_dir: Path, model_arg, dataset, args):
                        "thermal": cfg_mod.thermal_modality()})
     state = trainer.restore(ckpt_dir, image_size=args.image_size)
     _, arrays = trainer.run_eval_epoch(state, dataset)
-    return model_name, arrays
+
+    # the predict/serve auto-apply contract (eval/deployment.py): the
+    # comparison should be between the models AS DEPLOYED
+    deploy_note = "argmax (--ignore-deployment)"
+    if not args.ignore_deployment:
+        from dfu_multimodal_tpu.eval.deployment import resolve_deployment
+        threshold, temperature, note = resolve_deployment(
+            ckpt_dir, None, None)
+        if temperature is not None:
+            from dfu_multimodal_tpu.eval.calibration import apply_temperature
+            arrays["y_probs"] = apply_temperature(arrays["y_probs"],
+                                                  temperature)
+        if threshold is not None:
+            from dfu_multimodal_tpu.eval.threshold import apply_threshold
+            arrays["y_pred"] = apply_threshold(arrays["y_probs"],
+                                               threshold)
+        deploy_note = note or "argmax (no deployment.json)"
+    return model_name, arrays, deploy_note
 
 
 def main(argv=None) -> int:
@@ -108,11 +132,13 @@ def main(argv=None) -> int:
     print(f"Comparing on {len(ds)} {args.split} rows "
           f"(modalities: {sorted(needed)})")
 
-    _, arr_a = _evaluate_checkpoint(args.checkpoint_a, args.model_a,
-                                    ds, args)
-    _, arr_b = _evaluate_checkpoint(args.checkpoint_b, args.model_b,
-                                    ds, args)
+    _, arr_a, dep_a = _evaluate_checkpoint(args.checkpoint_a,
+                                           args.model_a, ds, args)
+    _, arr_b, dep_b = _evaluate_checkpoint(args.checkpoint_b,
+                                           args.model_b, ds, args)
     assert np.array_equal(arr_a["y_true"], arr_b["y_true"])
+    print(f"Decision rule A: {dep_a}")
+    print(f"Decision rule B: {dep_b}")
 
     report = compare_models(
         arr_a["y_true"], arr_a["y_pred"], arr_a["y_probs"],
@@ -122,6 +148,7 @@ def main(argv=None) -> int:
     report["checkpoint_b"] = str(args.checkpoint_b)
     report["model_a"], report["model_b"] = name_a, name_b
     report["split"] = args.split
+    report["decision_rule_a"], report["decision_rule_b"] = dep_a, dep_b
 
     print()
     print(format_report(report, name_a=name_a, name_b=name_b))

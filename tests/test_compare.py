@@ -194,3 +194,43 @@ def test_format_report_handles_undefined_metrics():
     s = format_report(rep, name_a="old", name_b="new")
     assert "undefined on this split" in s     # sensitivity/f1/mcc rows
     assert "only A correct" in s and "only B correct" in s
+
+
+def test_compare_cli_applies_deployment(compare_fixture, tmp_path):
+    """compare honors the predict/serve auto-apply contract: a persisted
+    threshold-0 deployment on B forces every B decision positive
+    (sensitivity 1, specificity 0); --ignore-deployment restores raw
+    argmax and the self-comparison collapses to zero flips."""
+    import shutil
+
+    from dfu_multimodal_tpu.cli import compare as cli
+    from dfu_multimodal_tpu.eval.deployment import save_deployment
+
+    root, rgb_dir, _ = compare_fixture
+    b_dir = tmp_path / "ckpt_b"
+    shutil.copytree(rgb_dir, b_dir)
+    save_deployment(b_dir, threshold=0.0, source="test")
+
+    out = tmp_path / "dep_report.json"
+    assert cli.main(["--checkpoint-a", str(rgb_dir),
+                     "--checkpoint-b", str(b_dir),
+                     "--data-dir", str(root),
+                     "--image-size", "32", "--batch-size", "8",
+                     "--compute-dtype", "float32",
+                     "--bootstrap", "50", "--out", str(out)]) == 0
+    rep = json.loads(out.read_text())
+    assert rep["decision_rule_b"].startswith("deployment.json")
+    assert "threshold=0.0000" in rep["decision_rule_b"]
+    assert rep["deltas"]["sensitivity"]["b"] == 1.0
+    assert rep["deltas"]["specificity"]["b"] == 0.0
+
+    out2 = tmp_path / "dep_report_ignored.json"
+    assert cli.main(["--checkpoint-a", str(rgb_dir),
+                     "--checkpoint-b", str(b_dir),
+                     "--data-dir", str(root),
+                     "--image-size", "32", "--batch-size", "8",
+                     "--compute-dtype", "float32", "--ignore-deployment",
+                     "--bootstrap", "50", "--out", str(out2)]) == 0
+    rep2 = json.loads(out2.read_text())
+    assert rep2["flip_table"]["n_flips"] == 0
+    assert rep2["decision_rule_b"] == "argmax (--ignore-deployment)"
