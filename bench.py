@@ -28,7 +28,7 @@ CPU_BASELINE_FILE = REPO_ROOT / "BASELINE_CPU.json"
 
 
 def build_forward(batch_size: int, image_size: int = 224,
-                  int8: bool = False):
+                  int8: bool = False, token_merge=None):
     import jax
     import jax.numpy as jnp
 
@@ -66,6 +66,17 @@ def build_forward(batch_size: int, image_size: int = 224,
             "multimodal", dtype=dtype, attention_impl=attention_impl,
             block_impl="fused_q8" if on_tpu else "fused_q8_interpret",
             rgb_impl="int8")
+    if token_merge is not None:
+        # ToMe serving path (models/vit.py token_merge): split the ViT
+        # branch's stacked encoder params and run two scans around one
+        # bipartite merge (measured 1.33-1.47x on the encoder chain,
+        # scripts_dev/bench_tome.py)
+        from dfu_multimodal_tpu.models.vit import split_encoder_variables
+        merge_at, keep = token_merge
+        variables = split_encoder_variables(variables, merge_at)
+        module, spec = zoo.build("multimodal", dtype=dtype,
+                                 attention_impl=attention_impl,
+                                 token_merge=(merge_at, keep))
     rgb_mod = config.rgb_modality()
     th_mod = config.thermal_modality()
 
@@ -110,7 +121,7 @@ def _tunnel_rtt_ms(repeats: int = 7) -> float:
 
 
 def measure(batch_size: int, iters: int, chain: int = 10,
-            int8: bool = False):
+            int8: bool = False, token_merge=None):
     """Steady-state throughput via a chained-scan program.
 
     ``chain`` forwards are serialized inside ONE device program by a
@@ -122,8 +133,8 @@ def measure(batch_size: int, iters: int, chain: int = 10,
     import jax.numpy as jnp
     import numpy as np
 
-    forward, variables, rgb, th, platform = build_forward(batch_size,
-                                                          int8=int8)
+    forward, variables, rgb, th, platform = build_forward(
+        batch_size, int8=int8, token_merge=token_merge)
     rtt_ms = _tunnel_rtt_ms()
 
     def chained(variables, rgb, th):
@@ -221,7 +232,13 @@ def main():
                         help="model for --train mode")
     parser.add_argument("--int8", action="store_true",
                         help="measure the int8 ViT serving path")
+    parser.add_argument("--token-merge", default=None, metavar="L:K",
+                        help="measure the ToMe serving path: L full-token "
+                             "encoder blocks, bipartite-merge to K tokens")
     args = parser.parse_args()
+    if args.token_merge:
+        args.token_merge = tuple(
+            int(v) for v in args.token_merge.split(":"))
 
     if args.train:
         import jax
@@ -265,7 +282,8 @@ def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     result = measure(args.batch_size or (128 if on_tpu else 4),
                      args.iters or (7 if on_tpu else 2),
-                     chain=10 if on_tpu else 2, int8=args.int8)
+                     chain=10 if on_tpu else 2, int8=args.int8,
+                     token_merge=args.token_merge)
 
     vs_baseline = None
     if CPU_BASELINE_FILE.exists():
@@ -278,7 +296,7 @@ def main():
     # + fwd + bwd + AdamW). Guarded: the headline inference metric survives
     # any secondary-measurement failure.
     train_ips = {}
-    if (on_tpu and not args.int8
+    if (on_tpu and not args.int8 and not args.token_merge
             and not os.environ.get("DFU_BENCH_SKIP_TRAIN")):
         for model in ("multimodal", "thermal_only", "rgb_only"):
             try:
@@ -289,7 +307,8 @@ def main():
                 print(f"train-throughput measurement failed ({model}): "
                       f"{exc}", file=sys.stderr)
     int8_ips = None
-    if on_tpu and not args.int8 and not os.environ.get("DFU_BENCH_SKIP_INT8"):
+    if (on_tpu and not args.int8 and not args.token_merge
+            and not os.environ.get("DFU_BENCH_SKIP_INT8")):
         try:
             q = measure(args.batch_size or 128, args.iters or 7, chain=10,
                         int8=True)
@@ -302,7 +321,7 @@ def main():
     # latency of the same fused bf16 path (chained-scan method, RTT
     # subtracted — device compute latency, not tunnel latency).
     b1_ms = b8_ms = None
-    if (on_tpu and not args.int8
+    if (on_tpu and not args.int8 and not args.token_merge
             and not os.environ.get("DFU_BENCH_SKIP_LATENCY")):
         try:
             # sub-ms per-iteration latencies need chains long enough to
@@ -325,7 +344,9 @@ def main():
     # ResNet50 ≈ 8.2 GF + ViT-B/16 (197 tok) ≈ 17.6 GF + fusion MLP
     # ≈ 25.9 GF total (eval forward; roofline tables in docs/DESIGN.md).
     mfu_pct = None
-    if on_tpu and not args.int8:
+    # (suppressed for --token-merge: merging cuts the per-image flops, so
+    # the 25.9 GF/img analytic model would overstate MFU)
+    if on_tpu and not args.int8 and not args.token_merge:
         flops_per_image = 25.9e9
         tf_per_s = (flops_per_image
                     * result["images_per_sec_per_chip"] / 1e12)
@@ -334,7 +355,11 @@ def main():
     print(json.dumps({
         "metric": ("fused_rgb_thermal_int8_inference_images_per_sec_per_chip"
                    if args.int8 else
+                   "fused_rgb_thermal_tome_inference_images_per_sec_per_chip"
+                   if args.token_merge else
                    "fused_rgb_thermal_inference_images_per_sec_per_chip"),
+        "token_merge": (list(args.token_merge)
+                        if args.token_merge else None),
         "value": round(result["images_per_sec_per_chip"], 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,

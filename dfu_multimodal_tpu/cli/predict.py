@@ -59,6 +59,14 @@ def build_parser() -> argparse.ArgumentParser:
                              "image's probabilities depend on which other "
                              "files are in --images; pin this for "
                              "reproducible deployments")
+    parser.add_argument("--token-merge", default=None, metavar="L:K",
+                        help="ViT-trunk token merging (thermal_only/"
+                             "multimodal): run L encoder blocks on the "
+                             "full 197 tokens, bipartite-merge to K "
+                             "tokens, run the remaining blocks reduced "
+                             "(e.g. 4:128 — ~1.3x ViT throughput; "
+                             "validate the accuracy cost on real data "
+                             "before deploying). bf16/fp32 only")
     parser.add_argument("--threshold", type=float, default=None,
                         help="classify ulcer when P(ulcer) >= this value "
                              "instead of argmax (0.5). Tune it on a "
@@ -171,6 +179,21 @@ def main(argv=None):
         trainer, state = quantize_for_serving(
             trainer, state, image_size=args.image_size, calib_u8=calib_u8,
             attention_impl=args.attention_impl)
+
+    if args.token_merge:
+        if args.int8:
+            raise SystemExit("--token-merge does not compose with --int8 "
+                             "yet: pick one serving optimization")
+        try:
+            merge_at, keep = (int(v) for v in args.token_merge.split(":"))
+        except ValueError:
+            raise SystemExit("--token-merge expects L:K (e.g. 4:128)")
+        from dfu_multimodal_tpu.serve.engine import tome_for_serving
+        trainer, state = tome_for_serving(
+            trainer, state, merge_at, keep, image_size=args.image_size,
+            attention_impl=args.attention_impl)
+        print(f"Token merging: {merge_at} full-token blocks, "
+              f"then {keep} tokens")
 
     n = len(paths)
     ds = ArrayDataset(arrays=arrays, labels=np.zeros(n, np.int32))

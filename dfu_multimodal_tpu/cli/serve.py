@@ -95,6 +95,14 @@ def build_parser() -> argparse.ArgumentParser:
                         help="REQUIRED with --int8 for models with an RGB "
                              "trunk: directory of images (first 32, sorted) "
                              "fixing the static int8 activation scales")
+    parser.add_argument("--token-merge", default=None, metavar="L:K",
+                        help="ViT-trunk token merging for thermal_only/"
+                             "multimodal models: L full-token encoder "
+                             "blocks, bipartite-merge to K tokens, rest "
+                             "reduced (~1.3x ViT throughput; validate "
+                             "accuracy on real data first). Non-ViT "
+                             "models in a --checkpoint-root router are "
+                             "served unmodified. bf16/fp32 only")
     parser.add_argument("--no-warmup", action="store_true",
                         help="skip pre-compiling the batch buckets "
                              "(first requests then pay XLA compiles)")
@@ -140,6 +148,27 @@ def restore_trainer(ckpt: Path, model_name, args, cfg, modalities):
         trainer, state = quantize_for_serving(
             trainer, state, image_size=args.image_size, calib_u8=calib_u8,
             attention_impl=args.attention_impl)
+
+    if getattr(args, "token_merge", None):
+        if args.int8:
+            raise SystemExit("--token-merge does not compose with --int8 "
+                             "yet: pick one serving optimization")
+        if model_name in ("thermal_only", "multimodal"):
+            from dfu_multimodal_tpu.serve.engine import tome_for_serving
+            try:
+                merge_at, keep = (int(v)
+                                  for v in args.token_merge.split(":"))
+            except ValueError:
+                raise SystemExit("--token-merge expects L:K (e.g. 4:128)")
+            trainer, state = tome_for_serving(
+                trainer, state, merge_at, keep,
+                image_size=args.image_size,
+                attention_impl=args.attention_impl)
+            print(f"{ckpt.name}: token merging ({merge_at} full-token "
+                  f"blocks, then {keep} tokens)")
+        else:
+            print(f"{ckpt.name}: --token-merge skipped "
+                  f"({model_name} has no ViT trunk)")
     return model_name, trainer, state
 
 

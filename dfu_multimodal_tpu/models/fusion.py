@@ -17,7 +17,7 @@ round-trips for small batches.
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -83,6 +83,9 @@ class MultimodalFusionClassifier(nn.Module):
     # int8 serving trunk (models/resnet_q8.py), params produced by
     # quantize_rgb_trunks.
     rgb_impl: str = "auto"
+    # inference-only ToMe token merging for the ViT branch
+    # (models/vit.py token_merge; load via split_encoder_variables)
+    token_merge: Optional[Tuple[int, int]] = None
 
     @nn.compact
     def __call__(self, rgb: jnp.ndarray, thermal: jnp.ndarray, *,
@@ -96,6 +99,7 @@ class MultimodalFusionClassifier(nn.Module):
                 rgb, train=train, taps=taps)                   # (B, 2048)
         thermal_feats = ViTBase16(self.dtype, self.attention_impl,
                                   self.block_impl,
+                                  token_merge=self.token_merge,
                                   name="thermal_branch")(
             thermal, train=train, taps=taps)                   # (B, 768)
         fused = jnp.concatenate([rgb_feats, thermal_feats], axis=-1)

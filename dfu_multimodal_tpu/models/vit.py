@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import field
-from typing import Any, Callable, Optional
+from typing import Any, Callable, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -391,6 +391,35 @@ def quantize_variables(variables, trunk_names=("ViT_0", "thermal_branch"),
             "params": new}
 
 
+def split_encoder_variables(variables, merge_at: int):
+    """Load-time transformation for the token-merge serving path: split
+    every ViT trunk's stacked ``encoder`` params (depth, ...) into
+    ``encoder`` ``[:merge_at]`` + ``encoder2`` ``[merge_at:]`` — the tree
+    a ``token_merge=(merge_at, keep)`` model declares. Same pattern as
+    :func:`quantize_variables` (restore the plain checkpoint, transform,
+    apply with the reconfigured module); composes with the int8 trees
+    (the split is purely structural). Returns new variables."""
+    import jax
+
+    params = variables["params"]
+    new = {}
+    for name, sub in params.items():
+        if isinstance(sub, dict) and "encoder" in sub:
+            enc = sub["encoder"]
+            depth = jax.tree.leaves(enc)[0].shape[0]
+            if not 0 < merge_at < depth:
+                raise ValueError(
+                    f"merge_at={merge_at} outside (0, {depth})")
+            rest = {k: v for k, v in sub.items() if k != "encoder"}
+            rest["encoder"] = jax.tree.map(lambda p: p[:merge_at], enc)
+            rest["encoder2"] = jax.tree.map(lambda p: p[merge_at:], enc)
+            new[name] = rest
+        else:
+            new[name] = sub
+    return {**{k: v for k, v in variables.items() if k != "params"},
+            "params": new}
+
+
 class EncoderBlock(nn.Module):
     num_heads: int = 12
     mlp_ratio: int = 4
@@ -461,6 +490,15 @@ class ViT(nn.Module):
     # calibration mode (flax blocks only): sow per-block activation
     # absmaxes for the static int8 converter
     calibrate: bool = False
+    # Inference-only token merging (ops/token_merge.py, ToMe-style):
+    # (merge_at, keep) runs blocks [0, merge_at) on the full 197 tokens,
+    # bipartite-merges down to ``keep`` tokens, and runs the remaining
+    # blocks at the reduced count — measured 1.33-1.47x on the 12-block
+    # fused encoder chain at b128 (scripts_dev/bench_tome.py). The param
+    # tree splits into ``encoder``/``encoder2`` stacks; serving code
+    # transforms restored checkpoints with :func:`split_encoder_variables`
+    # (the quantize_variables pattern). Requires scan_blocks.
+    token_merge: Optional[Tuple[int, int]] = None
 
     def _resolve_block(self):
         """Returns (block_cls, block_args) for the configured impl."""
@@ -529,7 +567,36 @@ class ViT(nn.Module):
             x = jnp.concatenate([cls_tok, patches], axis=1)
 
         block_cls, block_args = self._resolve_block()
-        if self.scan_blocks:
+        if self.token_merge is not None:
+            # Inference-only ToMe path: the depth splits into two scanned
+            # stacks around one bipartite merge (static shapes: N then
+            # ``keep``). Checkpoints store one (depth, ...) stack — load
+            # through split_encoder_variables.
+            from dfu_multimodal_tpu.ops.token_merge import bipartite_merge
+            if not self.scan_blocks:
+                raise ValueError("token_merge requires scan_blocks")
+            merge_at, keep = self.token_merge
+            if not 0 < merge_at < self.depth:
+                raise ValueError(f"merge_at must be in (0, {self.depth})")
+            r = x.shape[1] - keep
+            if r < 0:
+                raise ValueError(
+                    f"keep={keep} exceeds the {x.shape[1]} tokens")
+
+            def scan_of(length):
+                return nn.scan(
+                    block_cls,
+                    variable_axes={"params": 0, "calibration": 0},
+                    split_rngs={"params": True},
+                    length=length,
+                    metadata_params={nn.PARTITION_NAME: None},
+                )
+            x, _ = scan_of(merge_at)(*block_args, name="encoder")(x, None)
+            sizes = jnp.ones(x.shape[:2], jnp.float32)
+            x, _ = bipartite_merge(x, sizes, r)
+            x, _ = scan_of(self.depth - merge_at)(
+                *block_args, name="encoder2")(x, None)
+        elif self.scan_blocks:
             # One scanned block: params stacked (depth, ...), a single
             # compiled body — compile time and program size are O(1) in
             # depth instead of O(depth).
@@ -568,11 +635,13 @@ class ViTClassifier(nn.Module):
     dtype: Any = jnp.float32
     attention_impl: str = "auto"
     block_impl: str = "auto"
+    token_merge: Optional[Tuple[int, int]] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False,
                  taps: Taps = None) -> jnp.ndarray:
-        feats = ViTBase16(self.dtype, self.attention_impl, self.block_impl)(
+        feats = ViTBase16(self.dtype, self.attention_impl, self.block_impl,
+                          token_merge=self.token_merge)(
             x, train=train, taps=taps)
         feats = nn.Dropout(self.drop_rate, deterministic=not train)(feats)
         return nn.Dense(self.num_classes, dtype=jnp.float32,

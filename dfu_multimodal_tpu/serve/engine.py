@@ -125,6 +125,37 @@ def quantize_for_serving(trainer, state, image_size: int = 224,
     return qtrainer, qstate
 
 
+def tome_for_serving(trainer, state, merge_at: int, keep: int,
+                     image_size: int = 224, attention_impl: str = "auto"):
+    """Rebuild a restored (trainer, state) around the token-merge ViT
+    serving path (models/vit.py ``token_merge``, ops/token_merge.py):
+    blocks [0, merge_at) run on the full token set, one bipartite merge
+    reduces to ``keep`` tokens, the remaining blocks run reduced —
+    measured 1.33-1.47x on the 12-block encoder chain at b128
+    (scripts_dev/bench_tome.py, docs/DESIGN.md).
+
+    Inference-only and bf16/fp32-only in this version (compose with int8
+    is untested — quantize_for_serving rejects nothing here, so callers
+    gate the combination). The checkpoint's stacked ``encoder`` params
+    split into ``encoder``/``encoder2`` (split_encoder_variables).
+    Returns the new (trainer, state)."""
+    import jax
+
+    from dfu_multimodal_tpu.models.vit import split_encoder_variables
+    from dfu_multimodal_tpu.train.engine import Trainer
+
+    model_name = trainer.spec.name
+    svars = split_encoder_variables(trainer.variables(state), merge_at)
+    ttrainer = Trainer(model_name, trainer.cfg, trainer.modalities,
+                       attention_impl=attention_impl,
+                       token_merge=(merge_at, keep))
+    tstate = ttrainer.init_state(jax.random.PRNGKey(0),
+                                 image_size=image_size)
+    tstate = tstate.replace(params=svars["params"],
+                            batch_stats=svars.get("batch_stats", {}))
+    return ttrainer, tstate
+
+
 class EngineOverloaded(RuntimeError):
     """Raised by :meth:`ServingEngine.submit` when the bounded request
     queue (``max_queue``) is full — backpressure instead of unbounded

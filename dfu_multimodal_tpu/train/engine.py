@@ -175,7 +175,8 @@ class Trainer:
                  modalities: Dict[str, ModalityConfig],
                  class_weights: Optional[np.ndarray] = None,
                  mesh=None, attention_impl: str = "auto",
-                 block_impl: str = "auto", rgb_impl: str = "auto"):
+                 block_impl: str = "auto", rgb_impl: str = "auto",
+                 token_merge=None):
         # every CLI builds a Trainer, so this is the one chokepoint where
         # the persistent XLA compile cache can cover the whole product
         # surface (train -> eval -> predict -> serve are separate
@@ -235,6 +236,15 @@ class Trainer:
         # int8 ResNet serving trunk (models/resnet_q8.py): the fusion model
         # takes it as rgb_impl, the standalone classifiers (ResNet-50
         # rgb_only + the distilled ResNet-18 students) as block_impl
+        if token_merge is not None:
+            # inference-only ToMe serving path (models/vit.py token_merge;
+            # load checkpoints through split_encoder_variables — see
+            # serve.engine.tome_for_serving)
+            if spec_probe.name not in ("thermal_only", "multimodal"):
+                raise ValueError(
+                    f"token_merge applies to ViT-trunk models "
+                    f"(thermal_only/multimodal), not {spec_probe.name!r}")
+            kwargs["token_merge"] = tuple(token_merge)
         if spec_probe.name == "multimodal":
             kwargs["rgb_impl"] = rgb_impl
         elif (spec_probe.name in ("rgb_only", "resnet18_rgb",
