@@ -70,13 +70,17 @@ def build_forward(batch_size: int, image_size: int = 224,
         # ToMe serving path (models/vit.py token_merge): split the ViT
         # branch's stacked encoder params and run two scans around one
         # bipartite merge (measured 1.33-1.47x on the encoder chain,
-        # scripts_dev/bench_tome.py)
+        # scripts_dev/bench_tome.py). Composes with int8: the split is
+        # purely structural, so it applies to the quantized tree too.
         from dfu_multimodal_tpu.models.vit import split_encoder_variables
         merge_at, keep = token_merge
         variables = split_encoder_variables(variables, merge_at)
+        extra = ({"block_impl": "fused_q8" if on_tpu
+                  else "fused_q8_interpret", "rgb_impl": "int8"}
+                 if int8 else {})
         module, spec = zoo.build("multimodal", dtype=dtype,
                                  attention_impl=attention_impl,
-                                 token_merge=(merge_at, keep))
+                                 token_merge=(merge_at, keep), **extra)
     rgb_mod = config.rgb_modality()
     th_mod = config.thermal_modality()
 

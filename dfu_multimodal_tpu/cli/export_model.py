@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--calib-images", type=Path, default=None,
                         help="REQUIRED with --int8 for models with an RGB "
                              "trunk (static activation-scale calibration)")
+    parser.add_argument("--token-merge", default=None, metavar="L:K",
+                        help="freeze the token-merge ViT serving path "
+                             "(L full-token blocks, merge to K tokens; "
+                             "see serve --token-merge; composes with --int8)")
     parser.add_argument("--verify", action="store_true",
                         help="reload the bundle and check prob/pred parity "
                              "vs the live checkpoint forward")
@@ -85,6 +89,7 @@ def main(argv=None):
         trainer, state, args.out, image_size=args.image_size,
         max_batch=args.max_batch, buckets=buckets, platforms=platforms,
         extra_meta={"int8": bool(args.int8),
+                    "token_merge": args.token_merge,
                     "checkpoint": str(args.checkpoint)})
     # carry the checkpoint's val-tuned deployment config (threshold /
     # temperature, extended_metrics --save-deployment) into the bundle —

@@ -66,7 +66,8 @@ def build_parser() -> argparse.ArgumentParser:
                              "tokens, run the remaining blocks reduced "
                              "(e.g. 4:128 — ~1.3x ViT throughput; "
                              "validate the accuracy cost on real data "
-                             "before deploying). bf16/fp32 only")
+                             "before deploying; composes with --int8: "
+                             "5300 img/s/chip combined)")
     parser.add_argument("--threshold", type=float, default=None,
                         help="classify ulcer when P(ulcer) >= this value "
                              "instead of argmax (0.5). Tune it on a "
@@ -181,9 +182,8 @@ def main(argv=None):
             attention_impl=args.attention_impl)
 
     if args.token_merge:
-        if args.int8:
-            raise SystemExit("--token-merge does not compose with --int8 "
-                             "yet: pick one serving optimization")
+        # composes with --int8: tome_for_serving preserves the quantized
+        # block impls (measured 5300 img/s/chip combined, docs/DESIGN.md)
         try:
             merge_at, keep = (int(v) for v in args.token_merge.split(":"))
         except ValueError:

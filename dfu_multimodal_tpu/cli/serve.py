@@ -22,7 +22,8 @@ Then:
 Single-image p50 on the fused bf16 path is ~0.6 ms of device compute
 (docs/DESIGN.md latency row); the batcher coalesces concurrent requests
 into power-of-two buckets so throughput under load approaches the b128
-serving numbers (3307 img/s bf16 / 4125 img/s int8 per chip).
+serving numbers (~3375 img/s bf16 / ~4100 int8 / 4266 bf16+token-merge /
+5300 int8+token-merge per chip, docs/DESIGN.md).
 """
 
 from __future__ import annotations
@@ -102,7 +103,7 @@ def build_parser() -> argparse.ArgumentParser:
                              "reduced (~1.3x ViT throughput; validate "
                              "accuracy on real data first). Non-ViT "
                              "models in a --checkpoint-root router are "
-                             "served unmodified. bf16/fp32 only")
+                             "served unmodified; composes with --int8")
     parser.add_argument("--no-warmup", action="store_true",
                         help="skip pre-compiling the batch buckets "
                              "(first requests then pay XLA compiles)")
@@ -150,9 +151,6 @@ def restore_trainer(ckpt: Path, model_name, args, cfg, modalities):
             attention_impl=args.attention_impl)
 
     if getattr(args, "token_merge", None):
-        if args.int8:
-            raise SystemExit("--token-merge does not compose with --int8 "
-                             "yet: pick one serving optimization")
         if model_name in ("thermal_only", "multimodal"):
             from dfu_multimodal_tpu.serve.engine import tome_for_serving
             try:

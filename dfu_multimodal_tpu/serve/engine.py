@@ -134,11 +134,12 @@ def tome_for_serving(trainer, state, merge_at: int, keep: int,
     measured 1.33-1.47x on the 12-block encoder chain at b128
     (scripts_dev/bench_tome.py, docs/DESIGN.md).
 
-    Inference-only and bf16/fp32-only in this version (compose with int8
-    is untested — quantize_for_serving rejects nothing here, so callers
-    gate the combination). The checkpoint's stacked ``encoder`` params
-    split into ``encoder``/``encoder2`` (split_encoder_variables).
-    Returns the new (trainer, state)."""
+    Inference-only. Composes with int8: pass the quantize_for_serving
+    output in and the quantized block impls are preserved (the split is
+    purely structural) — measured 4092 -> 5300 img/s/chip b128 with
+    int8 + L=2 K=128 (docs/DESIGN.md). The checkpoint's stacked
+    ``encoder`` params split into ``encoder``/``encoder2``
+    (split_encoder_variables). Returns the new (trainer, state)."""
     import jax
 
     from dfu_multimodal_tpu.models.vit import split_encoder_variables
@@ -148,6 +149,10 @@ def tome_for_serving(trainer, state, merge_at: int, keep: int,
     svars = split_encoder_variables(trainer.variables(state), merge_at)
     ttrainer = Trainer(model_name, trainer.cfg, trainer.modalities,
                        attention_impl=attention_impl,
+                       block_impl=getattr(trainer.module, "block_impl",
+                                          "auto"),
+                       rgb_impl=getattr(trainer.module, "rgb_impl",
+                                        "auto"),
                        token_merge=(merge_at, keep))
     tstate = ttrainer.init_state(jax.random.PRNGKey(0),
                                  image_size=image_size)

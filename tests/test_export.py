@@ -216,3 +216,35 @@ def test_export_distilled_student_bundle(tmp_path):
     np.testing.assert_allclose([p for p, _ in got],
                                np.asarray(live["probs"]), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_export_cli_token_merge(tmp_path):
+    """A token-merge ViT bundle exports and replays: the checkpoint's
+    single-scan encoder params split at load (split_encoder_variables via
+    serve.restore_trainer), the frozen program runs the two-scan merged
+    forward, and --verify parity-checks it against the live merged step."""
+    from dfu_multimodal_tpu import config
+    from dfu_multimodal_tpu.cli import export_model
+    from dfu_multimodal_tpu.train.engine import Trainer
+
+    cfg = config.TrainConfig(batch_size=2, eval_batch_size=2,
+                             compute_dtype="float32",
+                             mesh=config.MeshConfig(data=1, model=1))
+    trainer = Trainer("thermal_only", cfg,
+                      {"thermal": config.thermal_modality()})
+    state = trainer.init_state(jax.random.PRNGKey(0), image_size=SIZE)
+    ckpt = tmp_path / "ckpt"
+    ckpt_mod.save_checkpoint(ckpt, epoch=1,
+                             model_state=trainer.variables(state),
+                             opt_state=state.opt_state, val_f1=0.5,
+                             history={},
+                             extra_meta={"model": "thermal_only"})
+    out = tmp_path / "bundle"
+    meta = export_model.main([
+        "--checkpoint", str(ckpt), "--out", str(out),
+        "--image-size", str(SIZE), "--buckets", "1,2",
+        "--compute-dtype", "float32", "--attention-impl", "xla",
+        "--token-merge", "2:3", "--verify"])
+    assert meta["token_merge"] == "2:3"
+    servable = load_bundle(out)
+    assert servable.spec.name == "thermal_only"
