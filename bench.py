@@ -320,6 +320,22 @@ def main():
         except Exception as exc:                      # pragma: no cover
             print(f"int8-throughput measurement failed: {exc}",
                   file=sys.stderr)
+    # opt-in serving optimizations, recorded alongside the parity-path
+    # headline: token merging (L=2 K=128, docs/DESIGN.md) and its int8
+    # composition — the measured serving ceiling
+    tome_ips = int8_tome_ips = None
+    if (on_tpu and not args.int8 and not args.token_merge
+            and not os.environ.get("DFU_BENCH_SKIP_TOME")):
+        try:
+            t = measure(args.batch_size or 128, args.iters or 7, chain=10,
+                        token_merge=(2, 128))
+            tome_ips = round(t["images_per_sec_per_chip"], 2)
+            t = measure(args.batch_size or 128, args.iters or 7, chain=10,
+                        int8=True, token_merge=(2, 128))
+            int8_tome_ips = round(t["images_per_sec_per_chip"], 2)
+        except Exception as exc:                      # pragma: no cover
+            print(f"token-merge measurement failed: {exc}",
+                  file=sys.stderr)
 
     # Clinical serving is batch-1-to-8: record small-batch p50 device
     # latency of the same fused bf16 path (chained-scan method, RTT
@@ -376,6 +392,8 @@ def main():
             train_ips.get("thermal_only"),
         "rgb_train_images_per_sec_per_chip": train_ips.get("rgb_only"),
         "int8_serving_images_per_sec_per_chip": int8_ips,
+        "tome_serving_images_per_sec_per_chip": tome_ips,
+        "int8_tome_serving_images_per_sec_per_chip": int8_tome_ips,
         "b1_p50_latency_ms": b1_ms,
         "b8_p50_latency_ms": b8_ms,
         "approx_serving_mfu_pct": mfu_pct,

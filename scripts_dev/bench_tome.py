@@ -65,6 +65,17 @@ def encoder(x, w, merge_at=None, keep=None):
     return run_blocks(x, w, 12 - merge_at)
 
 
+def encoder_multi(x, w, schedule):
+    """schedule: ((L0, K0), (L1, K1), ...) — merge to Ki after block Li."""
+    sizes = jnp.ones(x.shape[:2], jnp.float32)
+    done = 0
+    for at, keep in schedule:
+        x = run_blocks(x, w, at - done)
+        done = at
+        x, sizes = bipartite_merge(x, sizes, x.shape[1] - keep)
+    return run_blocks(x, w, 12 - done)
+
+
 def rtt_ms():
     f = jax.jit(lambda v: v + 1)
     z = jnp.zeros((2, 2))
@@ -113,6 +124,11 @@ def main():
         print(f"tome L={merge_at} K={keep}:{'':8s}{t:7.2f} ms  "
               f"({B / t * 1e3:7.0f} img/s)  "
               f"speedup {base / t:4.2f}x")
+    for sched in (((2, 128), (6, 64)), ((2, 128), (7, 96)),
+                  ((2, 160), (5, 128), (8, 96))):
+        t = timeit(lambda v, ww, s=sched: encoder_multi(v, ww, s), w, x)
+        print(f"tome multi {sched}: {t:7.2f} ms  "
+              f"({B / t * 1e3:7.0f} img/s)  speedup {base / t:4.2f}x")
 
 
 if __name__ == "__main__":
