@@ -104,6 +104,21 @@ def build_parser() -> argparse.ArgumentParser:
                              "accuracy on real data first). Non-ViT "
                              "models in a --checkpoint-root router are "
                              "served unmodified; composes with --int8")
+    parser.add_argument("--explain", action="store_true",
+                        help="enable POST /v1/explain: per-request "
+                             "Grad-CAM evidence heatmaps (serve/"
+                             "explain.py). Explanations always "
+                             "differentiate the full-fidelity restored "
+                             "checkpoint, even when predictions serve "
+                             "int8/token-merge rebuilds. Checkpoint "
+                             "models only (exported bundles carry no "
+                             "model source)")
+    parser.add_argument("--explain-class", default="pred",
+                        choices=["pred", "0", "1"],
+                        help="which class logit the CAM explains: the "
+                             "served decision ('pred', default) or a "
+                             "fixed class ('0' matches the offline "
+                             "CLI's reference-parity quirk)")
     parser.add_argument("--no-warmup", action="store_true",
                         help="skip pre-compiling the batch buckets "
                              "(first requests then pay XLA compiles)")
@@ -116,10 +131,16 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
-def restore_trainer(ckpt: Path, model_name, args, cfg, modalities):
+def restore_trainer(ckpt: Path, model_name, args, cfg, modalities,
+                    keep_base: bool = False):
     """Restore (name, trainer, state) from a checkpoint dir, applying the
     int8 serving quantization when ``args.int8`` — shared by the serving
-    daemon and the export CLI (cli/export_model.py)."""
+    daemon and the export CLI (cli/export_model.py).
+
+    ``keep_base=True`` returns ``(name, trainer, state, (base_trainer,
+    base_state))`` where the base pair is the PRE-int8/token-merge
+    restore — the full-fidelity model the serving-time explainer
+    differentiates (serve/explain.py)."""
     from dfu_multimodal_tpu.serve.engine import quantize_for_serving
     from dfu_multimodal_tpu.train.engine import Trainer
     from dfu_multimodal_tpu.utils import checkpoint as ckpt_mod
@@ -129,6 +150,7 @@ def restore_trainer(ckpt: Path, model_name, args, cfg, modalities):
     trainer = Trainer(model_name, cfg, modalities,
                       attention_impl=args.attention_impl)
     state = trainer.restore(ckpt, image_size=args.image_size)
+    base = (trainer, state)
 
     if args.int8:
         from dfu_multimodal_tpu.serve.engine import RESNET_TRUNK_MODELS
@@ -167,6 +189,8 @@ def restore_trainer(ckpt: Path, model_name, args, cfg, modalities):
         else:
             print(f"{ckpt.name}: --token-merge skipped "
                   f"({model_name} has no ViT trunk)")
+    if keep_base:
+        return model_name, trainer, state, base
     return model_name, trainer, state
 
 
@@ -201,15 +225,22 @@ def _drift_monitor(directory: Path, args):
 def _load_engine(ckpt: Path, model_name, args, cfg, modalities):
     from dfu_multimodal_tpu.serve.engine import ServingEngine
 
-    model_name, trainer, state = restore_trainer(ckpt, model_name, args,
-                                                 cfg, modalities)
+    model_name, trainer, state, base = restore_trainer(
+        ckpt, model_name, args, cfg, modalities, keep_base=True)
+    explainer = None
+    if getattr(args, "explain", False):
+        from dfu_multimodal_tpu.serve.explain import Explainer
+        cls = args.explain_class
+        explainer = Explainer(base[0], base[1],
+                              class_index="pred" if cls == "pred" else cls)
+        print(f"{ckpt.name}: /v1/explain on (class={cls})")
     threshold, temperature = _resolve_deployment(ckpt, args)
     return model_name, ServingEngine(
         trainer, state, image_size=args.image_size,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
         pipeline_depth=args.pipeline_depth, threshold=threshold,
         temperature=temperature, max_queue=args.max_queue,
-        drift_monitor=_drift_monitor(ckpt, args))
+        drift_monitor=_drift_monitor(ckpt, args), explainer=explainer)
 
 
 def main(argv=None):

@@ -167,6 +167,13 @@ class EngineOverloaded(RuntimeError):
     memory growth under overload.  The HTTP layer maps it to 503."""
 
 
+class ExplainUnavailable(RuntimeError):
+    """Raised by :meth:`ServingEngine.submit_explain` when the engine was
+    built without an :class:`serve.explain.Explainer` (exported bundles
+    have no model source to differentiate; checkpoint engines opt in via
+    ``serve --explain``).  The HTTP layer maps it to 501."""
+
+
 class ServingEngine:
     """Coalesce concurrent single-image requests into bucketed batches.
 
@@ -189,7 +196,7 @@ class ServingEngine:
                  threshold: Optional[float] = None,
                  temperature: Optional[float] = None,
                  max_queue: Optional[int] = None,
-                 drift_monitor=None):
+                 drift_monitor=None, explainer=None):
         # clinical operating point: predict Ulcer when P(ulcer) >=
         # threshold instead of argmax (eval/threshold.py picks one on a
         # validation split); None keeps the default argmax prediction
@@ -239,6 +246,14 @@ class ServingEngine:
         self.max_queue = None if max_queue is None else int(max_queue)
         self._queue: "queue.Queue" = queue.Queue(
             maxsize=0 if self.max_queue is None else self.max_queue)
+        # serving-time Grad-CAM (serve/explain.py::Explainer, built from
+        # the full-fidelity checkpoint, NOT the int8/tome rebuild); None
+        # disables /v1/explain for this model.  Explain requests wait in
+        # their own small bounded queue and run one-at-a-time on the
+        # batcher thread between predict batches — rare, human-initiated
+        # traffic that must never starve the predict path.
+        self.explainer = explainer
+        self._explain_queue: "queue.Queue" = queue.Queue(maxsize=64)
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._lock = threading.Lock()
@@ -247,6 +262,7 @@ class ServingEngine:
         self._requests = 0
         self._errors = 0
         self._rejected = 0
+        self._explains = 0
 
     # ------------------------------------------------------------ lifecycle
 
@@ -275,12 +291,14 @@ class ServingEngine:
                 return
             self._thread = None
         # fail any stragglers enqueued after the drain
-        while True:
-            try:
-                item = self._queue.get_nowait()
-            except queue.Empty:
-                break
-            item[1].set_exception(RuntimeError("serving engine stopped"))
+        for q in (self._queue, self._explain_queue):
+            while True:
+                try:
+                    item = q.get_nowait()
+                except queue.Empty:
+                    break
+                item[1].set_exception(
+                    RuntimeError("serving engine stopped"))
 
     def __enter__(self) -> "ServingEngine":
         return self.start()
@@ -299,17 +317,7 @@ class ServingEngine:
         sample raises to its own caller instead of blowing up inside the
         batcher's shared assembly and failing every request coalesced
         into the same batch."""
-        S = self.image_size
-        for m, arr in sample.items():
-            if m not in self.inputs:
-                raise ValueError(
-                    f"unknown modality {m!r}; model takes "
-                    f"{list(self.inputs)}")
-            a = np.asarray(arr)
-            if a.shape != (S, S, 3) or a.dtype != np.uint8:
-                raise ValueError(
-                    f"sample[{m!r}] must be ({S}, {S}, 3) uint8, got "
-                    f"{a.shape} {a.dtype}")
+        self._validate_sample(sample)
         fut: Future = Future()
         try:
             self._queue.put_nowait((sample, fut, time.monotonic()))
@@ -326,6 +334,68 @@ class ServingEngine:
         futs = [self.submit(s) for s in samples]
         return [f.result() for f in futs]
 
+    def _validate_sample(self, sample: Dict[str, np.ndarray]) -> None:
+        S = self.image_size
+        for m, arr in sample.items():
+            if m not in self.inputs:
+                raise ValueError(
+                    f"unknown modality {m!r}; model takes "
+                    f"{list(self.inputs)}")
+            a = np.asarray(arr)
+            if a.shape != (S, S, 3) or a.dtype != np.uint8:
+                raise ValueError(
+                    f"sample[{m!r}] must be ({S}, {S}, 3) uint8, got "
+                    f"{a.shape} {a.dtype}")
+
+    def submit_explain(self, sample: Dict[str, np.ndarray]) -> Future:
+        """Enqueue one Grad-CAM explanation request.  Returns a Future of
+        ``{"prob_ulcer", "prediction", "cams": {modality: {"cam",
+        "method"}}}`` — probabilities carry the engine's deployment
+        tuning (temperature/threshold), exactly like :meth:`submit`
+        results, so the explained decision IS the served decision.
+        Raises :class:`ExplainUnavailable` when the engine was built
+        without an explainer (HTTP maps it to 501)."""
+        if self.explainer is None:
+            raise ExplainUnavailable(
+                f"model {self.model_name!r} is served without "
+                "explanations (start the daemon with --explain)")
+        self._validate_sample(sample)
+        if not sample:
+            raise ValueError("explanation needs at least one modality")
+        fut: Future = Future()
+        try:
+            self._explain_queue.put_nowait((sample, fut, time.monotonic()))
+        except queue.Full:
+            with self._lock:
+                self._rejected += 1
+            raise EngineOverloaded("explanation queue full; retry")
+        return fut
+
+    def _run_explains(self, max_items: int = 4) -> None:
+        """Drain up to ``max_items`` queued explanation requests on the
+        batcher thread (one forward+backward each)."""
+        for _ in range(max_items):
+            try:
+                sample, fut, _t0 = self._explain_queue.get_nowait()
+            except queue.Empty:
+                return
+            try:
+                out = self.explainer.explain_one(sample)
+                # explainer probs are the (2,) softmax; the serving
+                # contract is P(ulcer) + the deployment-tuned decision
+                probs, preds = self._apply_deployment(
+                    np.asarray([out["probs"][1]], np.float64))
+                fut.set_result({"prob_ulcer": float(probs[0]),
+                                "prediction": int(preds[0]),
+                                "cams": out["cams"]})
+                with self._lock:
+                    self._explains += 1
+            except Exception as exc:
+                if not fut.done():
+                    fut.set_exception(exc)
+                with self._lock:
+                    self._errors += 1
+
     def warmup(self) -> None:
         """Compile every bucket's program before taking traffic (first
         compile is seconds; steady-state must never pay it)."""
@@ -334,6 +404,10 @@ class ServingEngine:
         for bucket in self.buckets:
             self._execute([(dict(zero), Future(), time.monotonic())
                            for _ in range(bucket)], record=False)
+        if self.explainer is not None:
+            # the forward+backward explanation program compiles too —
+            # a clinician's first click must not pay an XLA compile
+            self.explainer.warmup(self.image_size)
 
     # ------------------------------------------------------------- batcher
 
@@ -390,6 +464,10 @@ class ServingEngine:
             if pending is not None:
                 self._resolve(*pending)
             pending = handle
+            if self.explainer is not None:
+                # between predict batches; ≤4 per pass so a burst of
+                # explain clicks cannot starve the predict path
+                self._run_explains()
         if pending is not None:
             self._resolve(*pending)
 
@@ -437,15 +515,9 @@ class ServingEngine:
         and fan them out to the request futures."""
         n = len(items)
         try:
-            probs = np.asarray(out["probs"])[:n]
-            if self.temperature is not None:
-                from dfu_multimodal_tpu.eval.calibration import (
-                    apply_temperature)
-                probs = apply_temperature(probs, self.temperature)
-            if self.threshold is not None:
-                preds = (probs >= self.threshold).astype(np.int64)
-            else:
-                preds = np.asarray(out["preds"])[:n]
+            probs, preds = self._apply_deployment(
+                np.asarray(out["probs"])[:n],
+                np.asarray(out["preds"])[:n])
         except Exception as exc:
             self._fail(items, exc, record)
             return
@@ -460,6 +532,22 @@ class ServingEngine:
             with self._lock:
                 self._requests += n
                 self._batch_sizes[n] += 1
+
+    def _apply_deployment(self, probs: np.ndarray,
+                          preds: Optional[np.ndarray] = None):
+        """Deployment tuning on a (B,) P(ulcer) vector: temperature-scale
+        the probabilities, then decide by the explicit threshold when one
+        is configured (else keep the model's argmax ``preds``, or the
+        equivalent 0.5 cut when the caller has none)."""
+        if self.temperature is not None:
+            from dfu_multimodal_tpu.eval.calibration import (
+                apply_temperature)
+            probs = apply_temperature(probs, self.temperature)
+        if self.threshold is not None:
+            preds = (probs >= self.threshold).astype(np.int64)
+        elif preds is None:
+            preds = (probs >= 0.5).astype(np.int64)
+        return probs, preds
 
     def _fail(self, items, exc, record: bool) -> None:
         for _, fut, _ in items:
@@ -482,12 +570,14 @@ class ServingEngine:
             lat = np.asarray(self._latencies, np.float64) * 1e3
             sizes = dict(sorted(self._batch_sizes.items()))
             requests, errors = self._requests, self._errors
-            rejected = self._rejected
+            rejected, explains = self._rejected, self._explains
         out = {"model": self.model_name,
                "inputs": list(self.inputs),
                "requests": requests,
                "errors": errors,
                "rejected": rejected,
+               "explains": explains,
+               "explain_enabled": self.explainer is not None,
                "queue_depth": self._queue.qsize(),
                "buckets": list(self.buckets),
                "batch_size_hist": sizes}

@@ -20,6 +20,11 @@ Endpoints:
   alone hits rgb_only, both modalities hit the fusion model — unless the
   path names one explicitly.
   Response: ``{"prob_ulcer", "prediction", "model", "latency_ms"}``.
+- ``POST /v1/explain[/<model>]`` — same request shapes; responds with
+  the prediction PLUS per-modality Grad-CAM evidence (base64 PNG JET
+  overlay on the submitted image + raw heatmap; serve/explain.py).
+  501 when the daemon runs without ``--explain`` (or for exported
+  bundles, which carry no differentiable model source).
 - ``GET /healthz`` — liveness + served model identities.
 - ``GET /metrics`` — engine counters and latency percentiles (JSON;
   per-model when serving several).
@@ -98,6 +103,10 @@ class PredictHandler(BaseHTTPRequestHandler):
                    if e.threshold is not None or e.temperature is not None}
             if dep:
                 health["deployment"] = dep
+            explain = sorted(n for n, e in self.router.engines.items()
+                             if e.explainer is not None)
+            if explain:
+                health["explain"] = explain
             # input-drift verdict per monitored model (PSI vs the
             # training-split baseline, eval/drift.py) — the ops signal
             # that the camera/site distribution moved
@@ -173,9 +182,11 @@ class PredictHandler(BaseHTTPRequestHandler):
         parts = [p for p in self.path.split("/") if p]
         if parts[:1] == ["v1"]:
             parts = parts[1:]
-        if not parts or parts[0] != "predict" or len(parts) > 2:
+        if (not parts or parts[0] not in ("predict", "explain")
+                or len(parts) > 2):
             self._send_json(404, {"error": f"unknown path {self.path}"})
             return
+        op = parts[0]
         explicit = parts[1] if len(parts) == 2 else None
         t0 = time.monotonic()
         try:
@@ -201,6 +212,9 @@ class PredictHandler(BaseHTTPRequestHandler):
         except Exception as exc:
             self._send_json(400, {"error": f"undecodable image: {exc}"})
             return
+        if op == "explain":
+            self._do_explain(engine, sample, t0)
+            return
         try:
             fut = engine.submit(sample)
         except Exception as exc:   # bounded queue full (EngineOverloaded)
@@ -221,6 +235,49 @@ class PredictHandler(BaseHTTPRequestHandler):
             "prob_ulcer": round(prob, 6),
             "prediction": "ulcer" if pred == 1 else "healthy",
             "model": engine.model_name,
+            "latency_ms": round((time.monotonic() - t0) * 1e3, 3)})
+
+    def _do_explain(self, engine: ServingEngine,
+                    sample: Dict[str, np.ndarray], t0: float) -> None:
+        """POST /v1/explain[/<model>] — same request shapes as predict;
+        the response adds per-modality Grad-CAM evidence: a JET overlay
+        PNG on the submitted image plus the raw heatmap PNG (base64).
+        PNG rendering runs HERE, on the request thread — the batcher
+        thread only computes the CAM tensors (serve/explain.py)."""
+        from dfu_multimodal_tpu.serve.engine import (EngineOverloaded,
+                                                     ExplainUnavailable)
+        from dfu_multimodal_tpu.serve.explain import (encode_png,
+                                                      render_overlay)
+        try:
+            fut = engine.submit_explain(sample)
+        except ExplainUnavailable as exc:
+            self._send_json(501, {"error": str(exc)})
+            return
+        except EngineOverloaded as exc:
+            self._send_json(503, {"error": str(exc)})
+            return
+        try:
+            out = fut.result(timeout=120.0)
+        except Exception as exc:
+            self._send_json(500, {"error": f"explanation failed: {exc}"})
+            return
+        explanations = {}
+        for m, cam_out in out["cams"].items():
+            cam = cam_out["cam"]
+            cam_u8 = (np.clip(cam, 0.0, 1.0) * 255).astype(np.uint8)
+            explanations[m] = {
+                "method": cam_out["method"],
+                "overlay_png": base64.b64encode(
+                    render_overlay(sample[m], cam)).decode(),
+                "cam_png": base64.b64encode(
+                    encode_png(np.repeat(cam_u8[..., None], 3,
+                                         axis=-1))).decode()}
+        self._send_json(200, {
+            "prob_ulcer": round(out["prob_ulcer"], 6),
+            "prediction": "ulcer" if out["prediction"] == 1 else "healthy",
+            "model": engine.model_name,
+            "class_explained": engine.explainer.class_index,
+            "explanations": explanations,
             "latency_ms": round((time.monotonic() - t0) * 1e3, 3)})
 
 
