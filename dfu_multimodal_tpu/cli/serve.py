@@ -104,6 +104,18 @@ def build_parser() -> argparse.ArgumentParser:
                              "accuracy on real data first). Non-ViT "
                              "models in a --checkpoint-root router are "
                              "served unmodified; composes with --int8")
+    parser.add_argument("--shadow", type=Path, action="append",
+                        default=None,
+                        help="shadow-deploy a candidate checkpoint: it "
+                             "scores every request its matching primary "
+                             "answers (matched by input modalities, like "
+                             "request routing) but never responds; "
+                             "/metrics reports live decision agreement, "
+                             "flips and probability deltas "
+                             "(serve/shadow.py). Repeatable, one shadow "
+                             "per primary. The shadow applies its OWN "
+                             "deployment.json (as-deployed comparison); "
+                             "served fp32/bf16 full-fidelity")
     parser.add_argument("--explain", action="store_true",
                         help="enable POST /v1/explain: per-request "
                              "Grad-CAM evidence heatmaps (serve/"
@@ -292,12 +304,45 @@ def main(argv=None):
             drift_monitor=_drift_monitor(Path(bundle), args))
     router = ModelRouter(engines)
 
+    shadows = []
+    for sh in (args.shadow or []):
+        import copy
+
+        from dfu_multimodal_tpu.serve.engine import ServingEngine
+        from dfu_multimodal_tpu.serve.shadow import attach_shadow
+
+        # shadows serve full-fidelity with their OWN deployment.json:
+        # the comparison is candidate-as-it-would-deploy vs the live
+        # primary, independent of the primary's --int8/--threshold flags
+        sh_args = copy.copy(args)
+        sh_args.int8 = False
+        sh_args.token_merge = None
+        sh_args.threshold = None
+        sh_args.temperature = None
+        name, trainer, state = restore_trainer(sh, None, sh_args, cfg,
+                                               modalities)
+        thr, temp = _resolve_deployment(sh, sh_args)
+        eng = ServingEngine(
+            trainer, state, image_size=args.image_size,
+            max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+            threshold=thr, temperature=temp, max_queue=args.max_queue)
+        try:
+            tracker = attach_shadow(router, eng)
+        except KeyError as exc:
+            raise SystemExit(f"--shadow {sh}: {exc}")
+        print(f"{sh.name}: {name} shadowing {tracker.primary_name}")
+        shadows.append(tracker)
+
     if not args.no_warmup:
         for name, engine in engines.items():
             print(f"warming {name}: buckets {list(engine.buckets)} ...",
                   flush=True)
         router.warmup()
+        for tracker in shadows:
+            tracker.warmup()
     router.start()
+    for tracker in shadows:
+        tracker.start()
 
     server = make_server(router, args.host, args.port)
     # SIGTERM (the orchestrator's stop signal) drains like Ctrl-C: stop
@@ -323,6 +368,8 @@ def main(argv=None):
     finally:
         server.server_close()
         router.stop()
+        for tracker in shadows:
+            tracker.stop()
         print(f"shutdown: {router.stats()}", flush=True)
     return router.stats()
 

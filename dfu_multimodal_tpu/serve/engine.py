@@ -254,6 +254,10 @@ class ServingEngine:
         # traffic that must never starve the predict path.
         self.explainer = explainer
         self._explain_queue: "queue.Queue" = queue.Queue(maxsize=64)
+        # shadow deployment (serve/shadow.py::ShadowTracker): a candidate
+        # engine fed this engine's live traffic fire-and-forget; set via
+        # shadow.attach_shadow, never answers requests
+        self.shadow = None
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._lock = threading.Lock()
@@ -595,6 +599,8 @@ class ServingEngine:
                 out["drift"] = self.drift_monitor.report()
             except Exception as exc:            # pragma: no cover
                 out["drift"] = {"verdict": "error", "error": str(exc)}
+        if self.shadow is not None:
+            out["shadow"] = self.shadow.stats()
         return out
 
 
