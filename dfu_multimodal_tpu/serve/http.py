@@ -129,6 +129,16 @@ class PredictHandler(BaseHTTPRequestHandler):
             self._send_json(200, health)
         elif self.path == "/metrics":
             self._send_json(200, self.router.stats())
+        elif self.path == "/metrics/prometheus":
+            from dfu_multimodal_tpu.serve.prometheus import (
+                render_prometheus)
+            body = render_prometheus(self.router).encode()
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             "text/plain; version=0.0.4; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         else:
             self._send_json(404, {"error": f"unknown path {self.path}"})
 
