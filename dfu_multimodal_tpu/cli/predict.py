@@ -5,7 +5,8 @@ dirs); this is the serving-style entry point: point it at ANY directory (or
 paired rgb/thermal directories), get per-image probabilities + a CSV.
 
     python -m dfu_multimodal_tpu.cli.predict --checkpoint logs/checkpoints_rgb_only \
-        --images <dir> [--thermal-images <dir>] [--output preds.csv]
+        --images <dir> [--thermal-images <dir>] [--output preds.csv] \
+        [--explain-dir <dir>]   # Grad-CAM evidence overlay per image
 """
 
 from __future__ import annotations
@@ -87,6 +88,19 @@ def build_parser() -> argparse.ArgumentParser:
                              "program). 0 = off")
     parser.add_argument("--seed", type=int, default=0,
                         help="PRNG seed for the --tta augmentations")
+    parser.add_argument("--explain-dir", type=Path, default=None,
+                        help="write a Grad-CAM evidence overlay PNG per "
+                             "image (per provided modality) into this "
+                             "directory — the offline counterpart of the "
+                             "serving daemon's /v1/explain. Overlays "
+                             "always differentiate the full-fidelity "
+                             "checkpoint, even with --int8/--token-merge")
+    parser.add_argument("--explain-class", default="pred",
+                        choices=["pred", "0", "1"],
+                        help="class logit the CAM explains: the model's "
+                             "predicted class per image (default) or a "
+                             "fixed class ('0' matches the offline "
+                             "grad_cam CLI's reference-parity quirk)")
     parser.add_argument("--drift-check", action="store_true",
                         help="score the inputs' intensity distribution "
                              "against the checkpoint's training-split "
@@ -100,6 +114,57 @@ def build_parser() -> argparse.ArgumentParser:
                              "--save-deployment); explicit flags always "
                              "override per-field")
     return parser
+
+
+def _write_explanations(trainer, state, arrays, paths, provided,
+                        out_dir: Path, explain_class: str,
+                        batch_size: int) -> int:
+    """Grad-CAM overlay PNG per (image, provided modality) — the batch
+    counterpart of the serving daemon's /v1/explain (serve/explain.py):
+    tapped trunks true Grad-CAM, untapped/ViT models input saliency,
+    one jitted forward+backward per batch per branch."""
+    import jax.numpy as jnp
+
+    from dfu_multimodal_tpu.data.transforms import eval_normalize
+    from dfu_multimodal_tpu.eval import gradcam
+    from dfu_multimodal_tpu.serve.explain import (BRANCH_TAPS,
+                                                  saliency_grads_fn,
+                                                  render_overlay)
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    ci = "pred" if explain_class == "pred" else int(explain_class)
+    module = trainer.module
+    variables = trainer.variables(state)
+    taps = BRANCH_TAPS.get(trainer.spec.name)
+    saliency = None if taps is not None else saliency_grads_fn(module, ci)
+    written = 0
+    n = len(paths)
+    for start in range(0, n, batch_size):
+        sl = slice(start, min(start + batch_size, n))
+        inputs = tuple(eval_normalize(jnp.asarray(arrays[m][sl]),
+                                      trainer.modalities[m], jnp.float32)
+                       for m in trainer.spec.inputs)
+        cams = {}
+        if taps is None:
+            _, sal = saliency(variables, inputs)
+            for i, m in enumerate(trainer.spec.inputs):
+                if m in provided:
+                    batch_cam = np.asarray(sal[i], np.float32)
+                    peak = batch_cam.max(axis=(1, 2), keepdims=True)
+                    cams[m] = batch_cam / np.maximum(peak, 1e-12)
+        else:
+            for m in provided:
+                outs = gradcam.compute_cam_batch(
+                    module, variables, inputs, taps[m], class_index=ci,
+                    input_index=trainer.spec.inputs.index(m))
+                cams[m] = np.stack([o["cam"] for o in outs])
+        for k, pi in enumerate(range(sl.start, sl.stop)):
+            stem = Path(paths[pi]).stem
+            for m, batch_cam in cams.items():
+                png = render_overlay(arrays[m][pi], batch_cam[k])
+                (out_dir / f"{pi:05d}_{stem}_{m}.png").write_bytes(png)
+                written += 1
+    return written
 
 
 def main(argv=None):
@@ -158,6 +223,10 @@ def main(argv=None):
             print("DRIFT CHECK vs training-split baseline "
                   f"(verdict: {rep['verdict']}):")
             print(json_mod.dumps(rep["modalities"], indent=2))
+
+    # the --explain-dir overlays differentiate the full-fidelity restore,
+    # never the int8/token-merge rebuilds below (serve/explain.py design)
+    base_trainer, base_state = trainer, state
 
     if args.int8:
         # Quantize the restored fp32 trunks once, then rebuild the engine
@@ -231,6 +300,15 @@ def main(argv=None):
         name = Path(p).name
         print(f"{name:50s}  {prob:8.4f}  "
               f"{'ulcer' if pred == 1 else 'healthy'}")
+
+    if args.explain_dir is not None:
+        provided = [primary] + (
+            ["thermal"] if (len(trainer.spec.inputs) > 1
+                            and args.thermal_images is not None) else [])
+        written = _write_explanations(
+            base_trainer, base_state, arrays, paths, provided,
+            args.explain_dir, args.explain_class, args.batch_size)
+        print(f"\nWrote {written} evidence overlays to {args.explain_dir}")
 
     if args.output:
         with open(args.output, "w", newline="") as f:

@@ -46,7 +46,7 @@ BRANCH_TAPS: Dict[str, Dict[str, str]] = {
 }
 
 
-def _saliency_grads_fn(module, class_index):
+def saliency_grads_fn(module, class_index):
     """Jitted (variables, inputs) -> (probs, per-input |grad|) for models
     without a usable tap: d score / d input, the gradcam module's own
     fallback semantics (eval/gradcam.py:133-136)."""
@@ -96,7 +96,7 @@ class Explainer:
         self.class_index = class_index
         self.taps = BRANCH_TAPS.get(self.model_name)
         self._saliency = (None if self.taps is not None
-                          else _saliency_grads_fn(self.module, class_index))
+                          else saliency_grads_fn(self.module, class_index))
 
     def _normalize(self, sample_u8: Dict[str, np.ndarray]):
         """{modality: (S,S,3) u8} -> per-spec-input normalized (1,S,S,3)

@@ -69,6 +69,24 @@ def test_predict_cli(workdir, tmp_path):
     assert len(lines) == len(res) + 1
 
 
+def test_predict_explain_dir(workdir, tmp_path):
+    """predict --explain-dir: one evidence overlay PNG per image at the
+    input resolution (the offline counterpart of /v1/explain)."""
+    data, logs = workdir
+    from dfu_multimodal_tpu.cli.predict import main
+    out_dir = tmp_path / "evidence"
+    res = main(["--checkpoint", str(logs / "checkpoints_rgb_only"),
+                "--images", str(data / "rgb" / "test" / "ulcer"),
+                "--image-size", "32", "--compute-dtype", "float32",
+                "--explain-dir", str(out_dir)])
+    pngs = sorted(out_dir.glob("*_rgb.png"))
+    assert len(pngs) == len(res) > 0
+    import numpy as np
+    from PIL import Image
+    overlay = np.asarray(Image.open(pngs[0]))
+    assert overlay.shape == (32, 32, 3)
+
+
 def test_extended_metrics_cli(workdir):
     data, logs = workdir
     from dfu_multimodal_tpu.cli.extended_metrics import main
