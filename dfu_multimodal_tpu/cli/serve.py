@@ -322,10 +322,18 @@ def main(argv=None):
         name, trainer, state = restore_trainer(sh, None, sh_args, cfg,
                                                modalities)
         thr, temp = _resolve_deployment(sh, sh_args)
+        # shadow traffic is fire-and-forget with no client backpressure,
+        # and the full-fidelity shadow may be slower than an int8/ToMe
+        # primary: an unbounded queue would grow (holding uint8 samples
+        # in host memory) without limit under sustained load.  Bound it
+        # small regardless of the primary's --max-queue; overflow is
+        # counted as sampling (ShadowTracker.dropped_overloaded), not
+        # failure.
         eng = ServingEngine(
             trainer, state, image_size=args.image_size,
             max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-            threshold=thr, temperature=temp, max_queue=args.max_queue)
+            threshold=thr, temperature=temp,
+            max_queue=max(32, 4 * args.max_batch))
         try:
             tracker = attach_shadow(router, eng)
         except KeyError as exc:

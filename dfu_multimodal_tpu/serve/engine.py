@@ -353,10 +353,13 @@ class ServingEngine:
 
     def submit_explain(self, sample: Dict[str, np.ndarray]) -> Future:
         """Enqueue one Grad-CAM explanation request.  Returns a Future of
-        ``{"prob_ulcer", "prediction", "cams": {modality: {"cam",
-        "method"}}}`` — probabilities carry the engine's deployment
-        tuning (temperature/threshold), exactly like :meth:`submit`
-        results, so the explained decision IS the served decision.
+        ``{"prob_ulcer", "prediction", "class_explained", "cams":
+        {modality: {"cam", "method"}}}`` — probabilities carry the
+        engine's deployment tuning (temperature/threshold), exactly like
+        :meth:`submit` results, and when the tuned decision diverges from
+        the raw-logit argmax the CAM is recomputed for the tuned class,
+        so the explained decision IS the served decision
+        (``class_explained`` states it explicitly).
         Raises :class:`ExplainUnavailable` when the engine was built
         without an explainer (HTTP maps it to 501)."""
         if self.explainer is None:
@@ -389,8 +392,19 @@ class ServingEngine:
                 # contract is P(ulcer) + the deployment-tuned decision
                 probs, preds = self._apply_deployment(
                     np.asarray([out["probs"][1]], np.float64))
+                decided = int(preds[0])
+                if (self.explainer.class_index == "pred"
+                        and out["class_explained"] != decided):
+                    # borderline request: the configured threshold on
+                    # temperature-scaled P(ulcer) decided the OTHER
+                    # class from the raw-logit argmax the CAM explained.
+                    # Re-explain the served decision — the heatmap must
+                    # be evidence for what the caller was actually told.
+                    out = self.explainer.explain_one(
+                        sample, class_override=decided)
                 fut.set_result({"prob_ulcer": float(probs[0]),
-                                "prediction": int(preds[0]),
+                                "prediction": decided,
+                                "class_explained": out["class_explained"],
                                 "cams": out["cams"]})
                 with self._lock:
                     self._explains += 1
@@ -410,8 +424,14 @@ class ServingEngine:
                            for _ in range(bucket)], record=False)
         if self.explainer is not None:
             # the forward+backward explanation program compiles too —
-            # a clinician's first click must not pay an XLA compile
-            self.explainer.warmup(self.image_size)
+            # a clinician's first click must not pay an XLA compile.
+            # With a threshold the decision can diverge from argmax and
+            # _run_explains re-explains with a fixed class: warm both
+            # fixed-class programs so borderline clicks don't compile.
+            classes = ((0, 1) if (self.threshold is not None
+                                  and self.explainer.class_index == "pred")
+                       else ())
+            self.explainer.warmup(self.image_size, classes=classes)
 
     # ------------------------------------------------------------- batcher
 

@@ -95,8 +95,18 @@ class Explainer:
             class_index = int(class_index)
         self.class_index = class_index
         self.taps = BRANCH_TAPS.get(self.model_name)
-        self._saliency = (None if self.taps is not None
-                          else saliency_grads_fn(self.module, class_index))
+        # saliency programs are built per class key ("pred" or a fixed
+        # int): the engine may re-explain a borderline request with the
+        # deployment-tuned class (see ServingEngine._run_explains), which
+        # needs a second compiled program cached here
+        self._saliency_cache: Dict[Any, Any] = {}
+
+    def _saliency_for(self, class_key):
+        fn = self._saliency_cache.get(class_key)
+        if fn is None:
+            fn = saliency_grads_fn(self.module, class_key)
+            self._saliency_cache[class_key] = fn
+        return fn
 
     def _normalize(self, sample_u8: Dict[str, np.ndarray]):
         """{modality: (S,S,3) u8} -> per-spec-input normalized (1,S,S,3)
@@ -117,22 +127,34 @@ class Explainer:
                                      jnp.float32))
         return tuple(xs)
 
-    def explain_one(self, sample_u8: Dict[str, np.ndarray]) -> Dict:
-        """One request -> {"probs": (2,) np.float32, "cams": {modality:
-        {"cam": (h, w) float32 in [0,1], "method": "gradcam"|"saliency"}}}.
+    def explain_one(self, sample_u8: Dict[str, np.ndarray],
+                    class_override: Optional[int] = None) -> Dict:
+        """One request -> {"probs": (2,) np.float32, "class_explained":
+        int, "cams": {modality: {"cam": (h, w) float32 in [0,1],
+        "method": "gradcam"|"saliency"}}}.
+
+        ``class_override`` explains that class instead of the
+        constructor's ``class_index`` — the engine uses it to re-explain
+        a borderline request whose deployment-tuned decision (threshold
+        on temperature-scaled P(ulcer)) differs from the raw-logit
+        argmax, so the heatmap always explains the decision the caller
+        was actually served.
 
         CAMs are produced only for the modalities the request PROVIDED —
         a black fill-in for an absent modality is padding, and a heatmap
         over it would be noise presented as evidence."""
         from dfu_multimodal_tpu.eval import gradcam
 
+        class_key = (self.class_index if class_override is None
+                     else int(class_override))
         inputs = self._normalize(sample_u8)
         provided = [m for m in self.inputs if m in sample_u8]
         cams: Dict[str, Dict] = {}
         probs: Optional[np.ndarray] = None
 
         if self.taps is None:
-            dev_probs, sal = self._saliency(self.variables, inputs)
+            dev_probs, sal = self._saliency_for(class_key)(
+                self.variables, inputs)
             probs = np.asarray(dev_probs, np.float32)[0]
             for i, m in enumerate(self.inputs):
                 if m not in provided:
@@ -141,27 +163,35 @@ class Explainer:
                 if cam.max() > 0:
                     cam = cam / cam.max()
                 cams[m] = {"cam": cam, "method": "saliency"}
-            return {"probs": probs, "cams": cams}
+        else:
+            for m in provided:
+                out = gradcam.compute_cam_batch(
+                    self.module, self.variables, inputs, self.taps[m],
+                    class_index=class_key,
+                    input_index=self.inputs.index(m))[0]
+                cams[m] = {"cam": out["cam"],
+                           "method": ("saliency" if out["used_saliency"]
+                                      else "gradcam")}
+                probs = np.asarray(out["probs"], np.float32)
+        explained = (int(np.argmax(probs)) if class_key == "pred"
+                     else int(class_key))
+        return {"probs": probs, "class_explained": explained, "cams": cams}
 
-        for m in provided:
-            out = gradcam.compute_cam_batch(
-                self.module, self.variables, inputs, self.taps[m],
-                class_index=self.class_index,
-                input_index=self.inputs.index(m))[0]
-            cams[m] = {"cam": out["cam"],
-                       "method": ("saliency" if out["used_saliency"]
-                                  else "gradcam")}
-            probs = np.asarray(out["probs"], np.float32)
-        return {"probs": probs, "cams": cams}
-
-    def warmup(self, image_size: int) -> None:
+    def warmup(self, image_size: int,
+               classes: Tuple[int, ...] = ()) -> None:
         """Compile the explanation program(s) before traffic: one black
         sample per provided-modality combination would be exhaustive;
         the all-provided case covers every per-branch program because
-        each branch compiles independently of which others were asked."""
+        each branch compiles independently of which others were asked.
+        ``classes`` additionally warms fixed-class override programs (the
+        engine passes (0, 1) when a deployment threshold is configured,
+        so the first borderline request never pays an XLA compile)."""
         zero = {m: np.zeros((image_size, image_size, 3), np.uint8)
                 for m in self.inputs}
         self.explain_one(zero)
+        for c in classes:
+            if c != self.class_index:
+                self.explain_one(zero, class_override=int(c))
 
 
 def encode_png(arr_u8: np.ndarray) -> bytes:

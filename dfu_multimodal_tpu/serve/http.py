@@ -295,7 +295,8 @@ class PredictHandler(BaseHTTPRequestHandler):
             "prob_ulcer": round(out["prob_ulcer"], 6),
             "prediction": "ulcer" if out["prediction"] == 1 else "healthy",
             "model": engine.model_name,
-            "class_explained": engine.explainer.class_index,
+            "class_explained": out.get("class_explained",
+                                       engine.explainer.class_index),
             "explanations": explanations,
             "latency_ms": round((time.monotonic() - t0) * 1e3, 3)})
 

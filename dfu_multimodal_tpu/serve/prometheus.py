@@ -35,20 +35,32 @@ def _labels(**kv) -> str:
 
 
 class _Writer:
+    """Buffers samples PER METRIC FAMILY and renders each family as one
+    contiguous group (HELP, TYPE, then every sample across all models).
+    The text-format 0.0.4 spec requires this grouping — with multiple
+    served models, emitting per-engine would interleave families and
+    strict parsers (promtool, OpenMetrics ingesters) may reject or
+    mis-group the exposition."""
+
     def __init__(self):
-        self.lines: List[str] = []
-        self._typed = set()
+        # insertion-ordered: family -> (header lines, sample lines)
+        self._families: Dict[str, List[List[str]]] = {}
 
     def metric(self, name: str, mtype: str, help_text: str, value,
                **labels) -> None:
-        if name not in self._typed:
-            self.lines.append(f"# HELP {name} {help_text}")
-            self.lines.append(f"# TYPE {name} {mtype}")
-            self._typed.add(name)
-        self.lines.append(f"{name}{_labels(**labels)} {value}")
+        fam = self._families.get(name)
+        if fam is None:
+            fam = self._families[name] = [
+                [f"# HELP {name} {help_text}", f"# TYPE {name} {mtype}"],
+                []]
+        fam[1].append(f"{name}{_labels(**labels)} {value}")
 
     def render(self) -> str:
-        return "\n".join(self.lines) + "\n"
+        lines: List[str] = []
+        for header, samples in self._families.values():
+            lines.extend(header)
+            lines.extend(samples)
+        return "\n".join(lines) + "\n"
 
 
 def _engine_lines(w: _Writer, name: str, stats: Dict) -> None:
@@ -115,6 +127,10 @@ def _engine_lines(w: _Writer, name: str, stats: Dict) -> None:
         w.metric("dfu_shadow_skipped_total", "counter",
                  "Requests carrying none of the shadow's modalities",
                  shadow["skipped_no_input"], **slab)
+        w.metric("dfu_shadow_dropped_total", "counter",
+                 "Requests dropped by the shadow's bounded queue "
+                 "(sampling, not failure)",
+                 shadow.get("dropped_overloaded", 0), **slab)
         w.metric("dfu_shadow_errors_total", "counter",
                  "Shadow scoring failures", shadow["errors"], **slab)
         if shadow["agreement"] is not None:

@@ -53,6 +53,7 @@ class ShadowTracker:
         self._flips = 0
         self._abs_delta_sum = 0.0
         self._skipped = 0
+        self._dropped = 0
         self._errors = 0
         self._pending = 0
         # decision contingency: [primary][shadow] counts, the McNemar
@@ -80,9 +81,17 @@ class ShadowTracker:
             with self._lock:
                 self._skipped += 1
             return
+        from dfu_multimodal_tpu.serve.engine import EngineOverloaded
         try:
             fut = self.engine.submit(sub)
-        except Exception:           # overloaded/stopped shadow: drop
+        except EngineOverloaded:
+            # bounded shadow queue full: the shadow is sampling traffic,
+            # not failing — count separately so agreement stats can note
+            # the coverage (compared / (compared + dropped))
+            with self._lock:
+                self._dropped += 1
+            return
+        except Exception:           # stopped/misconfigured shadow: error
             with self._lock:
                 self._errors += 1
             return
@@ -127,6 +136,7 @@ class ShadowTracker:
                     round(self._abs_delta_sum / self._compared, 6)
                     if self._compared else None),
                 "skipped_no_input": self._skipped,
+                "dropped_overloaded": self._dropped,
                 "errors": self._errors,
                 "pending": self._pending,
             }
@@ -140,6 +150,15 @@ def attach_shadow(router, shadow_engine) -> "ShadowTracker":
     tracker; raises KeyError if no primary accepts those inputs, or if
     that primary already has a shadow."""
     primary = router.select(shadow_engine.inputs)
+    if not set(primary.inputs) & set(shadow_engine.inputs):
+        # a single-model router's select() returns its only engine
+        # regardless of overlap; a disjoint shadow would attach fine but
+        # skip 100% of traffic (compared=0, silently) — fail at startup
+        raise KeyError(
+            f"shadow {shadow_engine.model_name!r} takes "
+            f"{list(shadow_engine.inputs)} but the routed primary "
+            f"{primary.model_name!r} takes {list(primary.inputs)}: "
+            "no shared modality, the shadow would never see traffic")
     if getattr(primary, "shadow", None) is not None:
         raise KeyError(
             f"model {primary.model_name!r} already has shadow "

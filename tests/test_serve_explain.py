@@ -56,9 +56,13 @@ def test_explain_rgb_gradcam(explained_rgb):
     engine = explained_rgb
     img = rand_images(1, seed=1)[0]
     out = engine.submit_explain({"rgb": img}).result(timeout=60)
-    assert set(out) == {"prob_ulcer", "prediction", "cams"}
+    assert set(out) == {"prob_ulcer", "prediction", "class_explained",
+                        "cams"}
     assert 0.0 <= out["prob_ulcer"] <= 1.0
     assert out["prediction"] in (0, 1)
+    # no threshold configured: the served decision IS argmax, and that
+    # is the class the CAM explained
+    assert out["class_explained"] == out["prediction"]
     cam_out = out["cams"]["rgb"]
     assert cam_out["method"] == "gradcam"
     cam = cam_out["cam"]
@@ -99,6 +103,33 @@ def test_explain_applies_deployment_tuning():
         (prob, pred), = engine.predict([{"rgb": img}])
     assert out["prediction"] == 1 == pred      # threshold 0 -> always ulcer
     assert out["prob_ulcer"] == pytest.approx(prob, abs=1e-5)
+    # the CAM explains the THRESHOLDED decision even when the raw-logit
+    # argmax disagrees (the borderline case explanations exist for)
+    assert out["class_explained"] == 1
+
+
+def test_explain_borderline_cam_matches_served_class():
+    """With a threshold that flips the decision away from argmax, the
+    returned CAM must equal the fixed-class CAM for the served class,
+    not the argmax CAM."""
+    trainer, state = _make("tiny_rgb", {"rgb": config.rgb_modality()})
+    img = rand_images(1, seed=6)[0]
+    ex = Explainer(trainer, state)
+    base = ex.explain_one({"rgb": img})
+    argmax = int(np.argmax(base["probs"]))
+    flipped = 1 - argmax
+    # force the served decision to the non-argmax class
+    thr = 0.0 if flipped == 1 else 2.0
+    engine = ServingEngine(trainer, state, image_size=SIZE, max_batch=8,
+                           threshold=thr,
+                           explainer=Explainer(trainer, state))
+    with engine:
+        out = engine.submit_explain({"rgb": img}).result(timeout=60)
+    assert out["prediction"] == flipped
+    assert out["class_explained"] == flipped
+    want = ex.explain_one({"rgb": img}, class_override=flipped)
+    np.testing.assert_allclose(out["cams"]["rgb"]["cam"],
+                               want["cams"]["rgb"]["cam"], atol=1e-5)
 
 
 def test_explain_fusion_saliency_provided_modalities_only():
@@ -176,7 +207,8 @@ def test_http_explain(explained_rgb, explain_url):
     out = _post(f"{explain_url}/v1/explain", _encode_png(img), "image/png")
     assert out["prediction"] in ("ulcer", "healthy")
     assert out["model"] == "tiny_rgb"
-    assert out["class_explained"] == "pred"
+    pred_int = 1 if out["prediction"] == "ulcer" else 0
+    assert out["class_explained"] == pred_int
     exp = out["explanations"]["rgb"]
     assert exp["method"] == "gradcam"
     overlay = np.asarray(Image.open(io.BytesIO(

@@ -113,3 +113,44 @@ def test_http_prometheus_endpoint():
     finally:
         server.shutdown()
         server.server_close()
+
+
+def _thermal_engine(**kw):
+    cfg = config.TrainConfig(batch_size=8, eval_batch_size=8,
+                             compute_dtype="float32",
+                             mesh=config.MeshConfig(data=1))
+    trainer = Trainer("tiny_thermal", cfg,
+                      {"thermal": config.thermal_modality()})
+    state = trainer.init_state(jax.random.PRNGKey(0), image_size=SIZE)
+    return ServingEngine(trainer, state, image_size=SIZE, max_batch=8,
+                         **kw)
+
+
+def test_multi_model_families_are_contiguous():
+    """Text-format 0.0.4 requires ALL samples of a metric family to form
+    one group right after its HELP/TYPE.  With two served models the
+    per-engine sections must not interleave families: every
+    dfu_requests_total{model=...} line (etc.) appears in one contiguous
+    block."""
+    router = ModelRouter({"tiny_rgb": _engine(),
+                          "tiny_thermal": _thermal_engine()})
+    text = render_prometheus(router)
+    current = None
+    seen_families = []
+    for line in text.strip().split("\n"):
+        if line.startswith("# HELP"):
+            name = line.split()[2]
+            assert name not in seen_families, (
+                f"family {name} split into multiple groups")
+            seen_families.append(name)
+            current = name
+        elif line.startswith("# TYPE"):
+            assert line.split()[2] == current
+        else:
+            name = line.split("{")[0].split(" ")[0]
+            assert name == current, (
+                f"sample {name} outside its family group ({current})")
+    # both models contributed to the shared families
+    s = _parse(text)
+    assert s['dfu_requests_total{model="tiny_rgb"}'] == 0.0
+    assert s['dfu_requests_total{model="tiny_thermal"}'] == 0.0

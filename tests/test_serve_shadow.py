@@ -125,6 +125,41 @@ def test_attach_shadow_routes_and_rejects_double():
         attach_shadow(router, cand)
 
 
+def test_attach_shadow_rejects_disjoint_inputs():
+    """A thermal-only shadow on an rgb-only primary would skip 100% of
+    traffic (compared=0, silently): attach must fail at startup."""
+    rtrainer, rstate = _make("tiny_rgb", {"rgb": config.rgb_modality()})
+    ttrainer, tstate = _make("tiny_thermal",
+                             {"thermal": config.thermal_modality()})
+    primary = ServingEngine(rtrainer, rstate, image_size=SIZE, max_batch=8)
+    router = ModelRouter({"tiny_rgb": primary})
+    cand = ServingEngine(ttrainer, tstate, image_size=SIZE, max_batch=8)
+    with pytest.raises(KeyError, match="no shared modality"):
+        attach_shadow(router, cand)
+    assert getattr(primary, "shadow", None) is None
+
+
+def test_overloaded_shadow_counts_drops_not_errors():
+    """A bounded shadow queue overflowing under live traffic is
+    sampling, not failure: overflow lands in dropped_overloaded and the
+    requests that did fit still compare."""
+    trainer, state = _make("tiny_rgb", {"rgb": config.rgb_modality()})
+    shadow_eng = ServingEngine(trainer, state, image_size=SIZE,
+                               max_batch=8, max_queue=1)
+    tracker = ShadowTracker(shadow_eng, "tiny_rgb")
+    imgs = rand_images(3, seed=5)
+    # engine not started yet: the first observe occupies the queue slot,
+    # the rest overflow deterministically
+    for img in imgs:
+        tracker.observe({"rgb": img}, 0.5, 1)
+    s = tracker.stats()
+    assert s["dropped_overloaded"] == 2 and s["errors"] == 0
+    with shadow_eng:
+        s = _wait_compared(tracker, 1)
+    assert s["compared"] == 1 and s["errors"] == 0
+    assert s["dropped_overloaded"] == 2
+
+
 def test_http_predict_feeds_shadow_and_metrics_report():
     trainer, state = _make("tiny_rgb", {"rgb": config.rgb_modality()})
     primary = ServingEngine(trainer, state, image_size=SIZE, max_batch=8)
