@@ -52,6 +52,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--cam-class", default="0",
                         help="'0' (reference quirk: class-0 logit), '1', "
                              "or 'pred'")
+    parser.add_argument("--cam-method", default="saliency",
+                        choices=["saliency", "rollout", "chefer"],
+                        help="ViT-branch attribution: 'saliency' (default, "
+                             "reference-parity input gradients), 'rollout' "
+                             "(attention rollout), or 'chefer' (relevance "
+                             "propagation) — eval/vit_attribution.py; "
+                             "ResNet branches always use true Grad-CAM")
     parser.add_argument("--multimodal-cam", default="fused",
                         choices=["fused", "strict"],
                         help="multimodal branch CAM semantics: 'fused' "
@@ -85,11 +92,14 @@ def _figure_single(img_u8, cam_out, modality_title: str, model_title: str):
     import matplotlib.pyplot as plt
 
     overlay, heatmap = gradcam.overlay_cam(img_u8, cam_out["cam"])
+    heat_title = {"rollout": "Attention Rollout Heatmap",
+                  "chefer": "Chefer Relevance Heatmap"}.get(
+        cam_out.get("method"), "Grad-CAM Heatmap")
     fig, axes = plt.subplots(1, 3, figsize=(15, 5))
     axes[0].imshow(img_u8)
     axes[0].set_title(f"Original {modality_title} Image")
     axes[1].imshow(heatmap)
-    axes[1].set_title("Grad-CAM Heatmap")
+    axes[1].set_title(heat_title)
     pred_txt = "Ulcer" if cam_out["pred"] == 1 else "Healthy"
     axes[2].imshow(overlay)
     axes[2].set_title(f"Overlay\nPred: {pred_txt} "
@@ -130,9 +140,22 @@ def _figure_multimodal(rgb_u8, thermal_u8, rgb_cam, thermal_cam, pred: int,
     return fig
 
 
+def _vit_branch_cam(trainer, variables, inputs, cam_class,
+                    input_index: int, method: str):
+    """ViT-branch attribution via eval/vit_attribution.py (rollout /
+    chefer) for the models whose thermal trunk is a ViT."""
+    from dfu_multimodal_tpu.eval import vit_attribution as va
+
+    scope = va.VIT_TRUNK_SCOPES[trainer.spec.name]
+    return va.compute_vit_cam_batch(
+        trainer.module, variables, inputs, scope, method,
+        class_index=cam_class, input_index=input_index)
+
+
 def visualize_model(trainer: Trainer, state, dataset: ArrayDataset,
                     out_dir: Path, display: str, cam_class,
-                    per_class: int, mm_cam: str = "fused") -> int:
+                    per_class: int, mm_cam: str = "fused",
+                    cam_method: str = "saliency") -> int:
     import matplotlib.pyplot as plt
 
     variables = trainer.variables(state)
@@ -182,9 +205,16 @@ def visualize_model(trainer: Trainer, state, dataset: ArrayDataset,
         rgb_outs = gradcam.compute_cam_batch(module, variables, inputs,
                                              "stage4", cam_class,
                                              input_index=0)
-        th_outs = gradcam.compute_cam_batch(module, variables, inputs,
-                                            "blocks", cam_class,
-                                            input_index=1)
+        if cam_method != "saliency":
+            th_outs = _vit_branch_cam(trainer, variables, inputs,
+                                      cam_class, 1, cam_method)
+        else:
+            th_outs = gradcam.compute_cam_batch(module, variables, inputs,
+                                                "blocks", cam_class,
+                                                input_index=1)
+    elif cam_method != "saliency" and spec.name == "thermal_only":
+        cam_outs = _vit_branch_cam(trainer, variables, inputs, cam_class,
+                                   0, cam_method)
     else:
         cam_outs = gradcam.compute_cam_batch(module, variables, inputs,
                                              tap_name, cam_class,
@@ -220,6 +250,11 @@ def main(argv=None) -> Dict[str, int]:
     selected = set(args.models) if args.models else None
     cam_class = args.cam_class if args.cam_class == "pred" else int(
         args.cam_class)
+    if args.multimodal_cam == "strict" and args.cam_method != "saliency":
+        raise SystemExit(
+            "--multimodal-cam strict reproduces the reference's "
+            "isolated-trunk saliency semantics and cannot combine with "
+            f"--cam-method {args.cam_method}")
     size = args.image_size
 
     print("=" * 70)
@@ -258,7 +293,8 @@ def main(argv=None) -> Dict[str, int]:
         state = trainer.restore(ckpt_dir, image_size=size)
         n = visualize_model(trainer, state, datasets[subdir],
                             out_root / subdir, display, cam_class,
-                            args.num_per_class, mm_cam=args.multimodal_cam)
+                            args.num_per_class, mm_cam=args.multimodal_cam,
+                            cam_method=args.cam_method)
         print(f"Saved {n} {display} visualizations to {out_root / subdir}")
         results[subdir] = n
     return results

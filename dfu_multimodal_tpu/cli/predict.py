@@ -101,6 +101,14 @@ def build_parser() -> argparse.ArgumentParser:
                              "predicted class per image (default) or a "
                              "fixed class ('0' matches the offline "
                              "grad_cam CLI's reference-parity quirk)")
+    parser.add_argument("--cam-method", default="saliency",
+                        choices=["saliency", "rollout", "chefer"],
+                        help="ViT-branch attribution for --explain-dir: "
+                             "'saliency' (default, reference-parity input "
+                             "gradients), 'rollout' (attention rollout) or "
+                             "'chefer' (relevance propagation; eval/"
+                             "vit_attribution.py). ResNet branches always "
+                             "use true Grad-CAM")
     parser.add_argument("--drift-check", action="store_true",
                         help="score the inputs' intensity distribution "
                              "against the checkpoint's training-split "
@@ -118,15 +126,19 @@ def build_parser() -> argparse.ArgumentParser:
 
 def _write_explanations(trainer, state, arrays, paths, provided,
                         out_dir: Path, explain_class: str,
-                        batch_size: int) -> int:
+                        batch_size: int,
+                        cam_method: str = "saliency") -> int:
     """Grad-CAM overlay PNG per (image, provided modality) — the batch
     counterpart of the serving daemon's /v1/explain (serve/explain.py):
-    tapped trunks true Grad-CAM, untapped/ViT models input saliency,
-    one jitted forward+backward per batch per branch."""
+    tapped trunks true Grad-CAM, untapped/ViT models input saliency (or,
+    with ``cam_method`` rollout/chefer, transformer attribution on the
+    ViT branch), one jitted forward+backward per batch per branch."""
     import jax.numpy as jnp
 
     from dfu_multimodal_tpu.data.transforms import eval_normalize
     from dfu_multimodal_tpu.eval import gradcam
+    from dfu_multimodal_tpu.eval.vit_attribution import (
+        VIT_TRUNK_SCOPES, compute_vit_cam_batch)
     from dfu_multimodal_tpu.serve.explain import (BRANCH_TAPS,
                                                   saliency_grads_fn,
                                                   render_overlay)
@@ -136,6 +148,11 @@ def _write_explanations(trainer, state, arrays, paths, provided,
     module = trainer.module
     variables = trainer.variables(state)
     taps = BRANCH_TAPS.get(trainer.spec.name)
+    vit_scope = VIT_TRUNK_SCOPES.get(trainer.spec.name)
+    if cam_method != "saliency" and vit_scope is None:
+        print(f"--cam-method {cam_method}: model {trainer.spec.name!r} "
+              "has no ViT branch; using saliency")
+        cam_method = "saliency"
     saliency = None if taps is not None else saliency_grads_fn(module, ci)
     written = 0
     n = len(paths)
@@ -154,9 +171,15 @@ def _write_explanations(trainer, state, arrays, paths, provided,
                     cams[m] = batch_cam / np.maximum(peak, 1e-12)
         else:
             for m in provided:
-                outs = gradcam.compute_cam_batch(
-                    module, variables, inputs, taps[m], class_index=ci,
-                    input_index=trainer.spec.inputs.index(m))
+                if cam_method != "saliency" and taps[m] == "blocks":
+                    outs = compute_vit_cam_batch(
+                        module, variables, inputs, vit_scope, cam_method,
+                        class_index=ci,
+                        input_index=trainer.spec.inputs.index(m))
+                else:
+                    outs = gradcam.compute_cam_batch(
+                        module, variables, inputs, taps[m], class_index=ci,
+                        input_index=trainer.spec.inputs.index(m))
                 cams[m] = np.stack([o["cam"] for o in outs])
         for k, pi in enumerate(range(sl.start, sl.stop)):
             stem = Path(paths[pi]).stem
@@ -307,7 +330,8 @@ def main(argv=None):
                             and args.thermal_images is not None) else [])
         written = _write_explanations(
             base_trainer, base_state, arrays, paths, provided,
-            args.explain_dir, args.explain_class, args.batch_size)
+            args.explain_dir, args.explain_class, args.batch_size,
+            cam_method=args.cam_method)
         print(f"\nWrote {written} evidence overlays to {args.explain_dir}")
 
     if args.output:

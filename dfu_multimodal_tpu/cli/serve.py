@@ -131,6 +131,14 @@ def build_parser() -> argparse.ArgumentParser:
                              "served decision ('pred', default) or a "
                              "fixed class ('0' matches the offline "
                              "CLI's reference-parity quirk)")
+    parser.add_argument("--cam-method", default="saliency",
+                        choices=["saliency", "rollout", "chefer"],
+                        help="ViT-branch attribution for /v1/explain: "
+                             "'saliency' (default, reference-parity "
+                             "input gradients), 'rollout' (attention "
+                             "rollout) or 'chefer' (relevance "
+                             "propagation; eval/vit_attribution.py). "
+                             "ResNet branches always use true Grad-CAM")
     parser.add_argument("--no-warmup", action="store_true",
                         help="skip pre-compiling the batch buckets "
                              "(first requests then pay XLA compiles)")
@@ -242,10 +250,19 @@ def _load_engine(ckpt: Path, model_name, args, cfg, modalities):
     explainer = None
     if getattr(args, "explain", False):
         from dfu_multimodal_tpu.serve.explain import Explainer
+        from dfu_multimodal_tpu.eval.vit_attribution import (
+            VIT_TRUNK_SCOPES)
         cls = args.explain_class
+        method = getattr(args, "cam_method", "saliency")
+        if method != "saliency" and model_name not in VIT_TRUNK_SCOPES:
+            # only the ViT-carrying models support transformer
+            # attribution; others keep their Grad-CAM/saliency semantics
+            method = "saliency"
         explainer = Explainer(base[0], base[1],
-                              class_index="pred" if cls == "pred" else cls)
-        print(f"{ckpt.name}: /v1/explain on (class={cls})")
+                              class_index="pred" if cls == "pred" else cls,
+                              cam_method=method)
+        print(f"{ckpt.name}: /v1/explain on (class={cls}, "
+              f"method={method})")
     threshold, temperature = _resolve_deployment(ckpt, args)
     return model_name, ServingEngine(
         trainer, state, image_size=args.image_size,

@@ -83,9 +83,14 @@ class Explainer:
     (trainer, state); :meth:`explain_one` is called on the engine's
     batcher thread.  ``class_index``: ``"pred"`` (default — explain the
     decision actually returned) or a fixed class int (``0`` reproduces
-    the offline CLI's reference-parity quirk)."""
+    the offline CLI's reference-parity quirk).  ``cam_method``: ViT-branch
+    attribution — ``"saliency"`` (default, reference-parity input
+    gradients), ``"rollout"`` or ``"chefer"``
+    (eval/vit_attribution.py); ResNet branches always get true
+    Grad-CAM."""
 
-    def __init__(self, trainer, state, class_index: Any = "pred"):
+    def __init__(self, trainer, state, class_index: Any = "pred",
+                 cam_method: str = "saliency"):
         self.trainer = trainer
         self.module = trainer.module
         self.variables = trainer.variables(state)
@@ -94,6 +99,16 @@ class Explainer:
         if class_index != "pred":
             class_index = int(class_index)
         self.class_index = class_index
+        from dfu_multimodal_tpu.eval.vit_attribution import (
+            VIT_TRUNK_SCOPES)
+        self.vit_scope = VIT_TRUNK_SCOPES.get(self.model_name)
+        if cam_method not in ("saliency", "rollout", "chefer"):
+            raise ValueError(f"unknown cam_method {cam_method!r}")
+        if cam_method != "saliency" and self.vit_scope is None:
+            raise ValueError(
+                f"--cam-method {cam_method} needs a ViT branch; model "
+                f"{self.model_name!r} has none (use saliency)")
+        self.cam_method = cam_method
         self.taps = BRANCH_TAPS.get(self.model_name)
         # saliency programs are built per class key ("pred" or a fixed
         # int): the engine may re-explain a borderline request with the
@@ -165,13 +180,25 @@ class Explainer:
                 cams[m] = {"cam": cam, "method": "saliency"}
         else:
             for m in provided:
-                out = gradcam.compute_cam_batch(
-                    self.module, self.variables, inputs, self.taps[m],
-                    class_index=class_key,
-                    input_index=self.inputs.index(m))[0]
-                cams[m] = {"cam": out["cam"],
-                           "method": ("saliency" if out["used_saliency"]
-                                      else "gradcam")}
+                if (self.cam_method != "saliency"
+                        and self.taps[m] == "blocks"):
+                    from dfu_multimodal_tpu.eval.vit_attribution import (
+                        compute_vit_cam_batch)
+                    out = compute_vit_cam_batch(
+                        self.module, self.variables, inputs,
+                        self.vit_scope, self.cam_method,
+                        class_index=class_key,
+                        input_index=self.inputs.index(m))[0]
+                    cams[m] = {"cam": out["cam"],
+                               "method": self.cam_method}
+                else:
+                    out = gradcam.compute_cam_batch(
+                        self.module, self.variables, inputs, self.taps[m],
+                        class_index=class_key,
+                        input_index=self.inputs.index(m))[0]
+                    cams[m] = {"cam": out["cam"],
+                               "method": ("saliency" if out["used_saliency"]
+                                          else "gradcam")}
                 probs = np.asarray(out["probs"], np.float32)
         explained = (int(np.argmax(probs)) if class_key == "pred"
                      else int(class_key))

@@ -244,3 +244,28 @@ def test_http_explain_501_without_explainer():
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_explainer_cam_method_rollout_and_chefer():
+    """--cam-method wires through the serving Explainer: the ViT branch
+    gets transformer attribution (patch-grid CAM, method label), models
+    without a ViT branch reject non-saliency methods at startup."""
+    trainer, state = _make("thermal_only",
+                           {"thermal": config.thermal_modality()})
+    img = rand_images(1, seed=7)[0]
+    for method in ("rollout", "chefer"):
+        ex = Explainer(trainer, state, cam_method=method)
+        out = ex.explain_one({"thermal": img})
+        cam_out = out["cams"]["thermal"]
+        assert cam_out["method"] == method
+        assert cam_out["cam"].shape == (SIZE // 16, SIZE // 16)
+        assert cam_out["cam"].min() >= 0.0 and cam_out["cam"].max() <= 1.0
+    # reference-parity default unchanged: saliency full-resolution map
+    base = Explainer(trainer, state)
+    out = base.explain_one({"thermal": img})
+    assert out["cams"]["thermal"]["method"] == "saliency"
+
+    rgb_trainer, rgb_state = _make("tiny_rgb",
+                                   {"rgb": config.rgb_modality()})
+    with pytest.raises(ValueError, match="needs a ViT branch"):
+        Explainer(rgb_trainer, rgb_state, cam_method="rollout")
