@@ -22,7 +22,7 @@ TPU-first design notes:
 - the CLS token (row 0) never participates.
 
 Inference-only (no custom VJP): the serving path in
-``models/vit_tome.py`` consumes this; training always runs the full
+``models/vit.py`` (token_merge split-scan encoder) consumes this; training always runs the full
 token set.
 """
 
