@@ -47,6 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
                    default="bfloat16")
     p.add_argument("--lr-schedule", choices=["constant", "cosine"],
                    default="cosine")
+    p.add_argument("--qat", action="store_true",
+                   help="quantization-aware distillation: the student "
+                        "trains through its int8 serving grid (ResNet "
+                        "stage convs / ViT encoder kernels snapped with "
+                        "straight-through gradients, train/qat.py), so "
+                        "the int8 student deployment is ~lossless")
     p.add_argument("--skip-test-eval", action="store_true")
     return p
 
@@ -101,6 +107,7 @@ def main(argv=None) -> int:
         learning_rate=args.lr, weight_decay=args.weight_decay,
         seed=args.seed, compute_dtype=args.compute_dtype,
         lr_schedule=args.lr_schedule, save_best_after_epoch=1,
+        qat=args.qat,
         steps_per_epoch=max(1, len(train_ds) // args.batch_size))
     dcfg = DistillConfig(alpha=args.alpha, temperature=args.temperature)
     trainer = DistillTrainer(args.student, teacher_model,

@@ -155,9 +155,10 @@ class TrainConfig:
     # running stats once per microbatch (standard accumulation semantics).
     grad_accum: int = 1
     # Quantization-aware training (train/qat.py): compute the loss through
-    # ViT encoder kernels snapped to the int8 serving grid (straight-
-    # through estimator), so quantize_variables() at deployment is
-    # essentially lossless.  No-op for models without a ViT trunk.
+    # ViT encoder kernels AND ResNet stage convs snapped to their int8
+    # serving grids (straight-through estimator), so the int8 conversion
+    # at deployment is essentially lossless.  No-op for models without
+    # either trunk kind.
     qat: bool = False
     # Learning-rate schedule (train/engine.py::learning_rate_schedule).
     # The reference trains at a constant LR (its default here); 'cosine'
@@ -293,8 +294,9 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                              "and disk write with the next epoch)")
     parser.add_argument("--qat", action="store_true",
                         help="quantization-aware training: loss through "
-                             "ViT kernels snapped to the int8 serving "
-                             "grid (straight-through estimator), making "
+                             "ViT encoder kernels and ResNet stage convs "
+                             "snapped to their int8 serving grids "
+                             "(straight-through estimator), making "
                              "predict --int8 conversion ~lossless")
     parser.add_argument("--loss", choices=["ce", "focal"], default="ce",
                         help="training loss: class-weighted CE (reference "

@@ -76,19 +76,19 @@ class DistillTrainer(Trainer):
     """Supervised Trainer whose train step adds a frozen teacher forward
     and the KD loss.  ``teacher_model`` is a zoo name; ``teacher_variables``
     the restored checkpoint variables.  The student config must not use
-    grad_accum/qat (unsupported combinations are rejected up front)."""
+    grad_accum/ema/focal/mixup (rejected up front); --qat composes (the
+    student trains through its int8 serving grid, train/qat.py)."""
 
     def __init__(self, student_model: str, teacher_model: str,
                  teacher_variables: Dict, dcfg: DistillConfig, cfg,
                  modalities, class_weights: Optional[np.ndarray] = None,
                  mesh=None, **kwargs):
         if (int(getattr(cfg, "grad_accum", 1)) > 1
-                or getattr(cfg, "qat", False)
                 or float(getattr(cfg, "ema_decay", 0.0)) > 0.0
                 or getattr(cfg, "loss", "ce") != "ce"
                 or float(getattr(cfg, "mixup_alpha", 0.0)) > 0.0):
             raise ValueError("distillation does not compose with "
-                             "--grad-accum, --qat, --ema-decay, "
+                             "--grad-accum, --ema-decay, "
                              "--loss focal or --mixup-alpha")
         super().__init__(student_model, cfg, modalities,
                          class_weights=class_weights, mesh=mesh, **kwargs)
@@ -128,6 +128,11 @@ class DistillTrainer(Trainer):
     def build_train_step(self, jit: bool = True) -> Callable:
         module, spec, tx = self.module, self.spec, self.tx
         dcfg = self.dcfg
+        # --qat: the STUDENT trains through its int8 serving grid
+        # (train/qat.py; covers the ResNet-18 students' conv grid), so
+        # the distilled weights requantize losslessly at deployment.
+        # The frozen teacher always runs full-fidelity.
+        qat = bool(getattr(self.cfg, "qat", False))
 
         def train_step(teacher_variables, state, batch, rng):
             aug_rng, drop_rng = jax.random.split(jax.random.fold_in(
@@ -143,6 +148,9 @@ class DistillTrainer(Trainer):
             t_logits = jax.lax.stop_gradient(t_logits)
 
             def loss_fn(params):
+                if qat:
+                    from dfu_multimodal_tpu.train import qat as qat_mod
+                    params = qat_mod.fake_quant_trunks(params)
                 variables = {"params": params}
                 if state.batch_stats:
                     variables["batch_stats"] = state.batch_stats

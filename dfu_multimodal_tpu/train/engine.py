@@ -373,7 +373,7 @@ class Trainer:
 
         def apply_model(params, batch_stats, inputs, drop_rng):
             if qat:    # loss through serving-grid weights, STE gradients
-                params = qat_mod.fake_quant_vit_trunks(params)
+                params = qat_mod.fake_quant_trunks(params)
             variables = {"params": params}
             if batch_stats:
                 variables["batch_stats"] = batch_stats
@@ -500,7 +500,7 @@ class Trainer:
         def eval_step(variables: Dict, batch: Dict[str, jnp.ndarray]):
             if qat:     # validate on the same serving-grid weights QAT
                 variables = {**variables,       # trains through
-                             "params": qat_mod.fake_quant_vit_trunks(
+                             "params": qat_mod.fake_quant_trunks(
                                  variables["params"])}
             inputs = self._preprocess_eval(batch)
             labels = batch["label"]

@@ -14,11 +14,26 @@ to exactly ±127·scale, so requantization reproduces the same scale).
 TPU-native mechanics: this is a pure functional param transform applied
 inside the jitted train step — no module changes, no Python-level hooks
 (the reference framework would wrap layers; here the transform is traced
-once and XLA fuses the round/clip into the parameter load).  Scope is the
-ViT trunks (the reference's thermal/multimodal hot path): the ResNet int8
-path folds BatchNorm before quantizing, which a training-time transform
-cannot mirror while BN statistics are still moving, and its measured
-serving cost is already 0 prediction flips (RESULTS_REHEARSAL.md).
+once and XLA fuses the round/clip into the parameter load).  Scope:
+
+- ViT trunks: every encoder Dense kernel on the
+  ops/vit_block_q8.py::quantize_weight grid.
+- ResNet trunks (round 3): every stage conv kernel on the
+  models/resnet_q8.py::quantize_conv_weight grid.  The serving path
+  folds BatchNorm BEFORE quantizing, which a training-time transform
+  cannot do while BN statistics are still moving — but it does not have
+  to: the fold multiplies each OUTPUT channel by one scalar
+  s_c = gamma_c * rsqrt(var_c + eps), and per-output-channel symmetric
+  quantization is equivariant under per-channel scaling
+  (absmax(w_c * s_c) = |s_c| * absmax(w_c), and round/clip commute with
+  the sign — jnp.round is symmetric), so
+  quantdequant(w * s) == quantdequant(w) * s  exactly.  Fake-quanting
+  the UNFOLDED kernel therefore injects bit-exactly the relative error
+  serving's fold-then-quantize produces, whatever BN converges to.
+  The stem conv is excluded (serving keeps it bf16,
+  models/resnet_q8.py:22-23).  Activation scales remain post-training
+  calibration (static per-tensor; their error is input- not
+  weight-dependent, so training cannot pre-absorb it the same way).
 
 No reference counterpart (the reference has no quantized serving at all);
 this closes the loop on the framework's own "<1% typical accuracy cost"
@@ -51,6 +66,8 @@ def fake_quant_weight(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def _fq_dense(dense: Dict) -> Dict:
+    if "kernel" not in dense:      # already-int8 serving tree: pass through
+        return dense
     return {**dense, "kernel": fake_quant_weight(dense["kernel"])}
 
 
@@ -88,3 +105,66 @@ def fake_quant_vit_trunks(
         new[name] = {**{k: v for k, v in trunk.items() if k not in scopes},
                      **{k: _fq_block(trunk[k]) for k in scopes}}
     return new
+
+
+def fake_quant_conv_weight(w: jnp.ndarray) -> jnp.ndarray:
+    """Snap an HWIO conv kernel to the int8 ResNet serving grid with an
+    identity (straight-through) gradient.
+
+    Grid = models/resnet_q8.py::quantize_conv_weight: per-OUTPUT-channel
+    symmetric, scale = absmax/127 over (H, W, I).  Serving quantizes the
+    BN-FOLDED kernel, but the fold is a per-output-channel scalar and
+    this grid is equivariant under per-channel scaling (module
+    docstring), so snapping the unfolded kernel reproduces serving's
+    relative quantization error exactly."""
+    wf = w.astype(jnp.float32)
+    s = jnp.maximum(
+        jnp.max(jnp.abs(wf), axis=(0, 1, 2), keepdims=True) / 127.0,
+        1e-12)
+    dq = jnp.clip(jnp.round(wf / s), -127, 127) * s
+    return (wf + jax.lax.stop_gradient(dq - wf)).astype(w.dtype)
+
+
+def _fq_resnet_block(blk: Dict) -> Dict:
+    """Fake-quant every conv kernel of a stageN_blockM scope — the exact
+    set quantize_resnet_params converts (conv1/2/3, down_conv/proj_conv,
+    models/resnet_q8.py:240-259); BN scopes stay fp32 (folded at
+    serving-conversion time, which the per-channel equivariance makes
+    error-free to skip here)."""
+    out = {}
+    for k, v in blk.items():
+        if ((k.endswith("conv") or k.startswith("conv"))
+                and "kernel" in v):    # skip already-int8 serving trees
+            out[k] = {**v, "kernel": fake_quant_conv_weight(v["kernel"])}
+        else:
+            out[k] = v
+    return out
+
+
+def fake_quant_resnet_trunks(
+        params: Dict,
+        trunk_names: Tuple[str, ...] = ("rgb_branch", "ResNet_0")) -> Dict:
+    """Apply the int8 ResNet serving grid to every ResNet trunk's stage
+    convs (same trunk discovery as models/resnet_q8.py::
+    quantize_rgb_trunks; covers the ResNet-50 production trunk and the
+    ResNet-18 distillation student).  The stem conv is untouched
+    (serving keeps it bf16).  Models without a ResNet trunk pass through
+    unchanged."""
+    new = dict(params)
+    for name in trunk_names:
+        if name not in params or "stem_conv" not in params[name]:
+            continue
+        trunk = params[name]
+        new[name] = {
+            **{k: v for k, v in trunk.items()
+               if not k.startswith("stage")},
+            **{k: _fq_resnet_block(v) for k, v in trunk.items()
+               if k.startswith("stage")}}
+    return new
+
+
+def fake_quant_trunks(params: Dict) -> Dict:
+    """The full --qat transform: ViT encoder kernels AND ResNet stage
+    convs snapped to their respective int8 serving grids (both pure
+    param transforms; models without one trunk kind pass through)."""
+    return fake_quant_resnet_trunks(fake_quant_vit_trunks(params))
