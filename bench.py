@@ -357,20 +357,30 @@ def main():
         except Exception as exc:                      # pragma: no cover
             print(f"latency measurement failed: {exc}", file=sys.stderr)
 
-    # Approximate serving MFU for context against the chip's peak bf16
-    # matmul rate (TPU v5e ≈ 197 TF/s). Analytic model flops — XLA's
+    # Approximate serving MFU against the ACTUAL chip's peak dense bf16
+    # rate and the ACTUAL model config's analytic flops (incl. the
+    # reduced token count under --token-merge) — utils/flops.py; null on
+    # unknown chips rather than silently wrong.  Analytic because XLA's
     # cost_analysis cannot see inside the Pallas block kernels that carry
-    # most of the ViT's work, so it wildly undercounts here. Per image:
-    # ResNet50 ≈ 8.2 GF + ViT-B/16 (197 tok) ≈ 17.6 GF + fusion MLP
-    # ≈ 25.9 GF total (eval forward; roofline tables in docs/DESIGN.md).
-    mfu_pct = None
-    # (suppressed for --token-merge: merging cuts the per-image flops, so
-    # the 25.9 GF/img analytic model would overstate MFU)
-    if on_tpu and not args.int8 and not args.token_merge:
-        flops_per_image = 25.9e9
-        tf_per_s = (flops_per_image
-                    * result["images_per_sec_per_chip"] / 1e12)
-        mfu_pct = round(100.0 * tf_per_s / 197.0, 1)
+    # most of the ViT's work.  Suppressed for --int8: the int8 path's
+    # peak is the chip's int8 TOPS, not the bf16 rate, so a bf16-relative
+    # "MFU" would mislead.
+    from dfu_multimodal_tpu.utils import flops as flops_mod
+    peak_tflops = flops_mod.device_peak_tflops() if on_tpu else None
+    serving_mfu = None
+    if on_tpu and not args.int8:
+        serving_mfu = flops_mod.mfu_pct(
+            result["images_per_sec_per_chip"],
+            flops_mod.model_forward_flops(
+                "multimodal", token_merge=args.token_merge),
+            peak_tflops)
+    # train MFU per model (3x-forward rule, utils/flops.py): the honest
+    # denominator includes device-side augmentation + AdamW time that
+    # adds no counted flops
+    train_mfu = {
+        m: flops_mod.mfu_pct(ips, flops_mod.train_step_flops(m),
+                             peak_tflops)
+        for m, ips in train_ips.items()}
 
     print(json.dumps({
         "metric": ("fused_rgb_thermal_int8_inference_images_per_sec_per_chip"
@@ -396,7 +406,12 @@ def main():
         "int8_tome_serving_images_per_sec_per_chip": int8_tome_ips,
         "b1_p50_latency_ms": b1_ms,
         "b8_p50_latency_ms": b8_ms,
-        "approx_serving_mfu_pct": mfu_pct,
+        "device_kind": (jax.devices()[0].device_kind if on_tpu else None),
+        "peak_bf16_tflops": peak_tflops,
+        "approx_serving_mfu_pct": serving_mfu,
+        "multimodal_train_mfu_pct": train_mfu.get("multimodal"),
+        "thermal_train_mfu_pct": train_mfu.get("thermal_only"),
+        "rgb_train_mfu_pct": train_mfu.get("rgb_only"),
     }))
 
 
