@@ -86,40 +86,50 @@ def _select_samples(labels: np.ndarray, per_class: int) -> List[int]:
     return chosen
 
 
+def _method_label(method) -> str:
+    """Figure label for an attribution method.  The reference titles
+    everything (including its ViT saliency fallback) \"Grad-CAM\"; the
+    transformer methods must not inherit that mislabel — these PNGs are
+    clinical evidence artifacts and the method shown must be the method
+    stated."""
+    return {"rollout": "Attention Rollout",
+            "chefer": "Chefer Relevance"}.get(method, "Grad-CAM")
+
+
 def _figure_single(img_u8, cam_out, modality_title: str, model_title: str):
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     overlay, heatmap = gradcam.overlay_cam(img_u8, cam_out["cam"])
-    heat_title = {"rollout": "Attention Rollout Heatmap",
-                  "chefer": "Chefer Relevance Heatmap"}.get(
-        cam_out.get("method"), "Grad-CAM Heatmap")
+    label = _method_label(cam_out.get("method"))
     fig, axes = plt.subplots(1, 3, figsize=(15, 5))
     axes[0].imshow(img_u8)
     axes[0].set_title(f"Original {modality_title} Image")
     axes[1].imshow(heatmap)
-    axes[1].set_title(heat_title)
+    axes[1].set_title(f"{label} Heatmap")
     pred_txt = "Ulcer" if cam_out["pred"] == 1 else "Healthy"
     axes[2].imshow(overlay)
     axes[2].set_title(f"Overlay\nPred: {pred_txt} "
                       f"({cam_out['confidence']:.3f})")
     for ax in axes:
         ax.axis("off")
-    plt.suptitle(f"{model_title} Model Grad-CAM", fontsize=14,
+    plt.suptitle(f"{model_title} Model {label}", fontsize=14,
                  fontweight="bold")
     plt.tight_layout()
     return fig
 
 
 def _figure_multimodal(rgb_u8, thermal_u8, rgb_cam, thermal_cam, pred: int,
-                       confidence: float):
+                       confidence: float, rgb_method=None,
+                       thermal_method=None):
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     rgb_overlay, rgb_heat = gradcam.overlay_cam(rgb_u8, rgb_cam)
     th_overlay, th_heat = gradcam.overlay_cam(thermal_u8, thermal_cam)
+    labels = (_method_label(rgb_method), _method_label(thermal_method))
     fig, axes = plt.subplots(2, 3, figsize=(18, 10))
     for row, (img, heat, over, name) in enumerate(
             [(rgb_u8, rgb_heat, rgb_overlay, "RGB"),
@@ -127,13 +137,15 @@ def _figure_multimodal(rgb_u8, thermal_u8, rgb_cam, thermal_cam, pred: int,
         axes[row, 0].imshow(img, cmap="gray" if row else None)
         axes[row, 0].set_title(f"{name} Image")
         axes[row, 1].imshow(heat)
-        axes[row, 1].set_title(f"{name} Grad-CAM")
+        axes[row, 1].set_title(f"{name} {labels[row]}")
         axes[row, 2].imshow(over)
         axes[row, 2].set_title(f"{name} Overlay")
     for ax in axes.ravel():
         ax.axis("off")
     pred_txt = "Ulcer" if pred == 1 else "Healthy"
-    plt.suptitle(f"Multimodal Fusion Grad-CAM\nPrediction: {pred_txt} "
+    head = ("Grad-CAM" if labels[0] == labels[1] == "Grad-CAM"
+            else f"{labels[0]} (RGB) / {labels[1]} (Thermal)")
+    plt.suptitle(f"Multimodal Fusion {head}\nPrediction: {pred_txt} "
                  f"(Confidence: {confidence:.3f})",
                  fontsize=14, fontweight="bold")
     plt.tight_layout()
@@ -226,7 +238,9 @@ def visualize_model(trainer: Trainer, state, dataset: ArrayDataset,
             fig = _figure_multimodal(
                 raw_batches["rgb"][k], raw_batches["thermal"][k],
                 rgb_outs[k]["cam"], th_outs[k]["cam"],
-                rgb_outs[k]["pred"], rgb_outs[k]["confidence"])
+                rgb_outs[k]["pred"], rgb_outs[k]["confidence"],
+                rgb_method=rgb_outs[k].get("method"),
+                thermal_method=th_outs[k].get("method"))
         else:
             fig = _figure_single(raw_batches[spec.inputs[0]][k],
                                  cam_outs[k], spec.inputs[0].upper(),
@@ -283,6 +297,11 @@ def main(argv=None) -> Dict[str, int]:
             continue
         zoo_name = overrides.get(
             subdir, ckpt_mod.load_meta(ckpt_dir).get("model") or zoo_default)
+        if args.cam_method != "saliency":
+            from dfu_multimodal_tpu.eval.vit_attribution import (
+                DOWNGRADE_NOTE, supports_transformer_attribution)
+            if not supports_transformer_attribution(zoo_name):
+                print(f"  --cam-method {args.cam_method} {DOWNGRADE_NOTE}")
         cfg = TrainConfig(batch_size=1, compute_dtype="float32",
                           mesh=cfg_mod.MeshConfig(data=1))
         trainer = Trainer(zoo_name, cfg,

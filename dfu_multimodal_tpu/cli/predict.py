@@ -138,7 +138,8 @@ def _write_explanations(trainer, state, arrays, paths, provided,
     from dfu_multimodal_tpu.data.transforms import eval_normalize
     from dfu_multimodal_tpu.eval import gradcam
     from dfu_multimodal_tpu.eval.vit_attribution import (
-        VIT_TRUNK_SCOPES, compute_vit_cam_batch)
+        DOWNGRADE_NOTE, VIT_TRUNK_SCOPES, compute_vit_cam_batch,
+        supports_transformer_attribution)
     from dfu_multimodal_tpu.serve.explain import (BRANCH_TAPS,
                                                   saliency_grads_fn,
                                                   render_overlay)
@@ -149,9 +150,10 @@ def _write_explanations(trainer, state, arrays, paths, provided,
     variables = trainer.variables(state)
     taps = BRANCH_TAPS.get(trainer.spec.name)
     vit_scope = VIT_TRUNK_SCOPES.get(trainer.spec.name)
-    if cam_method != "saliency" and vit_scope is None:
+    if (cam_method != "saliency"
+            and not supports_transformer_attribution(trainer.spec.name)):
         print(f"--cam-method {cam_method}: model {trainer.spec.name!r} "
-              "has no ViT branch; using saliency")
+              f"{DOWNGRADE_NOTE}")
         cam_method = "saliency"
     saliency = None if taps is not None else saliency_grads_fn(module, ci)
     written = 0

@@ -251,12 +251,12 @@ def _load_engine(ckpt: Path, model_name, args, cfg, modalities):
     if getattr(args, "explain", False):
         from dfu_multimodal_tpu.serve.explain import Explainer
         from dfu_multimodal_tpu.eval.vit_attribution import (
-            VIT_TRUNK_SCOPES)
+            DOWNGRADE_NOTE, supports_transformer_attribution)
         cls = args.explain_class
         method = getattr(args, "cam_method", "saliency")
-        if method != "saliency" and model_name not in VIT_TRUNK_SCOPES:
-            # only the ViT-carrying models support transformer
-            # attribution; others keep their Grad-CAM/saliency semantics
+        if (method != "saliency"
+                and not supports_transformer_attribution(model_name)):
+            print(f"{ckpt.name}: --cam-method {method} {DOWNGRADE_NOTE}")
             method = "saliency"
         explainer = Explainer(base[0], base[1],
                               class_index="pred" if cls == "pred" else cls,

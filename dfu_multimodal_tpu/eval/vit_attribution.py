@@ -53,11 +53,33 @@ VIT_TRUNK_SCOPES = {
 }
 
 
+def supports_transformer_attribution(model_name: str) -> bool:
+    """True when ``--cam-method rollout/chefer`` applies to this model
+    (it has a ViT trunk).  The ONE capability rule every surface uses —
+    the Explainer raises on unsupported models, the CLIs downgrade with
+    a notice; both consult this."""
+    return model_name in VIT_TRUNK_SCOPES
+
+
+DOWNGRADE_NOTE = ("applies to ViT branches only; this model's branches "
+                  "keep their default methods (true Grad-CAM for tapped "
+                  "trunks, input saliency otherwise)")
+
+
 def stacked_trunk_params(trunk: Dict) -> Dict:
     """Trunk params with the encoder as ONE stacked (depth, ...) tree —
     the production scanned layout passes through; unrolled ``blockN``
-    scopes (debug escape hatch) are stacked here."""
+    scopes (debug escape hatch) are stacked here.  A token-merge-split
+    trunk (``encoder``/``encoder2``) is rejected: silently attributing
+    over only the first ``merge_at`` blocks would produce a
+    plausible-looking but wrong CAM — attribution must run on the
+    pre-ToMe restored variables (which is what every serving/CLI caller
+    passes)."""
     if "encoder" in trunk:
+        if "encoder2" in trunk:
+            raise ValueError(
+                "trunk params are a token-merge split (encoder/encoder2);"
+                " run attribution on the pre-ToMe full-fidelity variables")
         return trunk
     blocks = sorted((k for k in trunk if k.startswith("block")),
                     key=lambda k: int(k[5:]))
@@ -191,6 +213,13 @@ def _normalize_batch(cams: np.ndarray) -> np.ndarray:
     return np.stack(out)
 
 
+@partial(jax.jit, static_argnames=("module",))
+def _forward_probs(module, variables, inputs):
+    logits = module.apply(variables, *inputs,
+                          train=False).astype(jnp.float32)
+    return jax.nn.softmax(logits, axis=-1)
+
+
 def compute_vit_cam_batch(module, variables, inputs, trunk_scope: str,
                           method: str, class_index="pred",
                           input_index: int = 0,
@@ -209,18 +238,21 @@ def compute_vit_cam_batch(module, variables, inputs, trunk_scope: str,
         num_heads = vit_config_from_params(trunk)["num_heads"]
     x = inputs[input_index]
 
-    # probs (and, for chefer, the class-specific outer gradient at the
-    # blocks tap) come from the existing tap machinery on the full model
-    shape = gradcam.tap_shape(module, variables, inputs, "blocks")
-    zero_tap = jnp.zeros(shape.shape, shape.dtype)
-    ci = class_index if class_index == "pred" else int(class_index)
-    probs, _act, tap_grad, _ig = gradcam._cam_grads(
-        module, variables, inputs, zero_tap, "blocks", ci, input_index)
-    probs = np.asarray(probs)
-
     if method == "rollout":
+        # class-agnostic: only the plain forward's probs are needed —
+        # the full-model forward+backward tap program would cost ~3x a
+        # forward just to discard its gradients
+        probs = np.asarray(_forward_probs(module, variables, inputs))
         cams = attention_rollout(trunk, x, num_heads)
     elif method == "chefer":
+        # the class-specific outer gradient at the blocks tap comes from
+        # the existing tap machinery on the full model
+        shape = gradcam.tap_shape(module, variables, inputs, "blocks")
+        zero_tap = jnp.zeros(shape.shape, shape.dtype)
+        ci = class_index if class_index == "pred" else int(class_index)
+        probs, _act, tap_grad, _ig = gradcam._cam_grads(
+            module, variables, inputs, zero_tap, "blocks", ci, input_index)
+        probs = np.asarray(probs)
         cams = chefer_relevance(trunk, x, tap_grad, num_heads)
     else:
         raise ValueError(f"unknown ViT attribution method {method!r} "

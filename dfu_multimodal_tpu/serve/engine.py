@@ -400,8 +400,13 @@ class ServingEngine:
                     # class from the raw-logit argmax the CAM explained.
                     # Re-explain the served decision — the heatmap must
                     # be evidence for what the caller was actually told.
-                    out = self.explainer.explain_one(
-                        sample, class_override=decided)
+                    # (Unless every CAM is class-agnostic — rollout-only
+                    # — where a re-run would return the identical map.)
+                    if self.explainer.class_agnostic:
+                        out = {**out, "class_explained": decided}
+                    else:
+                        out = self.explainer.explain_one(
+                            sample, class_override=decided)
                 fut.set_result({"prob_ulcer": float(probs[0]),
                                 "prediction": decided,
                                 "class_explained": out["class_explained"],
@@ -429,7 +434,8 @@ class ServingEngine:
             # _run_explains re-explains with a fixed class: warm both
             # fixed-class programs so borderline clicks don't compile.
             classes = ((0, 1) if (self.threshold is not None
-                                  and self.explainer.class_index == "pred")
+                                  and self.explainer.class_index == "pred"
+                                  and not self.explainer.class_agnostic)
                        else ())
             self.explainer.warmup(self.image_size, classes=classes)
 

@@ -110,6 +110,16 @@ class Explainer:
                 f"{self.model_name!r} has none (use saliency)")
         self.cam_method = cam_method
         self.taps = BRANCH_TAPS.get(self.model_name)
+        # True when EVERY branch CAM this explainer can produce ignores
+        # the class (rollout on a model whose only tapped branch is the
+        # ViT): the engine then skips the borderline re-explain (the CAM
+        # would be byte-identical) and the extra fixed-class warmup
+        # compiles.  A multimodal rollout still has the class-specific
+        # Grad-CAM rgb branch, so it stays class-specific.
+        self.class_agnostic = (cam_method == "rollout"
+                               and self.taps is not None
+                               and all(t == "blocks"
+                                       for t in self.taps.values()))
         # saliency programs are built per class key ("pred" or a fixed
         # int): the engine may re-explain a borderline request with the
         # deployment-tuned class (see ServingEngine._run_explains), which

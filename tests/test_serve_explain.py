@@ -269,3 +269,31 @@ def test_explainer_cam_method_rollout_and_chefer():
                                    {"rgb": config.rgb_modality()})
     with pytest.raises(ValueError, match="needs a ViT branch"):
         Explainer(rgb_trainer, rgb_state, cam_method="rollout")
+
+
+def test_rollout_class_agnostic_skips_borderline_reexplain():
+    """rollout on a ViT-only model is class-agnostic: the engine must
+    not re-run the explanation for a borderline thresholded decision
+    (the CAM would be identical) but still report the served class."""
+    trainer, state = _make("thermal_only",
+                           {"thermal": config.thermal_modality()})
+    ex = Explainer(trainer, state, cam_method="rollout")
+    assert ex.class_agnostic is True
+    assert Explainer(trainer, state,
+                     cam_method="chefer").class_agnostic is False
+    img = rand_images(1, seed=8)[0]
+    base = ex.explain_one({"thermal": img})
+    argmax = int(np.argmax(base["probs"]))
+    flipped = 1 - argmax
+    thr = 0.0 if flipped == 1 else 2.0
+    engine = ServingEngine(trainer, state, image_size=SIZE, max_batch=8,
+                           threshold=thr,
+                           explainer=Explainer(trainer, state,
+                                               cam_method="rollout"))
+    with engine:
+        out = engine.submit_explain({"thermal": img}).result(timeout=60)
+    assert out["prediction"] == flipped
+    assert out["class_explained"] == flipped
+    # identical CAM to the single-pass rollout (no re-explain happened)
+    np.testing.assert_allclose(out["cams"]["thermal"]["cam"],
+                               base["cams"]["thermal"]["cam"], atol=1e-6)

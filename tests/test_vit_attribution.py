@@ -191,3 +191,22 @@ def test_zoo_models_rollout_and_chefer():
                 assert 0.0 <= o["cam"].min() and o["cam"].max() <= 1.0
                 np.testing.assert_allclose(o["probs"], want_probs[i],
                                            atol=2e-4)
+
+
+def test_stacked_trunk_rejects_tome_split():
+    """A token-merge split trunk (encoder/encoder2) must raise instead
+    of silently attributing over a truncated encoder."""
+    _, variables, _ = _trunk_and_input(seed=8, batch=1)
+    trunk = dict(va.stacked_trunk_params(variables["params"]))
+    enc = trunk["encoder"]
+    trunk["encoder"] = jax.tree.map(lambda a: a[:1], enc)
+    trunk["encoder2"] = jax.tree.map(lambda a: a[1:], enc)
+    with pytest.raises(ValueError, match="token-merge split"):
+        va.stacked_trunk_params(trunk)
+
+
+def test_supports_transformer_attribution_predicate():
+    assert va.supports_transformer_attribution("thermal_only")
+    assert va.supports_transformer_attribution("multimodal")
+    assert not va.supports_transformer_attribution("rgb_only")
+    assert not va.supports_transformer_attribution("tiny_rgb")
