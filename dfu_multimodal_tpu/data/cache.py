@@ -106,15 +106,24 @@ def cached_decode(paths: Sequence[Optional[Path]], image_size: int,
             return np.memmap(data_path, np.uint8, mode="r", shape=shape)
 
     tmp = cache_dir / f"{key}.u8.tmp{os.getpid()}"
-    mm = np.memmap(tmp, np.uint8, mode="w+", shape=shape)
     try:
-        for lo in range(0, n, chunk):
-            hi = min(lo + chunk, n)
-            mm[lo:hi] = decode_raw(list(paths[lo:hi]), image_size)
-        mm.flush()
-    finally:
-        del mm                                  # close before replace
-    os.replace(tmp, data_path)
+        mm = np.memmap(tmp, np.uint8, mode="w+", shape=shape)
+        try:
+            for lo in range(0, n, chunk):
+                hi = min(lo + chunk, n)
+                mm[lo:hi] = decode_raw(list(paths[lo:hi]), image_size)
+            mm.flush()
+        finally:
+            del mm                              # close before replace
+        os.replace(tmp, data_path)
+    except BaseException:
+        # a failed/interrupted build must not leak a dataset-sized tmp
+        # file into the cache dir (they would accumulate unbounded)
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
     meta_path.write_text(json.dumps(
         {"format": _FORMAT, "n": n, "image_size": image_size}))
     return np.memmap(data_path, np.uint8, mode="r", shape=shape)

@@ -191,11 +191,17 @@ def get_dataloaders(data_dir: Path, batch_size: int = 12,
             Path(data_dir) / modality, split, image_size, modality)
             for split in ("train", "val", "test")}
 
+    # ONE persistent generator across make_batches calls: the reference
+    # DataLoader(shuffle=True) reshuffles every epoch, so consecutive
+    # calls must advance the stream — re-seeding per call would hand
+    # every epoch the identical batch order
+    default_rng = np.random.default_rng(seed)
+
     def make_batches(split: str, rng: Optional[np.random.Generator] = None):
         ds = datasets[split]
         bs = batch_size
         if split == "train":
-            rng = rng or np.random.default_rng(seed)
+            rng = rng or default_rng
             order = rng.permutation(len(ds))
         else:
             order = np.arange(len(ds))

@@ -26,7 +26,10 @@ from dfu_multimodal_tpu.data.layout import SPLITS
 def _base_texture(rng: np.random.Generator, size: int,
                   base: Tuple[int, int, int]) -> np.ndarray:
     img = np.ones((size, size, 3), np.float32) * np.asarray(base, np.float32)
-    noise = rng.normal(0, 12, (size // 8, size // 8, 3)).astype(np.float32)
+    # ceil-divide so the upsampled field always covers the full image
+    # (any size works, not just multiples of 8)
+    blocks = -(-size // 8)
+    noise = rng.normal(0, 12, (blocks, blocks, 3)).astype(np.float32)
     noise = np.kron(noise, np.ones((8, 8, 1), np.float32))  # smooth blotches
     return img + noise[:size, :size]
 

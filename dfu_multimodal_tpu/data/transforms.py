@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -228,10 +228,41 @@ def dense_warp(image: jnp.ndarray, inv_matrix: jnp.ndarray) -> jnp.ndarray:
         image.dtype if image.dtype != jnp.uint8 else jnp.float32)
 
 
-def resolve_warp(impl: str = "auto"):
+def dense_warp_safe(cfg: AugmentConfig) -> bool:
+    """True when every transform ``cfg`` can draw keeps dense_warp's y-y
+    inverse coefficient d = cos(theta_total)/scale bounded away from 0.
+    The worst case is full rotation + full affine rotation at max zoom;
+    past ~|d| < 0.2 the b/d, c/d factorization amplifies rounding and at
+    theta_total -> 90 deg it divides by zero outright — such configs
+    must take the gather path."""
+    total = cfg.rotation_degrees + (cfg.affine_degrees if cfg.affine
+                                    else 0.0)
+    if total >= 89.0:
+        return False
+    hi = cfg.affine_scale[1] if cfg.affine else 1.0
+    return math.cos(total * math.pi / 180.0) / hi >= 0.2
+
+
+def resolve_warp(impl: str = "auto", cfg: Optional[AugmentConfig] = None):
     """'gather' (affine_warp) | 'dense' (dense_warp) | 'auto' = dense on
     TPU (escapes the gather index-rate bound), gather elsewhere (dense
-    flops are the worse trade on CPU)."""
+    flops are the worse trade on CPU).
+
+    ``cfg``: when given, 'auto' additionally requires
+    :func:`dense_warp_safe` (a rotation-heavy custom config silently
+    producing NaN/black images on TPU but not CPU was the failure mode),
+    and an EXPLICIT 'dense' request outside the safe envelope raises."""
+    if cfg is not None and not dense_warp_safe(cfg):
+        if impl == "dense":
+            raise ValueError(
+                "dense_warp is numerically unsafe for this AugmentConfig "
+                f"(rotation {cfg.rotation_degrees} + affine "
+                f"{cfg.affine_degrees if cfg.affine else 0} deg at max "
+                f"scale {cfg.affine_scale[1] if cfg.affine else 1.0}): "
+                "the inverse y-y coefficient approaches 0. Use "
+                "warp_impl='gather'.")
+        if impl == "auto":
+            return affine_warp
     if impl == "auto":
         impl = "dense" if jax.devices()[0].platform == "tpu" else "gather"
     return dense_warp if impl == "dense" else affine_warp
@@ -251,10 +282,16 @@ def _color_jitter(key: jax.Array, image: jnp.ndarray,
     s = jnp.where(apply, jax.random.uniform(
         ks, minval=1 - cfg.saturation, maxval=1 + cfg.saturation), 1.0)
 
+    def luma(im):
+        return (0.299 * im[..., 0] + 0.587 * im[..., 1]
+                + 0.114 * im[..., 2])
+
     x = image * b
-    gray = (0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2])
-    x = gray.mean() * (1 - c) + x * c
-    x = gray[..., None] * (1 - s) + x * s
+    x = luma(x).mean() * (1 - c) + x * c
+    # torchvision's adjust_saturation blends against the grayscale of
+    # ITS input — i.e. the post-contrast image, so luma is recomputed
+    # here rather than reused from before the contrast blend
+    x = luma(x)[..., None] * (1 - s) + x * s
     return jnp.clip(x, 0.0, 255.0)
 
 
@@ -323,7 +360,7 @@ def augment_and_normalize(key: jax.Array, images: jnp.ndarray,
     ``images``: uint8 (B, H, W, C) -> normalized (B, H, W, C) ``dtype``."""
     keys = jax.random.split(key, images.shape[0])
     work = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
-    warp = resolve_warp(warp_impl)
+    warp = resolve_warp(warp_impl, modality.augment)
     fill = (tuple(255.0 * m for m in modality.mean)
             if modality.augment.fill_with_mean else None)
     out = jax.vmap(

@@ -280,6 +280,32 @@ class Trainer:
             return shard_variables(params, self.mesh)
         return jax.device_put(params, self.replicated)
 
+    def _place_opt_state(self, opt_state, params: Dict):
+        """Place an optimizer state on the mesh: the mu/nu sub-trees are
+        structurally identical to ``params`` and get the params'
+        FSDP/TP placement (the specs are derived from leaf paths/shapes,
+        which match); everything else (step counts, empty states)
+        replicates.  Needed explicitly because ``jit(tx.init)`` constant-
+        folds the zeros_like and XLA then parks the whole optimizer
+        state on ONE device — full-model-size on that chip, silently
+        voiding the ZeRO-3 memory contract."""
+        pstruct = jax.tree_util.tree_structure(params)
+
+        def rec(node):
+            if isinstance(node, dict):
+                if jax.tree_util.tree_structure(node) == pstruct:
+                    return self._place_params(node)
+                return {k: rec(v) for k, v in node.items()}
+            if isinstance(node, tuple):        # incl. optax NamedTuples
+                children = [rec(c) for c in node]
+                return (type(node)(*children) if hasattr(node, "_fields")
+                        else tuple(children))
+            if isinstance(node, list):
+                return [rec(c) for c in node]
+            return jax.device_put(node, self.replicated)
+
+        return rec(opt_state)
+
     def init_state(self, rng: jax.Array, image_size: int = 224) -> TrainState:
         variables = zoo.init_model(self.module, self.spec, rng, image_size)
         variables = unfreeze(variables)
@@ -297,8 +323,10 @@ class Trainer:
 
         if self.mesh.shape[mesh_mod.MODEL_AXIS] > 1 or self.fsdp:
             # Sharded params: Megatron-style TP over ``model``, or ZeRO-3
-            # FSDP over ``data``; optimizer state inherits the shardings
-            # (elementwise init under jit).
+            # FSDP over ``data``.  The optimizer state gets the params'
+            # placement EXPLICITLY — jit(tx.init) does NOT inherit it
+            # (zeros_like constant-folds; XLA parks the result on one
+            # device, see _place_opt_state).
             params = self._place_params(params)
             batch_stats = jax.device_put(batch_stats, self.replicated)
             ema = ema_copy(params) if use_ema else None
@@ -306,7 +334,9 @@ class Trainer:
                 step=jax.device_put(jnp.zeros((), jnp.int32),
                                     self.replicated),
                 params=params, batch_stats=batch_stats,
-                opt_state=jax.jit(self.tx.init)(params), ema_params=ema)
+                opt_state=self._place_opt_state(
+                    jax.jit(self.tx.init)(params), params),
+                ema_params=ema)
 
         state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                            batch_stats=batch_stats,
@@ -552,6 +582,13 @@ class Trainer:
         """Returns (metrics, {'y_true','y_pred','y_probs'}) with padding
         rows stripped."""
         bs = mesh_mod.pad_batch_to_mesh(self.cfg.eval_bs, self.mesh)
+        if len(dataset) == 0:
+            # fail like the train path's epoch_indices: an informative
+            # error now, not a bare np.concatenate([]) crash after a full
+            # train epoch
+            raise ValueError(
+                "cannot evaluate an empty dataset: the split directory "
+                "has no images (check the data-dir layout)")
         variables = self.variables(state)
         outs, losses, counts = [], [], []
         for batch in data_loader.device_prefetch(
@@ -653,6 +690,15 @@ class Trainer:
         saver = (ckpt_mod.AsyncCheckpointer()
                  if getattr(cfg, "async_checkpoint", False) else None)
         save_fn = saver.save if saver is not None else ckpt_mod.save_checkpoint
+        # Multi-host: every process runs the identical loop (the sharded
+        # arrays are global), but exactly ONE process may touch shared
+        # files — two writers racing unlink+write on the same
+        # best_model.msgpack can interleave to a truncated checkpoint,
+        # and the metrics JSONL would carry duplicate epoch lines.
+        is_writer = jax.process_index() == 0
+        if not is_writer:
+            metrics_jsonl = None
+            checkpoint_dir = None
 
         meter = ThroughputMeter(n_chips=self.mesh.size)
         for epoch in range(start_epoch, cfg.num_epochs + 1):
@@ -788,14 +834,21 @@ class Trainer:
                     {"params": target["params"]},
                     {"params": payload["raw_params"]}, verbose=False)
                 params = raw["params"]
+        batch_stats = merged.get("batch_stats", state.batch_stats)
         if self.fsdp or self.mesh.shape[mesh_mod.MODEL_AXIS] > 1:
             # load_flexible returns host arrays; re-apply the sharded
             # placement so a restored state trains with the same layout
-            # (and memory footprint) as a fresh one.
+            # (and memory footprint) as a fresh one.  That includes the
+            # OPTIMIZER state (mu/nu mirror the params — left as host
+            # arrays they would enter the first donated step uncommitted
+            # and replicate per device, full-model-size, breaking the
+            # ZeRO-3 memory contract exactly on --resume-from) and the
+            # batch_stats (replicated, like init_state places them).
             params = self._place_params(params)
             if use_ema:
                 ema_params = self._place_params(ema_params)
+            opt_state = self._place_opt_state(opt_state, params)
+            batch_stats = jax.device_put(batch_stats, self.replicated)
         return state.replace(
-            params=params,
-            batch_stats=merged.get("batch_stats", state.batch_stats),
+            params=params, batch_stats=batch_stats,
             opt_state=opt_state, ema_params=ema_params)

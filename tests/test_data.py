@@ -487,3 +487,128 @@ def test_loaders_accept_cache_dir(synth_root, tmp_path):
     for k in ("rgb", "thermal"):
         np.testing.assert_array_equal(np.asarray(p_cached.arrays[k]),
                                       p_plain.arrays[k])
+
+
+def test_get_dataloaders_reshuffles_per_epoch(synth_root):
+    """The reference DataLoader(shuffle=True) contract: consecutive
+    epochs draw DIFFERENT batch orders from the default generator (a
+    per-call re-seed would hand every epoch the identical order)."""
+    from dfu_multimodal_tpu.data.loader import get_dataloaders
+
+    datasets, make_batches = get_dataloaders(synth_root, batch_size=4,
+                                             image_size=32, seed=0)
+    def label_order(batches):
+        out = []
+        for b in batches:
+            v = np.asarray(b["valid"]).astype(bool)
+            out.extend(np.asarray(b["label"])[v].tolist())
+        return out
+
+    e1 = label_order(make_batches("train"))
+    e2 = label_order(make_batches("train"))
+    n = len(datasets["train"])
+    assert len(e1) == len(e2) == n
+    assert sorted(e1) == sorted(e2)  # same multiset of samples...
+    assert e1 != e2                  # ...in a different order per epoch
+    # same seed reproduces the same FIRST epoch on a fresh factory
+    _, mb2 = get_dataloaders(synth_root, batch_size=4,
+                             image_size=32, seed=0)
+    assert label_order(mb2("train")) == e1
+
+
+def test_dense_warp_safety_guard():
+    """Rotation-heavy configs must not silently hit dense_warp's 1/d
+    singularity: 'auto' falls back to the gather path, an explicit
+    'dense' request raises."""
+    import dataclasses
+
+    from dfu_multimodal_tpu import config
+    from dfu_multimodal_tpu.data.transforms import (affine_warp,
+                                                    dense_warp_safe,
+                                                    resolve_warp)
+
+    safe = config.AugmentConfig()              # defaults: 30+20 deg, 1.2x
+    assert dense_warp_safe(safe)
+    risky = dataclasses.replace(safe, rotation_degrees=75.0)
+    assert not dense_warp_safe(risky)          # 75+20 deg: cos -> ~0
+    assert resolve_warp("auto", risky) is affine_warp
+    with pytest.raises(ValueError, match="unsafe"):
+        resolve_warp("dense", risky)
+    # gather is always allowed
+    assert resolve_warp("gather", risky) is affine_warp
+
+
+def test_color_jitter_saturation_uses_post_contrast_gray():
+    """torchvision adjust_saturation blends against the grayscale of ITS
+    input (the post-contrast image); verify against the hand-computed
+    composition."""
+    import jax
+
+    from dfu_multimodal_tpu import config
+    from dfu_multimodal_tpu.data.transforms import _color_jitter
+
+    cfg = dataclasses_replace_aug(aug_prob=1.0)
+    key = jax.random.PRNGKey(3)
+    img = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 255, (8, 8, 3)), jnp.float32)
+    out = np.asarray(_color_jitter(key, img, cfg))
+
+    # reproduce the sampled factors exactly as _color_jitter draws them
+    k_apply, kb, kc, ks = jax.random.split(key, 4)
+    b = float(jax.random.uniform(kb, minval=1 - cfg.brightness,
+                                 maxval=1 + cfg.brightness))
+    c = float(jax.random.uniform(kc, minval=1 - cfg.contrast,
+                                 maxval=1 + cfg.contrast))
+    s = float(jax.random.uniform(ks, minval=1 - cfg.saturation,
+                                 maxval=1 + cfg.saturation))
+    x = np.asarray(img) * b
+    def luma(im):
+        return 0.299 * im[..., 0] + 0.587 * im[..., 1] + 0.114 * im[..., 2]
+    x = luma(x).mean() * (1 - c) + x * c
+    x = luma(x)[..., None] * (1 - s) + x * s       # gray of post-contrast
+    np.testing.assert_allclose(out, np.clip(x, 0, 255), atol=1e-3)
+
+
+def dataclasses_replace_aug(**kw):
+    import dataclasses
+
+    from dfu_multimodal_tpu import config
+    return dataclasses.replace(config.AugmentConfig(), **kw)
+
+
+def test_synthetic_any_size():
+    """make_image must work for sizes that are not multiples of 8."""
+    from dfu_multimodal_tpu.data.synthetic import make_image
+
+    rng = np.random.default_rng(0)
+    for size in (100, 97, 224):
+        img = make_image(rng, "rgb", 1, size=size)
+        assert img.shape == (size, size, 3) and img.dtype == np.uint8
+
+
+def test_cached_decode_cleans_tmp_on_failure(tmp_path, monkeypatch):
+    """A decode error mid-build must not leak the dataset-sized .tmp
+    file into the cache directory."""
+    from dfu_multimodal_tpu.data import cache as cache_mod
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    paths = []
+    for i in range(3):
+        p = img_dir / f"{i}.jpg"
+        from PIL import Image
+        Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(p)
+        paths.append(p)
+
+    def boom(paths, image_size):
+        raise RuntimeError("decode exploded")
+
+    # cached_decode imports decode_raw from the loader module at call
+    # time — patch it at its source
+    from dfu_multimodal_tpu.data import loader as loader_mod
+    monkeypatch.setattr(loader_mod, "decode_raw", boom)
+    cache_dir = tmp_path / "cache"
+    with pytest.raises(RuntimeError, match="decode exploded"):
+        cache_mod.cached_decode(paths, 8, cache_dir)
+    leftovers = [p for p in cache_dir.iterdir() if ".tmp" in p.name]
+    assert leftovers == []

@@ -535,3 +535,26 @@ def test_resume_basename_selection(tmp_path):
     assert ckpt_mod.resume_basename(d) == "last_model"
     ckpt_mod.save_checkpoint(d, epoch=9, val_f1=0.95, **kw)   # best newer
     assert ckpt_mod.resume_basename(d) == "best_model"
+
+
+def test_eval_on_empty_dataset_raises_informatively():
+    """An empty val/test split must fail with a clear message, not a
+    bare np.concatenate([]) crash after a full train epoch."""
+    import jax
+    import numpy as np
+    import pytest
+
+    from dfu_multimodal_tpu import config
+    from dfu_multimodal_tpu.data.loader import ArrayDataset
+    from dfu_multimodal_tpu.train.engine import Trainer
+
+    cfg = config.TrainConfig(batch_size=4, eval_batch_size=4,
+                             compute_dtype="float32",
+                             mesh=config.MeshConfig(data=1))
+    trainer = Trainer("tiny_rgb", cfg, {"rgb": config.rgb_modality()})
+    state = trainer.init_state(jax.random.PRNGKey(0), image_size=32)
+    empty = ArrayDataset(
+        arrays={"rgb": np.zeros((0, 32, 32, 3), np.uint8)},
+        labels=np.zeros(0, np.int32))
+    with pytest.raises(ValueError, match="empty dataset"):
+        trainer.run_eval_epoch(state, empty)

@@ -401,3 +401,52 @@ def test_fsdp_batchnorm_model_matches_data_parallel():
                      np.asarray(new_state.batch_stats["bn0"]["mean"]))
     assert out["fsdp"][0] == pytest.approx(out["dp"][0], rel=1e-5)
     np.testing.assert_allclose(out["fsdp"][1], out["dp"][1], rtol=1e-5)
+
+
+def test_fsdp_restore_places_opt_state_sharded(tmp_path):
+    """--resume-from on an FSDP run must re-shard the OPTIMIZER state
+    (mu/nu mirror the params): left as host arrays they would replicate
+    per device and break the ZeRO-3 memory contract exactly on resume."""
+    from dfu_multimodal_tpu import config
+    from dfu_multimodal_tpu.train.engine import Trainer
+    from dfu_multimodal_tpu.utils import checkpoint as ckpt_mod
+
+    cfg = config.TrainConfig(batch_size=8, compute_dtype="float32",
+                             seed=0,
+                             mesh=config.MeshConfig(data=8, fsdp=True))
+    trainer = Trainer("thermal_only", cfg,
+                      {"thermal": config.thermal_modality()},
+                      attention_impl="xla")
+    state = trainer.init_state(jax.random.PRNGKey(0), image_size=32)
+
+    def qkv_mu(opt_state):
+        leaves = [l for l in jax.tree_util.tree_leaves(opt_state)
+                  if hasattr(l, "shape") and l.ndim == 3
+                  and l.shape[-1] == 2304]
+        assert leaves, "no qkv-shaped mu/nu leaf found"
+        return leaves[0]
+
+    fresh = qkv_mu(state.opt_state)
+    assert not fresh.sharding.is_fully_replicated
+
+    ckpt_mod.save_checkpoint(tmp_path, epoch=1,
+                             model_state=trainer.variables(state),
+                             opt_state=state.opt_state, val_f1=0.5,
+                             history={}, extra_meta={"model": "thermal_only"})
+    restored = trainer.restore(tmp_path, image_size=32,
+                               with_opt_state=True)
+    mu = qkv_mu(restored.opt_state)
+    assert not mu.sharding.is_fully_replicated, (
+        "restored FSDP optimizer state lost its ZeRO-3 sharding")
+    assert mu.addressable_shards[0].data.size == mu.size // 8
+    # params too (pre-existing behavior, still holds)
+    qkv = restored.params["ViT_0"]["encoder"]["attn"]["qkv"]["kernel"]
+    assert not qkv.sharding.is_fully_replicated
+    # and the restored state still trains
+    rng = np.random.default_rng(0)
+    b = jax.device_put(
+        {"thermal": rng.integers(0, 255, (8, 32, 32, 3), np.uint8),
+         "label": rng.integers(0, 2, 8).astype(np.int32),
+         "valid": np.ones(8, np.float32)}, trainer.batch_sharding)
+    _, m = trainer.train_step(restored, b, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
