@@ -55,15 +55,22 @@ def channel_histograms(u8: np.ndarray) -> np.ndarray:
         for c in range(flat.shape[-1])])
 
 
-def _fine_counts_chunked(arr: np.ndarray, chunk: int = 256) -> np.ndarray:
+def _fine_counts_chunked(arr: np.ndarray, chunk: int = 256,
+                         rows: Optional[np.ndarray] = None) -> np.ndarray:
     """(C, 256) per-channel full-resolution intensity counts, accumulated
     in row chunks — constant memory even over a memmap-backed cache
-    array (data/cache.py) far larger than RAM."""
+    array (data/cache.py) far larger than RAM.  ``rows``: optional row
+    indices to count (the caller must NOT fancy-index the memmap up
+    front — ``arr[rows]`` copies every selected row into RAM, defeating
+    this function's whole point)."""
     arr = arr if arr.ndim == 4 else arr[None]
     nch = arr.shape[-1]
     counts = np.zeros((nch, 256), np.int64)
-    for lo in range(0, arr.shape[0], chunk):
-        flat = np.asarray(arr[lo:lo + chunk]).reshape(-1, nch)
+    n = arr.shape[0] if rows is None else len(rows)
+    for lo in range(0, n, chunk):
+        sel = (slice(lo, lo + chunk) if rows is None
+               else rows[lo:lo + chunk])
+        flat = np.asarray(arr[sel]).reshape(-1, nch)
         idx = (flat.astype(np.int32)
                + np.arange(nch, dtype=np.int32) * 256)
         counts += np.bincount(idx.ravel(),
@@ -91,12 +98,19 @@ def baseline_from_arrays(arrays: Dict[str, np.ndarray],
     for mod, arr in arrays.items():
         arr4 = arr if arr.ndim == 4 else arr[None]
         mod_paths = (paths or {}).get(mod)
+        rows = None
+        n_images = arr4.shape[0]
         if mod_paths is not None and any(p is None for p in mod_paths):
-            real = [i for i, p in enumerate(mod_paths) if p is not None]
-            if not real:
+            real = np.asarray([i for i, p in enumerate(mod_paths)
+                               if p is not None], np.int64)
+            if real.size == 0:
                 continue
-            arr4 = arr4[real]
-        fine = _fine_counts_chunked(arr4)                  # (C, 256)
+            # selected rows stream through the chunked pass — fancy-
+            # indexing arr4[real] here would copy every real row of a
+            # memmap-backed split into RAM before counting starts
+            rows = real
+            n_images = int(real.size)
+        fine = _fine_counts_chunked(arr4, rows=rows)       # (C, 256)
         n_pix = fine.sum(axis=1)                           # per channel
         vals = np.arange(256, dtype=np.float64)
         mean = (fine @ vals) / n_pix
@@ -107,7 +121,7 @@ def baseline_from_arrays(arrays: Dict[str, np.ndarray],
             "hist": (counts / counts.sum(axis=1, keepdims=True)).tolist(),
             "mean": mean.tolist(),
             "std": np.sqrt(np.maximum(var, 0.0)).tolist(),
-            "n_images": int(arr4.shape[0]),
+            "n_images": n_images,
         }
     return out
 

@@ -128,13 +128,23 @@ def trapezoid_auc(x: np.ndarray, y: np.ndarray) -> float:
 
 
 def roc_auc_score(y_true: np.ndarray, y_score: np.ndarray) -> float:
+    """NaN when ``y_true`` holds a single class: the metric is undefined
+    there (sklearn raises), and the curve fallback's all-zero tpr/fpr
+    would otherwise report a perfectly-separating model as AUC 0.0."""
+    y_true = np.asarray(y_true)
+    if y_true.size == 0 or len(np.unique(y_true)) < 2:
+        return float("nan")
     fpr, tpr, _ = roc_curve(y_true, y_score)
     return trapezoid_auc(fpr, tpr)
 
 
 def pr_auc_score(y_true: np.ndarray, y_score: np.ndarray) -> float:
     """The reference's PR-AUC: trapezoid over the PR curve
-    (extended_metrics.py:435-436)."""
+    (extended_metrics.py:435-436).  NaN when there are no positive
+    labels (undefined precision everywhere)."""
+    y_true = np.asarray(y_true)
+    if y_true.size == 0 or not np.any(y_true == 1):
+        return float("nan")
     precision, recall, _ = precision_recall_curve(y_true, y_score)
     return trapezoid_auc(recall, precision)
 

@@ -272,10 +272,15 @@ class ServingEngine:
 
     def start(self) -> "ServingEngine":
         if self._thread is not None and self._thread.is_alive():
-            # includes a thread that outlived a timed-out stop(): clearing
-            # the flag resumes it as THE batcher — never spawn a second
-            self._stop.clear()
-            return self
+            if not self._stop.is_set():
+                return self                       # already running
+            # the thread outlived a timed-out stop(): clearing the flag
+            # to "resume" it races its loop-exit check — it may already
+            # be past the check and exit regardless, leaving the engine
+            # with NO batcher and every future submit() hanging.  It was
+            # told to stop and exits after its in-flight batch; wait it
+            # out and spawn a fresh batcher.
+            self._thread.join()
         self._stop.clear()
         self._thread = threading.Thread(target=self._loop,
                                         name="dfu-serve-batcher",
@@ -321,6 +326,11 @@ class ServingEngine:
         sample raises to its own caller instead of blowing up inside the
         batcher's shared assembly and failing every request coalesced
         into the same batch."""
+        if not sample:
+            # an empty dict would fill every modality black and return a
+            # confident prediction computed on nothing (submit_explain
+            # already guards this; the predict path must too)
+            raise ValueError("sample needs at least one modality")
         self._validate_sample(sample)
         fut: Future = Future()
         try:

@@ -19,11 +19,12 @@ Design:
   latency-tolerant (a human clicked a button), so a fixed batch-1
   program avoids a second bucket ladder's compile cost and can never
   starve the predict path for more than one small step.
-- Tapped trunks (ResNet ``stage4``, the reference's layer4 hook) get true
-  Grad-CAM via :func:`eval.gradcam.compute_cam_batch`; non-4D taps (the
-  ViT ``blocks``) and un-tapped models (legacy/efficientnet/tiny fusion)
-  fall back to input-gradient saliency — exactly the offline CLI's
-  semantics (eval/gradcam.py).
+- Tapped trunks (ResNet ``stage4``, the reference's layer4 hook;
+  EfficientNet/tiny ``features``) get true Grad-CAM via
+  :func:`eval.gradcam.compute_cam_batch`; non-4D taps (the ViT
+  ``blocks``) and un-tapped models (the legacy fusion variants) fall
+  back to input-gradient saliency — exactly the offline CLI's semantics
+  (eval/gradcam.py).
 """
 
 from __future__ import annotations
@@ -41,6 +42,11 @@ BRANCH_TAPS: Dict[str, Dict[str, str]] = {
     "resnet18_thermal": {"thermal": "stage4"},
     "thermal_only": {"thermal": "blocks"},
     "multimodal": {"rgb": "stage4", "thermal": "blocks"},
+    # EfficientNet-B0 exposes a 4-D pre-head 'features' tap
+    # (models/efficientnet.py:115) -> true Grad-CAM, same as the tiny
+    # trunks below
+    "efficientnet_rgb": {"rgb": "features"},
+    "efficientnet_thermal": {"thermal": "features"},
     "tiny_rgb": {"rgb": "features"},
     "tiny_thermal": {"thermal": "features"},
 }

@@ -38,7 +38,7 @@ import io
 import json
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Dict, Union
+from typing import Dict, Optional, Union
 
 import numpy as np
 
@@ -147,11 +147,16 @@ class PredictHandler(BaseHTTPRequestHandler):
     # accidental or hostile multi-GB uploads.
     MAX_BODY_BYTES = 32 * 1024 * 1024
 
-    def _read_payload(self) -> Dict[str, bytes]:
+    def _read_payload(self,
+                      explicit: Optional[str] = None) -> Dict[str, bytes]:
         """Body -> {modality: raw image bytes}. Binary bodies map to the
-        single served model's primary modality (or ``rgb`` when routing
-        among several); JSON bodies carry named base64 fields."""
-        length = int(self.headers.get("Content-Length", 0))
+        ADDRESSED model's primary modality — the explicitly routed model
+        when the path names one, else the single served model, else
+        ``rgb``; JSON bodies carry named base64 fields."""
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+        except (TypeError, ValueError) as exc:
+            raise _BadRequest("bad Content-Length header") from exc
         if length <= 0:
             raise _BadRequest("empty body")
         if length > self.MAX_BODY_BYTES:
@@ -159,13 +164,17 @@ class PredictHandler(BaseHTTPRequestHandler):
                 f"body {length} bytes exceeds limit {self.MAX_BODY_BYTES}")
         data = self.rfile.read(length)
         ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
-        single = self.router.single
-        primary = single.inputs[0] if single is not None else "rgb"
+        # the addressed model decides what one bare image means: without
+        # this, POST /v1/predict/thermal_only with an image body would
+        # map to 'rgb' and 400 as "needs inputs from ['thermal']"
+        target = (self.router.engines.get(explicit)
+                  if explicit is not None else self.router.single)
+        primary = target.inputs[0] if target is not None else "rgb"
         if ctype.startswith("image/"):
-            if single is not None and len(single.inputs) > 1:
+            if target is not None and len(target.inputs) > 1:
                 raise _BadRequest(
-                    f"model {single.model_name!r} needs "
-                    f"{list(single.inputs)} — send application/json "
+                    f"model {target.model_name!r} needs "
+                    f"{list(target.inputs)} — send application/json "
                     "with one base64 image per modality")
             return {primary: data}
         if ctype == "application/json":
@@ -205,7 +214,7 @@ class PredictHandler(BaseHTTPRequestHandler):
         explicit = parts[1] if len(parts) == 2 else None
         t0 = time.monotonic()
         try:
-            raws = self._read_payload()
+            raws = self._read_payload(explicit)
             engine = self.router.select(raws.keys(), explicit)
         except _BadRequest as exc:
             self._send_json(400, {"error": str(exc)})
@@ -281,16 +290,23 @@ class PredictHandler(BaseHTTPRequestHandler):
             self._send_json(500, {"error": f"explanation failed: {exc}"})
             return
         explanations = {}
-        for m, cam_out in out["cams"].items():
-            cam = cam_out["cam"]
-            cam_u8 = (np.clip(cam, 0.0, 1.0) * 255).astype(np.uint8)
-            explanations[m] = {
-                "method": cam_out["method"],
-                "overlay_png": base64.b64encode(
-                    render_overlay(sample[m], cam)).decode(),
-                "cam_png": base64.b64encode(
-                    encode_png(np.repeat(cam_u8[..., None], 3,
-                                         axis=-1))).decode()}
+        try:
+            for m, cam_out in out["cams"].items():
+                cam = cam_out["cam"]
+                cam_u8 = (np.clip(cam, 0.0, 1.0) * 255).astype(np.uint8)
+                explanations[m] = {
+                    "method": cam_out["method"],
+                    "overlay_png": base64.b64encode(
+                        render_overlay(sample[m], cam)).decode(),
+                    "cam_png": base64.b64encode(
+                        encode_png(np.repeat(cam_u8[..., None], 3,
+                                             axis=-1))).decode()}
+        except Exception as exc:
+            # rendering errors (a missing cv2, a malformed cam) must
+            # come back as a JSON 500, not a dropped connection
+            self._send_json(500, {"error": f"overlay render failed: "
+                                           f"{exc}"})
+            return
         self._send_json(200, {
             "prob_ulcer": round(out["prob_ulcer"], 6),
             "prediction": "ulcer" if out["prediction"] == 1 else "healthy",

@@ -150,6 +150,14 @@ def attach_shadow(router, shadow_engine) -> "ShadowTracker":
     tracker; raises KeyError if no primary accepts those inputs, or if
     that primary already has a shadow."""
     primary = router.select(shadow_engine.inputs)
+    if primary.image_size != shadow_engine.image_size:
+        # observe() forwards the primary's decoded samples verbatim; a
+        # size-mismatched shadow would reject 100% of them as validation
+        # errors (compared=0, silently) — fail at startup instead
+        raise KeyError(
+            f"shadow {shadow_engine.model_name!r} expects "
+            f"{shadow_engine.image_size}px inputs but the routed primary "
+            f"{primary.model_name!r} serves {primary.image_size}px")
     if not set(primary.inputs) & set(shadow_engine.inputs):
         # a single-model router's select() returns its only engine
         # regardless of overlap; a disjoint shadow would attach fine but

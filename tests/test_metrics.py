@@ -129,3 +129,25 @@ def test_pick_threshold_strategies():
         pick_threshold(np.zeros(4, int), np.linspace(0, 1, 4), "youden")
     with pytest.raises(ValueError):
         pick_threshold(y, p, "nope")
+
+
+def test_auc_metrics_nan_on_degenerate_labels():
+    """Single-class y_true: ROC-AUC is undefined (sklearn raises) — it
+    must surface as NaN, never as 0.0 'worst possible model'."""
+    import numpy as np
+
+    from dfu_multimodal_tpu.eval.metrics import (compute_all_metrics,
+                                                 pr_auc_score,
+                                                 roc_auc_score)
+
+    y_pos = np.ones(6, np.int64)
+    probs = np.linspace(0.6, 0.99, 6)
+    assert np.isnan(roc_auc_score(y_pos, probs))
+    y_neg = np.zeros(6, np.int64)
+    assert np.isnan(roc_auc_score(y_neg, probs))
+    assert np.isnan(pr_auc_score(y_neg, probs))   # no positives
+    m = compute_all_metrics(y_pos, y_pos, probs)
+    assert np.isnan(m["auc_roc"])
+    # two-class behavior unchanged
+    y = np.array([0, 1, 0, 1]); p = np.array([0.1, 0.9, 0.2, 0.8])
+    assert roc_auc_score(y, p) == 1.0

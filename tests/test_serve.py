@@ -410,3 +410,36 @@ def test_engine_backpressure_bounded_queue(served):
     assert engine.stats()["rejected"] == 1
     engine.stop()                                # fails the straggler
     assert fut.exception() is not None
+
+
+def test_binary_body_routes_to_explicit_models_modality(routed_url):
+    """POST /v1/predict/tiny_thermal with a raw image body must map the
+    image to THAT model's primary modality (was hardcoded 'rgb', making
+    thermal models unreachable via binary upload in multi-model
+    serving)."""
+    png = _encode_png(rand_images(1, seed=7)[0])
+    out = _post(f"{routed_url}/v1/predict/tiny_thermal", png, "image/png")
+    assert out["model"] == "tiny_thermal"
+    out = _post(f"{routed_url}/v1/predict/tiny_rgb", png, "image/png")
+    assert out["model"] == "tiny_rgb"
+
+
+def test_malformed_content_length_gets_json_400(routed_url):
+    import http.client
+    host, port = routed_url.replace("http://", "").split(":")
+    conn = http.client.HTTPConnection(host, int(port), timeout=30)
+    conn.putrequest("POST", "/v1/predict")
+    conn.putheader("Content-Type", "image/png")
+    conn.putheader("Content-Length", "abc")
+    conn.endheaders()
+    resp = conn.getresponse()
+    assert resp.status == 400
+    assert b"Content-Length" in resp.read()
+    conn.close()
+
+
+def test_submit_rejects_empty_sample(served):
+    trainer, state, _ = served
+    engine = ServingEngine(trainer, state, image_size=SIZE, max_batch=8)
+    with pytest.raises(ValueError, match="at least one modality"):
+        engine.submit({})

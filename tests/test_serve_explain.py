@@ -297,3 +297,17 @@ def test_rollout_class_agnostic_skips_borderline_reexplain():
     # identical CAM to the single-pass rollout (no re-explain happened)
     np.testing.assert_allclose(out["cams"]["thermal"]["cam"],
                                base["cams"]["thermal"]["cam"], atol=1e-6)
+
+
+def test_efficientnet_explainer_gets_true_gradcam():
+    """EfficientNet-B0 exposes a 4-D 'features' tap: served explanations
+    must be true Grad-CAM, not the input-saliency downgrade."""
+    trainer, state = _make("efficientnet_rgb",
+                           {"rgb": config.rgb_modality()})
+    ex = Explainer(trainer, state)
+    out = ex.explain_one({"rgb": rand_images(1, seed=9)[0]})
+    cam_out = out["cams"]["rgb"]
+    assert cam_out["method"] == "gradcam"
+    # pre-head tap: 32px through B0's 5 stride-2 stages -> 1x1 grid at
+    # toy size; what matters is the 4-D tap produced a spatial cam
+    assert cam_out["cam"].ndim == 2

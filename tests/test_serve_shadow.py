@@ -193,3 +193,15 @@ def test_http_predict_feeds_shadow_and_metrics_report():
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_attach_shadow_rejects_image_size_mismatch():
+    """A size-mismatched shadow would reject 100% of the primary's
+    samples as validation errors (compared=0 silently): fail at
+    startup."""
+    trainer, state = _make("tiny_rgb", {"rgb": config.rgb_modality()})
+    primary = ServingEngine(trainer, state, image_size=SIZE, max_batch=8)
+    router = ModelRouter({"tiny_rgb": primary})
+    cand = ServingEngine(trainer, state, image_size=SIZE * 2, max_batch=8)
+    with pytest.raises(KeyError, match="px"):
+        attach_shadow(router, cand)
