@@ -14,6 +14,7 @@ from functools import partial
 from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from dfu_multimodal_tpu.models.common import Taps, canonical_dtype, tap
@@ -51,6 +52,12 @@ class MBConv(nn.Module):
     stride: int
     kernel: int
     se_ratio: float = 0.25
+    # torchvision stochastic depth ("row" mode): during training the
+    # whole residual branch is dropped per sample with this probability
+    # (and scaled by 1/keep); linearly ramped 0 -> 0.2 across the
+    # network's blocks by EfficientNetB0 below, matching
+    # torchvision.models.efficientnet_b0's StochasticDepth schedule.
+    sd_rate: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -84,6 +91,12 @@ class MBConv(nn.Module):
         x = norm(name="project_bn")(x)
 
         if self.stride == 1 and in_features == self.features:
+            if train and self.sd_rate > 0.0:
+                keep = 1.0 - self.sd_rate
+                mask = jax.random.bernoulli(
+                    self.make_rng("dropout"), keep,
+                    (x.shape[0], 1, 1, 1)).astype(x.dtype)
+                x = x * mask / keep
             x = x + residual
         return x
 
@@ -107,11 +120,18 @@ class EfficientNetB0(nn.Module):
                          name="stem_bn")(x)
         x = nn.silu(x)
 
+        # torchvision schedule: stochastic-depth prob ramps linearly
+        # 0 -> 0.2 over the network's blocks (efficientnet.py's
+        # sd_prob = 0.2 * block_id / total_blocks)
+        total_blocks = sum(r for _, _, r, _, _ in self.stages)
+        block_id = 0
         for si, (expand, feats, repeats, stride, kernel) in enumerate(self.stages):
             for bi in range(repeats):
+                sd = 0.2 * block_id / total_blocks
                 x = MBConv(feats, expand, stride if bi == 0 else 1, kernel,
-                           dtype=dtype, name=f"stage{si}_block{bi}")(
-                               x, train=train)
+                           sd_rate=sd, dtype=dtype,
+                           name=f"stage{si}_block{bi}")(x, train=train)
+                block_id += 1
         x = tap(self, "features", x, taps)
 
         x = nn.Conv(1280, (1, 1), use_bias=False, dtype=dtype,

@@ -10,7 +10,9 @@ TPU-first choices:
   one big MXU op instead of a conv;
 - attention is pluggable: ``attention_impl='pallas'`` uses the fused
   flash-attention kernel in :mod:`dfu_multimodal_tpu.ops.attention`
-  (197 tokens padded to 256 inside the kernel with masking), ``'xla'``
+  (single-block over the full 197-token sequence — the kernel runs the
+  RAW token count, no padding or masking; Mosaic handles the unaligned
+  row dimension), ``'xla'``
   uses a plain einsum-softmax that XLA fuses well at this size;
 - qkv is computed as one fused (B, N, 3*768) projection;
 - compute dtype configurable (bfloat16 default for training), params fp32.
@@ -44,16 +46,24 @@ def xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
+def resolve_attention_impl(impl: str) -> str:
+    """'auto' -> 'pallas'/'xla' by the Mosaic-under-SPMD rule
+    (models/common.py::mosaic_kernels_ok) — the ONE place that policy
+    lives; explicit impls pass through."""
+    if impl == "auto":
+        from dfu_multimodal_tpu.models.common import mosaic_kernels_ok
+        return "pallas" if mosaic_kernels_ok() else "xla"
+    if impl not in ("xla", "pallas"):
+        raise ValueError(f"unknown attention impl: {impl!r}")
+    return impl
+
+
 def resolve_attention(impl: str) -> AttentionFn:
-    if impl == "xla":
-        return xla_attention
+    impl = resolve_attention_impl(impl)
     if impl == "pallas":
         from dfu_multimodal_tpu.ops.attention import flash_attention
         return flash_attention
-    if impl == "auto":
-        from dfu_multimodal_tpu.models.common import mosaic_kernels_ok
-        return resolve_attention("pallas" if mosaic_kernels_ok() else "xla")
-    raise ValueError(f"unknown attention impl: {impl!r}")
+    return xla_attention
 
 
 class MultiHeadAttention(nn.Module):
@@ -69,10 +79,7 @@ class MultiHeadAttention(nn.Module):
         qkv = nn.Dense(3 * c, dtype=self.dtype, param_dtype=jnp.float32,
                        name="qkv")(x)
 
-        impl = self.attention_impl
-        if impl == "auto":
-            from dfu_multimodal_tpu.models.common import mosaic_kernels_ok
-            impl = "pallas" if mosaic_kernels_ok() else "xla"
+        impl = resolve_attention_impl(self.attention_impl)
 
         if impl == "pallas":
             # Packed-qkv kernel: heads are sliced inside VMEM, so no
@@ -362,6 +369,14 @@ def calibrate_vit_absmax(trunk_params, batches, dtype=jnp.float32,
         cal = aux["calibration"]
         merged = cal if merged is None else jax.tree.map(
             jnp.maximum, merged, cal)
+    if merged is None:
+        # an empty (or already-exhausted generator) batch iterable would
+        # otherwise return None and the caller would silently build the
+        # DYNAMIC-quant tree when static calibration was requested —
+        # failing much later inside apply with a missing 'act_scales'
+        raise ValueError(
+            "calibrate_vit_absmax got zero calibration batches "
+            "(empty or exhausted iterable)")
     return merged
 
 

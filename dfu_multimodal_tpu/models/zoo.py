@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -144,11 +144,19 @@ def available() -> Tuple[str, ...]:
     return tuple(sorted(_REGISTRY))
 
 
-def build(name: str, *, num_classes: int = 2, drop_rate: float = 0.5,
+def build(name: str, *, num_classes: int = 2,
+          drop_rate: Optional[float] = None,
           dtype: Any = jnp.float32, **kwargs) -> Tuple[nn.Module, ModelSpec]:
+    """``drop_rate=None`` (default) keeps each model CLASS's own default
+    (0.5 for the reference trio, 0.2 for the legacy/tiny families) —
+    passing a value overrides it.  The trainers always pass
+    ``cfg.drop_rate`` explicitly, so training behavior is unchanged;
+    direct builders no longer get 0.5 force-fed onto models whose
+    contract says otherwise."""
     spec = get(name)
-    module = spec.make(num_classes=num_classes, drop_rate=drop_rate,
-                       dtype=dtype, **kwargs)
+    dr = {} if drop_rate is None else {"drop_rate": drop_rate}
+    module = spec.make(num_classes=num_classes, dtype=dtype, **dr,
+                       **kwargs)
     return module, spec
 
 

@@ -95,20 +95,21 @@ def _fused_mlp_call(x: jnp.ndarray,
     def rowblock(i):
         return (i, 0)
 
-    weight_spec = lambda shape: pl.BlockSpec(  # noqa: E731
-        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    from dfu_multimodal_tpu.ops.pallas_common import const_spec, vmem
+    weight_spec = lambda shape: const_spec(shape, interpret)  # noqa: E731
 
     out = pl.pallas_call(
         _fused_mlp_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((rows, d_in), rowblock, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, d_in), rowblock,
+                         memory_space=vmem(interpret)),
             weight_spec(w1.shape), weight_spec(b1.shape),
             weight_spec(w2.shape), weight_spec(b2.shape),
             weight_spec(w3.shape), weight_spec(b3.shape),
         ],
         out_specs=pl.BlockSpec((rows, d_out), rowblock,
-                               memory_space=pltpu.VMEM),
+                               memory_space=vmem(interpret)),
         out_shape=jax.ShapeDtypeStruct((batch, d_out), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * batch * (d_in * w1.shape[1]

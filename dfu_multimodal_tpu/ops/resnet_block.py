@@ -192,13 +192,9 @@ def _pick_ipp(batch: int, hw: int, cout: int) -> int:
     return ipp
 
 
-def _vmem(interpret):
-    return pl.ANY if interpret else pltpu.VMEM
-
-
-def _const_spec(shape, interpret):
-    return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
-                        memory_space=_vmem(interpret))
+from dfu_multimodal_tpu.ops.pallas_common import (const_spec as
+                                                   _const_spec,
+                                                   vmem as _vmem)
 
 
 def _call(x, weights, kernel, height, width, cout, interpret):

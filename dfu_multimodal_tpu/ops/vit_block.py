@@ -183,11 +183,9 @@ def _attn_block_ref(x, g1, b1, wqkv, bqkv, wproj, bproj, *, num_heads: int):
     return x + o
 
 
-def _const_spec(shape, interpret):
-    """Whole-array operand with a constant index map: Pallas loads it into
-    VMEM once and keeps it resident across all grid steps."""
-    return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
-                        memory_space=pl.ANY if interpret else pltpu.VMEM)
+from dfu_multimodal_tpu.ops.pallas_common import (const_spec as
+                                                   _const_spec,
+                                                   vmem as _vmem)
 
 
 def _attn_block_call(x, g1, b1, wqkv, bqkv, wproj, bproj, num_heads,
@@ -205,7 +203,7 @@ def _attn_block_call(x, g1, b1, wqkv, bqkv, wproj, bproj, num_heads,
         grid=(b // ipp,),
         in_specs=[
             pl.BlockSpec((ipp, n, c), img_block,
-                         memory_space=pl.ANY if interpret else pltpu.VMEM),
+                         memory_space=_vmem(interpret)),
             _const_spec((1, c), interpret), _const_spec((1, c), interpret),
             _const_spec((c, 3 * c), interpret),
             _const_spec((1, 3 * c), interpret),
@@ -213,7 +211,7 @@ def _attn_block_call(x, g1, b1, wqkv, bqkv, wproj, bproj, num_heads,
         ],
         out_specs=pl.BlockSpec(
             (ipp, n, c), img_block,
-            memory_space=pl.ANY if interpret else pltpu.VMEM),
+            memory_space=_vmem(interpret)),
         out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * c * (3 * c + c) + 4 * b * n * n * c,
@@ -386,7 +384,7 @@ def _attn_block_bwd_call(x, g, g1, b1, wqkv, bqkv, wproj, num_heads,
         return (i, 0, 0)
 
     io_spec = pl.BlockSpec((ipp, n, c), img_block,
-                           memory_space=pl.ANY if interpret else pltpu.VMEM)
+                           memory_space=_vmem(interpret))
     dx, dwqkv, dbqkv, dwproj, dbproj, dg1, db1 = pl.pallas_call(
         functools.partial(_attn_block_bwd_kernel, num_heads=num_heads),
         grid=(b // ipp,),
@@ -588,7 +586,7 @@ def _mlp_block_call(x, g2, b2, w1, b1, w2, b2b, hidden_chunks, interpret):
         grid=(pl.cdiv(rows_total, rows),),
         in_specs=[
             pl.BlockSpec((rows, c), row_block,
-                         memory_space=pl.ANY if interpret else pltpu.VMEM),
+                         memory_space=_vmem(interpret)),
             _const_spec((1, c), interpret), _const_spec((1, c), interpret),
             _const_spec((c, hidden), interpret),
             _const_spec((1, hidden), interpret),
@@ -597,7 +595,7 @@ def _mlp_block_call(x, g2, b2, w1, b1, w2, b2b, hidden_chunks, interpret):
         ],
         out_specs=pl.BlockSpec(
             (rows, c), row_block,
-            memory_space=pl.ANY if interpret else pltpu.VMEM),
+            memory_space=_vmem(interpret)),
         out_shape=jax.ShapeDtypeStruct((rows_total, c), x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * n * c * hidden,
@@ -704,7 +702,7 @@ def _mlp_block_bwd_call(x, g, g2, b2, w1, b1, w2, hidden_chunks, interpret):
 
     def rows_spec(width):
         return pl.BlockSpec((rows, width), row_block,
-                            memory_space=pl.ANY if interpret else pltpu.VMEM)
+                            memory_space=_vmem(interpret))
 
     dx, y, h, dhpre, dg2, db2 = pl.pallas_call(
         functools.partial(_mlp_block_bwd_kernel,

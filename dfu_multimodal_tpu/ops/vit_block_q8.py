@@ -216,13 +216,9 @@ def _mlp_block_q8s_kernel(x_ref, g2_ref, b2_ref, w1_ref, s1_ref, b1_ref,
     o_ref[...] = x + o.astype(x.dtype)
 
 
-def _vmem(interpret):
-    return pl.ANY if interpret else pltpu.VMEM
-
-
-def _const_spec(shape, interpret):
-    return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
-                        memory_space=_vmem(interpret))
+from dfu_multimodal_tpu.ops.pallas_common import (const_spec as
+                                                   _const_spec,
+                                                   vmem as _vmem)
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))

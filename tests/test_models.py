@@ -80,3 +80,41 @@ def test_bfloat16_compute_fp32_params():
     out = zoo.apply_model(module, spec, variables,
                           {"rgb": jnp.ones((2, 64, 64, 3))}, train=False)
     assert out.dtype == jnp.float32    # logits promoted back to fp32
+
+
+def test_efficientnet_stochastic_depth_matches_torchvision_schedule():
+    """MBConv residuals apply torchvision's StochasticDepth (row mode,
+    prob ramping 0 -> 0.2 over blocks) during training; eval is
+    unaffected and block 0 is never dropped."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dfu_multimodal_tpu.models.efficientnet import (B0_STAGES,
+                                                        EfficientNetB0)
+
+    model = EfficientNetB0()
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 32, 32, 3))
+    variables = model.init({"params": jax.random.PRNGKey(1)}, x,
+                           train=False)
+
+    # eval: deterministic, no rng needed
+    e1 = model.apply(variables, x, train=False)
+    e2 = model.apply(variables, x, train=False)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+    # train: same dropout rng -> identical; different rng -> differs
+    # (some residual branch dropped somewhere with overwhelming prob)
+    def fwd(seed):
+        out, _ = model.apply(
+            variables, x, train=True,
+            rngs={"dropout": jax.random.PRNGKey(seed)},
+            mutable=["batch_stats"])
+        return np.asarray(out)
+
+    t1, t1b, t2 = fwd(7), fwd(7), fwd(8)
+    np.testing.assert_array_equal(t1, t1b)
+    assert not np.array_equal(t1, t2)
+    # schedule sanity: 16 blocks in B0, last block's rate = 0.2 * 15/16
+    total = sum(r for _, _, r, _, _ in B0_STAGES)
+    assert total == 16
