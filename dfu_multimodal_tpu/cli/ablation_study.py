@@ -55,11 +55,15 @@ def main(argv=None) -> Dict[str, float]:
     data_cfg = cfg_mod.data_config_from_args(args)
     # reference ablation hyperparameters: 15 epochs, batch 32, AdamW 1e-4,
     # wd 1e-4, plain CE, plain shuffle (:172-173, 286)
+    # `is not None` (not `or`): an explicit 0 — e.g. --weight-decay 0,
+    # a legitimate no-decay ablation — must not be silently replaced by
+    # the reference default
     base_cfg = TrainConfig(
-        batch_size=args.batch_size or 32,
-        num_epochs=args.epochs or 15,
-        learning_rate=args.lr or 1e-4,
-        weight_decay=args.weight_decay or 1e-4,
+        batch_size=args.batch_size if args.batch_size is not None else 32,
+        num_epochs=args.epochs if args.epochs is not None else 15,
+        learning_rate=args.lr if args.lr is not None else 1e-4,
+        weight_decay=(args.weight_decay
+                      if args.weight_decay is not None else 1e-4),
         class_weighted_loss=False, weighted_sampling=False,
         save_best_after_epoch=1, seed=args.seed,
         compute_dtype=args.compute_dtype,

@@ -24,7 +24,8 @@ def main(argv=None):
     x = jnp.ones((128, 128))
     y = jax.jit(lambda a: (a @ a).sum())(x)
     print(f"Compile smoke: OK (sum={float(y):.1f})")
-    return len(devices)
+    return 0      # exit code: the device count is PRINTED, not returned
+                  # (the dfu dispatcher treats int returns as exit codes)
 
 
 if __name__ == "__main__":

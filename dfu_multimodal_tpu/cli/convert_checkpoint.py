@@ -48,7 +48,8 @@ def main(argv=None):
         extra_meta={"model": args.model,
                     "converted_from": str(args.torch_checkpoint)})
     print(f"Wrote {args.output}/best_model.msgpack")
-    return skipped
+    return 0      # exit code (skipped-leaf count is printed above; the
+                  # dfu dispatcher treats int returns as exit codes)
 
 
 if __name__ == "__main__":

@@ -108,7 +108,7 @@ def main(argv=None) -> int:
         seed=args.seed, compute_dtype=args.compute_dtype,
         lr_schedule=args.lr_schedule, save_best_after_epoch=1,
         qat=args.qat,
-        steps_per_epoch=max(1, len(train_ds) // args.batch_size))
+        steps_per_epoch=max(1, -(-len(train_ds) // args.batch_size)))
     dcfg = DistillConfig(alpha=args.alpha, temperature=args.temperature)
     trainer = DistillTrainer(args.student, teacher_model,
                              teacher_variables, dcfg, scfg, modalities,

@@ -138,7 +138,9 @@ def _write_evaluation_summary(out_root: Path, datasets, all_results,
     for subdir, label in (("rgb_only", "RGB Test Set"),
                           ("thermal_only", "Thermal Test Set"),
                           ("multimodal", "Multimodal Test Set")):
-        ds = datasets[subdir]
+        ds = datasets.get(subdir)
+        if ds is None:        # model not selected: split never loaded
+            continue
         healthy, ulcer = ds.class_counts
         lines.append(f"- {label}: {len(ds)} samples "
                      f"({healthy} healthy, {ulcer} ulcer)")
@@ -178,25 +180,33 @@ def main(argv=None) -> Dict[str, Dict]:
     print("\nLoading test datasets...")
     size = args.image_size
 
-    def _load(split):
-        return {
-            "rgb_only": load_single_modality(
-                data_cfg.data_dir / "rgb", split, size, "rgb"),
-            "thermal_only": load_single_modality(
-                data_cfg.data_dir / "thermal", split, size, "thermal"),
-            "multimodal": load_paired(
-                data_cfg.data_dir, split, size, strategy="pseudo",
-                seed=args.seed),
-        }
+    # Lazy per-model dataset loading: with --models a subset, the other
+    # splits are never decoded (and their directories need not exist) —
+    # previously all three test+val sets were fully decoded up front
+    # even when evaluating one model.
+    _loaders = {
+        "rgb_only": lambda split: load_single_modality(
+            data_cfg.data_dir / "rgb", split, size, "rgb"),
+        "thermal_only": lambda split: load_single_modality(
+            data_cfg.data_dir / "thermal", split, size, "thermal"),
+        "multimodal": lambda split: load_paired(
+            data_cfg.data_dir, split, size, strategy="pseudo",
+            seed=args.seed),
+    }
+    _ds_cache: Dict = {}
+
+    def get_dataset(split, subdir):
+        key = (split, subdir)
+        if key not in _ds_cache:
+            _ds_cache[key] = _loaders[subdir](split)
+        return _ds_cache[key]
 
     if args.save_deployment and not (args.operating_point
                                      or args.temperature_from_val):
         raise SystemExit("--save-deployment needs --operating-point and/or "
                          "--temperature-from-val (nothing to persist)")
 
-    datasets = _load("test")
     need_val = bool(args.operating_point or args.temperature_from_val)
-    val_datasets = _load("val") if need_val else None
 
     all_results: Dict[str, Dict] = {}
     for ckpt_name, display, subdir, zoo_default in MODELS:
@@ -211,8 +221,9 @@ def main(argv=None) -> Dict[str, Dict]:
         trainer = _make_trainer(zoo_name, args, size)
         arrays = evaluate_model(
             trainer, Path(data_cfg.checkpoint_root) / ckpt_name,
-            datasets[subdir], size,
-            val_dataset=val_datasets[subdir] if val_datasets else None)
+            get_dataset("test", subdir), size,
+            val_dataset=(get_dataset("val", subdir) if need_val
+                         else None))
         if arrays is None:
             continue
 
@@ -359,7 +370,11 @@ def main(argv=None) -> Dict[str, Dict]:
         print(f"\nResults saved to {subdir}/results.pt")
         all_results[display] = metrics
 
-    _write_evaluation_summary(out_root, datasets, all_results, data_cfg)
+    _write_evaluation_summary(
+        out_root,
+        {subdir: ds for (split, subdir), ds in _ds_cache.items()
+         if split == "test"},
+        all_results, data_cfg)
 
     print("\n" + "=" * 70)
     print("SUMMARY COMPARISON")

@@ -49,7 +49,9 @@ def main(argv=None):
     parser.add_argument("--to", default="resnet", choices=["resnet", "vit"])
     parser.add_argument("--dry-run", action="store_true")
     args = parser.parse_args(argv)
-    return fix_checkpoint_keys(args.checkpoint, args.to, args.dry_run)
+    fix_checkpoint_keys(args.checkpoint, args.to, args.dry_run)
+    return 0      # count is printed; the dfu dispatcher reads int
+                  # returns as exit codes
 
 
 if __name__ == "__main__":

@@ -277,13 +277,16 @@ def main(argv=None) -> Dict[str, int]:
     print(f"Will visualize {args.num_per_class} healthy + "
           f"{args.num_per_class} ulcer samples per model\n")
 
-    datasets = {
-        "rgb_only": load_single_modality(
+    # lazy per-model loading: with --models a subset, the other splits
+    # are never decoded (and need not exist on disk)
+    loaders = {
+        "rgb_only": lambda: load_single_modality(
             data_cfg.data_dir / "rgb", "test", size, "rgb"),
-        "thermal_only": load_single_modality(
+        "thermal_only": lambda: load_single_modality(
             data_cfg.data_dir / "thermal", "test", size, "thermal"),
-        "multimodal": load_paired(data_cfg.data_dir, "test", size,
-                                  strategy="pseudo", seed=args.seed),
+        "multimodal": lambda: load_paired(data_cfg.data_dir, "test", size,
+                                          strategy="pseudo",
+                                          seed=args.seed),
     }
 
     results: Dict[str, int] = {}
@@ -310,7 +313,7 @@ def main(argv=None) -> Dict[str, int]:
                           attention_impl=args.attention_impl)
         print(f"Loading: {ckpt_dir}")
         state = trainer.restore(ckpt_dir, image_size=size)
-        n = visualize_model(trainer, state, datasets[subdir],
+        n = visualize_model(trainer, state, loaders[subdir](),
                             out_root / subdir, display, cam_class,
                             args.num_per_class, mm_cam=args.multimodal_cam,
                             cam_method=args.cam_method)

@@ -189,12 +189,18 @@ def build_card(ckpt: Path, metrics_dir: Optional[Path]) -> str:
         cal = (results or {}).get("calibration")
         if cal:
             err = cal.get("errors", cal)
+            # extended_metrics stores the whole fit_temperature info
+            # dict under 'temperature' (eval/calibration.py); pull the
+            # scalar T out (tolerating an already-scalar legacy value)
+            t_info = cal.get("temperature")
+            t_val = (t_info.get("temperature")
+                     if isinstance(t_info, dict) else t_info)
             L.append(f"Calibration: ECE {_fmt(err.get('ece'))}, "
                      f"MCE {_fmt(err.get('mce'))}, "
                      f"Brier {_fmt(err.get('brier'))}"
-                     + (f"; temperature T={_fmt(cal.get('temperature'))} "
+                     + (f"; temperature T={_fmt(t_val)} "
                         "fitted on the validation split"
-                        if cal.get("temperature") else "") + ".")
+                        if t_val else "") + ".")
             L.append("")
     elif test_results:
         L.append("## Evaluation (trainer's test pass)")

@@ -278,16 +278,22 @@ def main(argv=None):
     if args.token_merge:
         # composes with --int8: tome_for_serving preserves the quantized
         # block impls (measured 5300 img/s/chip combined, docs/DESIGN.md)
-        try:
-            merge_at, keep = (int(v) for v in args.token_merge.split(":"))
-        except ValueError:
-            raise SystemExit("--token-merge expects L:K (e.g. 4:128)")
-        from dfu_multimodal_tpu.serve.engine import tome_for_serving
-        trainer, state = tome_for_serving(
-            trainer, state, merge_at, keep, image_size=args.image_size,
-            attention_impl=args.attention_impl)
-        print(f"Token merging: {merge_at} full-token blocks, "
-              f"then {keep} tokens")
+        if model_name not in ("thermal_only", "multimodal"):
+            # same graceful skip as the serve CLI: a non-ViT checkpoint
+            # must not die in a raw ValueError deep in the rebuild
+            print(f"--token-merge skipped ({model_name} has no ViT trunk)")
+        else:
+            try:
+                merge_at, keep = (int(v)
+                                  for v in args.token_merge.split(":"))
+            except ValueError:
+                raise SystemExit("--token-merge expects L:K (e.g. 4:128)")
+            from dfu_multimodal_tpu.serve.engine import tome_for_serving
+            trainer, state = tome_for_serving(
+                trainer, state, merge_at, keep, image_size=args.image_size,
+                attention_impl=args.attention_impl)
+            print(f"Token merging: {merge_at} full-token blocks, "
+                  f"then {keep} tokens")
 
     n = len(paths)
     ds = ArrayDataset(arrays=arrays, labels=np.zeros(n, np.int32))

@@ -225,6 +225,8 @@ def _train_command(args, data_dir, params: Dict) -> str:
             "ema_decay": "--ema-decay", "warmup_epochs": "--warmup-epochs",
             "lr_schedule": "--lr-schedule", "grad_accum": "--grad-accum",
             "early_stop_patience": "--early-stop-patience",
+            "loss": "--loss", "focal_gamma": "--focal-gamma",
+            "mixup_alpha": "--mixup-alpha",
             "drop_rate": None}
     parts = [f"dfu {cmd}", f"--data-dir {data_dir}"]
     for k, v in sorted(params.items()):

@@ -57,17 +57,23 @@ def main(argv=None) -> Dict[str, Dict]:
     print("TEST-TIME AUGMENTATION EVALUATION")
     print("=" * 70)
 
-    datasets = {
-        "rgb_only": load_single_modality(
+    # lazy per-model loading: with --models a subset, the other splits
+    # are never decoded (and need not exist on disk)
+    loaders = {
+        "rgb_only": lambda: load_single_modality(
             data_cfg.data_dir / "rgb", "test", size, "rgb"),
-        "thermal_only": load_single_modality(
+        "thermal_only": lambda: load_single_modality(
             data_cfg.data_dir / "thermal", "test", size, "thermal"),
-        "multimodal": load_paired(data_cfg.data_dir, "test", size,
-                                  strategy="aligned"),
+        "multimodal": lambda: load_paired(data_cfg.data_dir, "test", size,
+                                          strategy="aligned"),
     }
-    print(f"Test set size: {len(datasets['rgb_only'])} RGB / "
-          f"{len(datasets['thermal_only'])} thermal / "
-          f"{len(datasets['multimodal'])} paired\n")
+    datasets = {}
+
+    def get_dataset(subdir):
+        if subdir not in datasets:
+            datasets[subdir] = loaders[subdir]()
+            print(f"Test set size ({subdir}): {len(datasets[subdir])}")
+        return datasets[subdir]
 
     results: Dict[str, Dict] = {}
     for ckpt_name, subdir, zoo_default, display in MODELS:
@@ -91,11 +97,12 @@ def main(argv=None) -> Dict[str, Dict]:
         state = trainer.restore(ckpt_dir, image_size=size)
 
         print("\nRunning clean evaluation...")
-        clean = evaluate_with_tta(trainer, state, datasets[subdir],
+        ds = get_dataset(subdir)
+        clean = evaluate_with_tta(trainer, state, ds,
                                   num_tta=1, use_augmentation=False,
                                   seed=args.seed)
         print("Running TTA evaluation...")
-        tta = evaluate_with_tta(trainer, state, datasets[subdir],
+        tta = evaluate_with_tta(trainer, state, ds,
                                 num_tta=args.num_tta, use_augmentation=True,
                                 seed=args.seed)
         print_tta_comparison(clean, tta, display)

@@ -29,7 +29,18 @@ _DECODE_LIB: Optional[ctypes.CDLL] = None
 def _build(src: Path, so: Path, *extra: str) -> None:
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
            str(src), "-o", str(so), *extra]
-    subprocess.run(cmd, check=True, capture_output=True)
+    try:
+        proc = subprocess.run(cmd, check=False, capture_output=True)
+    except OSError as exc:          # no g++ at all
+        raise ImportError(f"native build unavailable: {exc}") from exc
+    if proc.returncode != 0:
+        # compile/link failures (e.g. missing libjpeg-dev) must surface
+        # as the ImportError every fallback path catches — a raw
+        # CalledProcessError would crash callers instead of degrading
+        # to the pure-Python path the module docstring promises
+        raise ImportError(
+            f"native build failed ({' '.join(cmd)}): "
+            f"{proc.stderr.decode(errors='replace')[-500:]}")
 
 
 def _load() -> ctypes.CDLL:

@@ -105,6 +105,12 @@ bool hash_file(const char* path, char hex_out[65]) {
   size_t n;
   while ((n = fread(chunk.data(), 1, chunk.size(), f)) > 0)
     ctx.update(chunk.data(), n);
+  // a mid-file read error must NOT yield the digest of the partial
+  // content as if it were the file's hash: the leakage gate / dedup
+  // would compare a wrong hash and could miss a real cross-split
+  // duplicate.  Match the Python fallback (compute_sha256 -> None):
+  // report failure, caller emits the empty-string error marker.
+  if (ferror(f)) { fclose(f); hex_out[0] = '\0'; return false; }
   fclose(f);
   uint8_t digest[32];
   ctx.final(digest);

@@ -15,6 +15,7 @@ skip-mismatched-head behavior for our own trees.
 from __future__ import annotations
 
 import json
+import os
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
@@ -58,14 +59,29 @@ def save_checkpoint(directory: Path, *, epoch: int, model_state: Dict,
         payload[key] = serialization.to_state_dict(_to_numpy(tree))
     ckpt_name, meta_name = _names(basename)
     path = directory / ckpt_name
-    if path.exists():
-        path.unlink()                     # previous best unlinked, like the ref
-    path.write_bytes(serialization.msgpack_serialize(payload))
+    # atomic replace: these are multi-hundred-MB writes (262 s over the
+    # tunnel at ViT scale; the async saver's thread dies abruptly at
+    # interpreter exit) — an unlink-then-write would leave NO (or a
+    # truncated) checkpoint if the process dies mid-save.  tmp + rename
+    # keeps the previous best intact until the new bytes are durable;
+    # the rename still replaces the previous best, like the reference.
+    tmp = directory / f".{ckpt_name}.tmp{os.getpid()}"
+    try:
+        tmp.write_bytes(serialization.msgpack_serialize(payload))
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            tmp.unlink()
+        except OSError:
+            pass
+        raise
 
     meta = {"epoch": epoch, "val_f1": float(val_f1), "history": history}
     if extra_meta:
         meta.update(extra_meta)
-    (directory / meta_name).write_text(json.dumps(meta, indent=2))
+    meta_tmp = directory / f".{meta_name}.tmp{os.getpid()}"
+    meta_tmp.write_text(json.dumps(meta, indent=2))
+    os.replace(meta_tmp, directory / meta_name)
     return path
 
 
