@@ -35,10 +35,20 @@ MODELS = (
     ("checkpoints_multimodal", "multimodal", "multimodal", "Multimodal"),
 )
 # Tap per trunk: stage4 = reference's resnet layer4 hook (:478); the ViT's
-# 'blocks' tap is non-4D so it triggers the input-saliency fallback (:401-413).
-TAPS = {"rgb_only": "stage4", "thermal_only": "blocks",
-        "multimodal": "stage4", "tiny_rgb": "features",
-        "tiny_thermal": "features"}
+# 'blocks' tap is non-4D so it triggers the input-saliency fallback
+# (:401-413).  ONE registry shared with the serving/predict explainers
+# (serve/explain.py::BRANCH_TAPS) so online and offline explanations of
+# the same checkpoint can never diverge; this CLI taps the PRIMARY
+# input's branch ("stage4" fallback for unregistered models, the
+# reference default).
+
+
+def _primary_tap(spec) -> str:
+    from dfu_multimodal_tpu.serve.explain import BRANCH_TAPS
+    taps = BRANCH_TAPS.get(spec.name)
+    if taps:
+        return taps.get(spec.inputs[0], "stage4")
+    return "stage4"
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -172,7 +182,7 @@ def visualize_model(trainer: Trainer, state, dataset: ArrayDataset,
 
     variables = trainer.variables(state)
     module, spec = trainer.module, trainer.spec
-    tap_name = TAPS.get(spec.name, "stage4")
+    tap_name = _primary_tap(spec)
     out_dir.mkdir(parents=True, exist_ok=True)
     counts = {0: 0, 1: 0}
     saved = 0

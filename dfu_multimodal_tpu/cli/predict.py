@@ -278,7 +278,8 @@ def main(argv=None):
     if args.token_merge:
         # composes with --int8: tome_for_serving preserves the quantized
         # block impls (measured 5300 img/s/chip combined, docs/DESIGN.md)
-        if model_name not in ("thermal_only", "multimodal"):
+        from dfu_multimodal_tpu.models.zoo import VIT_TRUNK_MODELS
+        if model_name not in VIT_TRUNK_MODELS:
             # same graceful skip as the serve CLI: a non-ViT checkpoint
             # must not die in a raw ValueError deep in the rebuild
             print(f"--token-merge skipped ({model_name} has no ViT trunk)")

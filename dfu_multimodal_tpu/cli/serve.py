@@ -193,7 +193,8 @@ def restore_trainer(ckpt: Path, model_name, args, cfg, modalities,
             attention_impl=args.attention_impl)
 
     if getattr(args, "token_merge", None):
-        if model_name in ("thermal_only", "multimodal"):
+        from dfu_multimodal_tpu.models.zoo import VIT_TRUNK_MODELS
+        if model_name in VIT_TRUNK_MODELS:
             from dfu_multimodal_tpu.serve.engine import tome_for_serving
             try:
                 merge_at, keep = (int(v)

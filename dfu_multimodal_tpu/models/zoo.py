@@ -133,6 +133,14 @@ register(ModelSpec("legacy_rgb_resnet_fusion",
                    LegacyResNetEfficientNetFusion, ("rgb", "thermal"), 1280))
 
 
+# models whose thermal/primary trunk is a scanned ViT: the set
+# --token-merge applies to (the Trainer guard and the predict/serve
+# CLIs all consult THIS constant — extend it when adding a ViT family).
+# eval/vit_attribution.py::VIT_TRUNK_SCOPES maps the same models to
+# their trunk scopes for transformer attribution.
+VIT_TRUNK_MODELS = frozenset({"thermal_only", "multimodal"})
+
+
 def get(name: str) -> ModelSpec:
     try:
         return _REGISTRY[name]

@@ -42,6 +42,9 @@ from dfu_multimodal_tpu.parallel import mesh as mesh_mod
 RESNET_TRUNK_MODELS = frozenset(
     {"rgb_only", "multimodal", "resnet18_rgb", "resnet18_thermal"})
 INT8_MODELS = RESNET_TRUNK_MODELS | {"thermal_only"}
+# re-export: the registry owns the ViT-trunk model set (zoo.py); the
+# Trainer's token-merge guard and the predict/serve CLIs all consult it
+from dfu_multimodal_tpu.models.zoo import VIT_TRUNK_MODELS  # noqa: E402,F401
 
 
 def quantize_for_serving(trainer, state, image_size: int = 224,
@@ -279,8 +282,13 @@ class ServingEngine:
             # be past the check and exit regardless, leaving the engine
             # with NO batcher and every future submit() hanging.  It was
             # told to stop and exits after its in-flight batch; wait it
-            # out and spawn a fresh batcher.
-            self._thread.join()
+            # out (bounded — a wedged device RPC must fail the restart,
+            # not hang it forever) and spawn a fresh batcher.
+            self._thread.join(timeout=60.0)
+            if self._thread.is_alive():
+                raise RuntimeError(
+                    "previous batcher thread is still wedged in a device "
+                    "call 60s after stop(); cannot safely restart")
         self._stop.clear()
         self._thread = threading.Thread(target=self._loop,
                                         name="dfu-serve-batcher",
@@ -295,8 +303,8 @@ class ServingEngine:
             if self._thread.is_alive():
                 # a stalled fetch outlived the join window (possible over
                 # a slow tunnel RPC): KEEP the reference so a later
-                # start() resumes this thread via _stop.clear() instead
-                # of spawning a second batcher next to it
+                # start() can wait it out (bounded join) before spawning
+                # a fresh batcher — never two batchers side by side
                 return
             self._thread = None
         # fail any stragglers enqueued after the drain

@@ -155,7 +155,7 @@ class PredictHandler(BaseHTTPRequestHandler):
         ``rgb``; JSON bodies carry named base64 fields."""
         try:
             length = int(self.headers.get("Content-Length", 0))
-        except (TypeError, ValueError) as exc:
+        except ValueError as exc:
             raise _BadRequest("bad Content-Length header") from exc
         if length <= 0:
             raise _BadRequest("empty body")

@@ -240,10 +240,12 @@ class Trainer:
             # inference-only ToMe serving path (models/vit.py token_merge;
             # load checkpoints through split_encoder_variables — see
             # serve.engine.tome_for_serving)
-            if spec_probe.name not in ("thermal_only", "multimodal"):
+            from dfu_multimodal_tpu.models.zoo import VIT_TRUNK_MODELS
+            if spec_probe.name not in VIT_TRUNK_MODELS:
                 raise ValueError(
                     f"token_merge applies to ViT-trunk models "
-                    f"(thermal_only/multimodal), not {spec_probe.name!r}")
+                    f"({sorted(VIT_TRUNK_MODELS)}), not "
+                    f"{spec_probe.name!r}")
             kwargs["token_merge"] = tuple(token_merge)
         if spec_probe.name == "multimodal":
             kwargs["rgb_impl"] = rgb_impl

@@ -65,6 +65,20 @@ def save_checkpoint(directory: Path, *, epoch: int, model_state: Dict,
     # truncated) checkpoint if the process dies mid-save.  tmp + rename
     # keeps the previous best intact until the new bytes are durable;
     # the rename still replaces the previous best, like the reference.
+    # clear orphans from crashed/killed earlier saves first (a daemon
+    # async-save thread dies abruptly at interpreter exit and can leave
+    # a pid-suffixed tmp behind; later runs have different pids and
+    # would otherwise accumulate multi-hundred-MB leftovers)
+    for stale in directory.glob(f".{ckpt_name}.tmp*"):
+        try:
+            stale.unlink()
+        except OSError:
+            pass
+    for stale in directory.glob(f".{meta_name}.tmp*"):
+        try:
+            stale.unlink()
+        except OSError:
+            pass
     tmp = directory / f".{ckpt_name}.tmp{os.getpid()}"
     try:
         tmp.write_bytes(serialization.msgpack_serialize(payload))
