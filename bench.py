@@ -227,7 +227,6 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch-size", type=int, default=None)
     parser.add_argument("--iters", type=int, default=None)
-    parser.add_argument("--warmup", type=int, default=None)
     parser.add_argument("--measure-cpu", action="store_true",
                         help="measure + store the CPU baseline instead")
     parser.add_argument("--train", action="store_true",

@@ -29,15 +29,27 @@ def compute_sha256(path: Path, block_size: int = 65536) -> Optional[str]:
         return None
 
 
-def hash_files(paths: Iterable[Optional[Path]]) -> Set[str]:
-    """Content hashes of all existing files (native-threaded when available)."""
+def hash_files(paths: Iterable[Optional[Path]],
+               strict: bool = False) -> Set[str]:
+    """Content hashes of all existing files (native-threaded when
+    available).  ``strict=True`` raises on any unreadable file instead of
+    silently dropping it — the leakage GATE must use this (a duplicate
+    that cannot be read at gate time would otherwise escape detection,
+    which is the gate's single job)."""
     real = [Path(p) for p in paths if p is not None]
     try:
         from dfu_multimodal_tpu.native import sha256_many
         hashes = sha256_many([str(p) for p in real])
-        return {h for h in hashes if h}
     except (ImportError, OSError):
-        return {h for h in (compute_sha256(p) for p in real) if h}
+        hashes = [compute_sha256(p) for p in real]
+    if strict:
+        bad = [str(p) for p, h in zip(real, hashes) if not h]
+        if bad:
+            raise LeakageError(
+                f"{len(bad)} file(s) could not be read while hashing for "
+                f"the leakage gate (first: {bad[0]}); refusing to skip "
+                "them — an unreadable duplicate would escape the check")
+    return {h for h in hashes if h}
 
 
 def check_split_leakage(split_paths: Dict[str, Sequence[Optional[Path]]],
@@ -51,7 +63,7 @@ def check_split_leakage(split_paths: Dict[str, Sequence[Optional[Path]]],
         tag = f" ({name})" if name else ""
         print(f"\nChecking for exact-image leakage across splits "
               f"(SHA256){tag} ...")
-    hashes = {split: hash_files(paths)
+    hashes = {split: hash_files(paths, strict=True)
               for split, paths in split_paths.items()}
     splits = list(hashes)
     overlaps: List[str] = []

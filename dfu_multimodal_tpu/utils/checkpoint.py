@@ -68,17 +68,19 @@ def save_checkpoint(directory: Path, *, epoch: int, model_state: Dict,
     # clear orphans from crashed/killed earlier saves first (a daemon
     # async-save thread dies abruptly at interpreter exit and can leave
     # a pid-suffixed tmp behind; later runs have different pids and
-    # would otherwise accumulate multi-hundred-MB leftovers)
-    for stale in directory.glob(f".{ckpt_name}.tmp*"):
-        try:
-            stale.unlink()
-        except OSError:
-            pass
-    for stale in directory.glob(f".{meta_name}.tmp*"):
-        try:
-            stale.unlink()
-        except OSError:
-            pass
+    # would otherwise accumulate multi-hundred-MB leftovers).  Only
+    # files older than an hour: a CONCURRENT writer's in-flight tmp
+    # (e.g. an accidental double launch sharing the directory) must not
+    # be yanked out from under its os.replace.
+    import time as _time
+    cutoff = _time.time() - 3600.0
+    for pattern in (f".{ckpt_name}.tmp*", f".{meta_name}.tmp*"):
+        for stale in directory.glob(pattern):
+            try:
+                if stale.stat().st_mtime < cutoff:
+                    stale.unlink()
+            except OSError:
+                pass
     tmp = directory / f".{ckpt_name}.tmp{os.getpid()}"
     try:
         tmp.write_bytes(serialization.msgpack_serialize(payload))

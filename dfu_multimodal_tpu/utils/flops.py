@@ -58,11 +58,17 @@ def device_peak_tflops(device=None) -> Optional[float]:
     kind = getattr(device, "device_kind", "") or ""
     if kind in _PEAK_BF16_TFLOPS:
         return _PEAK_BF16_TFLOPS[kind]
-    # tolerate vendor suffixes ("TPU v5 lite (chip)", case differences)
+    # tolerate vendor suffixes ("TPU v5 lite (chip)", case differences) —
+    # matching the LONGEST table key first, and refusing when the
+    # remainder names a variant we don't know (e.g. 'TPU v4 lite'/v4i is
+    # NOT a v4 at 275 TF/s; reporting null beats silently halving MFU)
     norm = kind.strip().lower()
-    for k, v in _PEAK_BF16_TFLOPS.items():
+    for k in sorted(_PEAK_BF16_TFLOPS, key=len, reverse=True):
         if norm.startswith(k.lower()):
-            return v
+            rest = norm[len(k):].strip()
+            if "lite" in rest or rest in ("i", "e", "p"):
+                return None          # unknown sub-variant of a known gen
+            return _PEAK_BF16_TFLOPS[k]
     return None
 
 

@@ -67,3 +67,16 @@ def test_mfu_pct_null_propagation():
     assert flops.mfu_pct(1000.0, None, 196.6) is None
     assert flops.mfu_pct(1000.0, 43.3e9, None) is None
     assert flops.mfu_pct(0.0, 43.3e9, 196.6) is None
+
+
+def test_device_peak_refuses_unknown_subvariants():
+    """'TPU v4 lite' (v4i, ~138 TF/s) must NOT match the 275 TF/s v4
+    entry — unknown sub-variants report null, never a wrong peak."""
+    class FakeDev:
+        def __init__(self, kind):
+            self.device_kind = kind
+
+    assert flops.device_peak_tflops(FakeDev("TPU v4 lite")) is None
+    assert flops.device_peak_tflops(FakeDev("TPU v4i")) is None
+    # known-kind suffixes still resolve via the longest-key match
+    assert flops.device_peak_tflops(FakeDev("TPU v5 lite chip")) == 196.6
