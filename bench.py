@@ -238,6 +238,10 @@ def main():
     parser.add_argument("--token-merge", default=None, metavar="L:K",
                         help="measure the ToMe serving path: L full-token "
                              "encoder blocks, bipartite-merge to K tokens")
+    # Accepted no-op for one round: the warmup count became adaptive in
+    # round 3, but the flag is part of the driver-facing contract.
+    parser.add_argument("--warmup", type=int, default=None,
+                        help=argparse.SUPPRESS)
     args = parser.parse_args()
     if args.token_merge:
         args.token_merge = tuple(

@@ -79,11 +79,15 @@ def save_pt(payload: Dict, path: Path) -> Path:
 
 
 def load_pt(path: Path) -> Dict:
+    # Pre-round-3 files were written as raw pickles (no ZIP container);
+    # torch.load raises an invalid-magic RuntimeError on those even when
+    # torch is installed, so route by container format first rather than
+    # by torch availability.
+    if not zipfile.is_zipfile(path):
+        with open(path, "rb") as f:      # pre-round-3 raw-pickle files
+            return pickle.load(f)
     try:
         import torch
         return torch.load(path, map_location="cpu", weights_only=False)
     except ImportError:
-        if zipfile.is_zipfile(path):
-            return _load_torch_zip_without_torch(path)
-        with open(path, "rb") as f:      # pre-round-3 raw-pickle files
-            return pickle.load(f)
+        return _load_torch_zip_without_torch(path)
