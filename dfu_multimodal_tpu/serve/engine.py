@@ -86,18 +86,21 @@ def quantize_for_serving(trainer, state, image_size: int = 224,
         qvars = quantize_variables(qvars)
         from dfu_multimodal_tpu.models.common import mosaic_kernels_ok
         # int8 ViT serving exists only as Mosaic kernels (+ an interpret
-        # fallback): a multi-device TPU process cannot auto-partition
-        # them (models/common.py::mosaic_kernels_ok) and interpret mode
-        # would be orders slower than bf16 there — reject up front.
-        if (jax.devices()[0].platform == "tpu"
-                and not mosaic_kernels_ok()):
+        # fallback).  They run single-device, or on a pure-DP mesh via
+        # the shard_map-wrapped eval step (train/engine.py
+        # build_eval_step) — each device then traces a per-device
+        # program, so no auto-partitioning is involved.  Param-sharded
+        # meshes (TP/FSDP) cannot host them; reject up front.
+        pure_dp = (trainer.mesh.size > 1 and not trainer.fsdp
+                   and trainer.mesh.shape[mesh_mod.MODEL_AXIS] == 1)
+        on_tpu = jax.devices()[0].platform == "tpu"
+        if on_tpu and not (mosaic_kernels_ok() or pure_dp):
             raise ValueError(
-                "int8 serving needs a single-device TPU process: the "
-                "fused int8 ViT kernels cannot be partitioned over a "
-                "multi-device mesh. Serve bf16 there, or pin the server "
-                "to one chip.")
-        vit_impl = ("fused_q8" if mosaic_kernels_ok()
-                    else "fused_q8_interpret")
+                "int8 serving needs a single-device TPU process or a "
+                "pure data-parallel mesh (the fused int8 ViT kernels run "
+                "under shard_map over the data axis): param-sharded "
+                "TP/FSDP meshes cannot host them. Serve bf16 there.")
+        vit_impl = "fused_q8" if on_tpu else "fused_q8_interpret"
     if model_name in RESNET_TRUNK_MODELS:
         from dfu_multimodal_tpu.data.transforms import eval_normalize
         from dfu_multimodal_tpu.models.resnet_q8 import quantize_rgb_trunks

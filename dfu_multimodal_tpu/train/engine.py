@@ -196,16 +196,30 @@ class Trainer:
                 "parallelism (--mesh model axis), not both.")
         kwargs = {}
         spec_probe = zoo.get(model_name)
+        # Fused-kernel serving under SPMD: on a pure-DP multi-device mesh
+        # the EVAL/serving step is wrapped in jax.shard_map over the data
+        # axis, where every device traces a per-device program — so the
+        # Mosaic kernels never meet the auto-partitioner and the fused
+        # Pallas paths survive multi-chip DP (docs/DESIGN.md "Kernels
+        # under SPMD").  The TRAIN step keeps the jit/XLA path on
+        # multi-device meshes except where build_train_step wraps it too.
+        self._pure_dp = (self.mesh.size > 1 and not self.fsdp
+                         and self.mesh.shape[mesh_mod.MODEL_AXIS] == 1)
+        self._eval_shard_map = False
         if "thermal" in spec_probe.inputs and spec_probe.name in (
                 "thermal_only", "multimodal"):
             kwargs["attention_impl"] = attention_impl
             kwargs["block_impl"] = block_impl
+            wants_mosaic = (str(block_impl).startswith("fused")
+                            or attention_impl == "pallas")
             if self.mesh.shape[mesh_mod.MODEL_AXIS] > 1 or self.fsdp:
                 # Megatron-TP shards the encoder matmuls over ``model``;
                 # FSDP shards the param tensors themselves over ``data``.
                 # Either way the fused Pallas block kernels are opaque to
                 # the XLA partitioner, so sharded-param runs use the flax
                 # blocks (XLA inserts the collectives around the Dense ops).
+                # (shard_map-wrapping can't help here: the PARAMS are the
+                # sharded thing, and the kernels need them whole.)
                 if block_impl not in ("auto", "flax"):
                     # int8/fused params (e.g. the predict --int8 tree) would
                     # fail inside the flax blocks with an opaque key/shape
@@ -219,20 +233,15 @@ class Trainer:
                         "the XLA partitioner. Use block_impl='flax'/'auto' "
                         "or disable the sharded-param mode.")
                 kwargs["block_impl"] = "flax"
-            elif self.mesh.size > 1:
-                # Mosaic kernels cannot be partitioned by automatic SPMD
-                # (jax tpu_custom_call raises under any multi-device jit);
-                # "auto" resolutions already fall back to the XLA paths
-                # (models/common.py::mosaic_kernels_ok) — reject explicit
-                # kernel requests here with a readable error instead.
-                mosaic = ("fused", "fused_q8", "fused_q8s")
-                if block_impl in mosaic or attention_impl == "pallas":
-                    raise ValueError(
-                        f"block_impl={block_impl!r}/attention_impl="
-                        f"{attention_impl!r} cannot run over a "
-                        f"{self.mesh.size}-device mesh: Mosaic kernels "
-                        "can't be auto-partitioned (wrap in shard_map, or "
-                        "use the XLA impls / a single-device mesh).")
+            elif self._pure_dp:
+                # Pure data parallelism, params replicated: the eval step
+                # runs under shard_map, so fused impls are fine there —
+                # explicitly requested (incl. the int8 q8/q8s serving
+                # trees and the CPU interpret variants for tests) or
+                # resolved by "auto" inside the wrapped trace on TPU.
+                auto = "auto" in (block_impl, attention_impl)
+                self._eval_shard_map = wants_mosaic or (
+                    auto and jax.devices()[0].platform == "tpu")
         # int8 ResNet serving trunk (models/resnet_q8.py): the fusion model
         # takes it as rgb_impl, the standalone classifiers (ResNet-50
         # rgb_only + the distilled ResNet-18 students) as block_impl
@@ -375,6 +384,21 @@ class Trainer:
         return valid
 
     def build_train_step(self, jit: bool = True) -> Callable:
+        if self.mesh.size > 1:
+            # The eval/serving step keeps Mosaic kernels on multi-device
+            # meshes by running under shard_map; the train step does not
+            # (grads/BN/metrics would need hand-written collectives per
+            # model family) — reject mosaic impls with a readable error
+            # instead of the raw "cannot be automatically partitioned".
+            bi = str(getattr(self.module, "block_impl", "auto"))
+            ai = str(getattr(self.module, "attention_impl", "auto"))
+            if bi in ("fused", "fused_q8", "fused_q8s") or ai == "pallas":
+                raise ValueError(
+                    f"training with block_impl={bi!r}/attention_impl="
+                    f"{ai!r} needs a single-device mesh: the fused Pallas "
+                    "kernels run multi-device only in the shard_map-"
+                    "wrapped eval/serving step. Train with 'auto' (XLA "
+                    "impls on this mesh) or on one device.")
         module, spec, tx = self.module, self.spec, self.tx
         accum = max(1, int(getattr(self.cfg, "grad_accum", 1)))
         qat = bool(getattr(self.cfg, "qat", False))
@@ -524,12 +548,23 @@ class Trainer:
             return step             # raw body (e.g. for scanned benchmarks)
         return jax.jit(step, donate_argnums=(0,))
 
-    def build_eval_step(self) -> Callable:
+    def build_eval_step(self, force_shard_map: bool = False) -> Callable:
+        """The jitted eval/serving forward.
+
+        On a pure-DP multi-device mesh with fused kernels
+        (``self._eval_shard_map``) the step is wrapped in ``jax.shard_map``
+        over the data axis: each device traces a per-device program (so
+        the Mosaic kernels never meet XLA's auto-partitioner), the
+        batch-reduction metrics become explicit ``lax.psum``s, and the
+        per-row outputs shard back over ``data`` — numerically the same
+        contract as the plain jit path up to fp32 reduction order.
+        ``force_shard_map`` exercises the wrapper regardless of impls
+        (reduction-parity tests)."""
         module, spec = self.module, self.spec
 
         qat = bool(getattr(self.cfg, "qat", False))
 
-        def eval_step(variables: Dict, batch: Dict[str, jnp.ndarray]):
+        def eval_parts(variables: Dict, batch: Dict[str, jnp.ndarray]):
             if qat:     # validate on the same serving-grid weights QAT
                 variables = {**variables,       # trains through
                              "params": qat_mod.fake_quant_trunks(
@@ -539,15 +574,63 @@ class Trainer:
             logits = module.apply(variables, *inputs, train=False)
             logits = logits.astype(jnp.float32)
             weights = self._sample_weights(labels, batch["valid"])
-            loss = weighted_ce(logits, labels, weights)
+            # weighted CE split into numerator/denominator so the
+            # shard_map path can psum each before the division
+            num = jnp.sum(weights * per_sample_ce(logits, labels))
+            den = jnp.sum(weights)
             probs = jax.nn.softmax(logits, axis=-1)[:, 1]
             preds = jnp.argmax(logits, axis=-1)
             counts = metrics_mod.confusion_counts(preds, labels,
                                                   batch["valid"])
-            return {"loss": loss, "counts": counts, "probs": probs,
-                    "preds": preds}
+            return num, den, counts, probs, preds
 
-        return jax.jit(eval_step)
+        # force_shard_map wraps even a 1-device mesh: that is how the
+        # Mosaic-kernels-inside-shard_map compile/execute path is
+        # validated on the single real TPU chip (scripts_dev/
+        # bench_spmd_serving.py measures its overhead vs plain jit).
+        use_shmap = self._eval_shard_map or force_shard_map
+        if not use_shmap:
+            def eval_step(variables: Dict, batch: Dict[str, jnp.ndarray]):
+                num, den, counts, probs, preds = eval_parts(variables,
+                                                            batch)
+                return {"loss": num / jnp.maximum(den, 1e-12),
+                        "counts": counts, "probs": probs, "preds": preds}
+
+            return jax.jit(eval_step)
+
+        import contextlib
+
+        from jax.sharding import PartitionSpec as P
+
+        from dfu_multimodal_tpu.models import common as common_mod
+
+        d = mesh_mod.DATA_AXIS
+        # only force "auto"->fused resolutions when the per-device
+        # platform really is TPU (CPU tests request interpret impls
+        # explicitly and need no forcing)
+        force = jax.devices()[0].platform == "tpu"
+
+        def spmd_eval_step(variables: Dict, batch: Dict[str, jnp.ndarray]):
+            ctx = (common_mod.force_mosaic_kernels() if force
+                   else contextlib.nullcontext())
+            with ctx:
+                num, den, counts, probs, preds = eval_parts(variables,
+                                                            batch)
+            num, den, counts = jax.lax.psum((num, den, counts), d)
+            return {"loss": num / jnp.maximum(den, 1e-12),
+                    "counts": counts, "probs": probs, "preds": preds}
+
+        # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+        # annotation, so the checker cannot type them (jax 0.9 raises
+        # "vma on jax.ShapeDtypeStruct must not be None").  The out_specs
+        # above are correct by construction: loss/counts are psum'd
+        # (replicated), probs/preds are per-row (batch-sharded).
+        shmapped = jax.shard_map(
+            spmd_eval_step, mesh=self.mesh, in_specs=(P(), P(d)),
+            out_specs={"loss": P(), "counts": P(),
+                       "probs": P(d), "preds": P(d)},
+            check_vma=False)
+        return jax.jit(shmapped)
 
     @property
     def train_step(self) -> Callable:

@@ -355,11 +355,13 @@ def test_multiprocess_execution_two_hosts():
         losses, em.loss)
 
 
-def test_mosaic_impls_rejected_on_multidevice_mesh():
+def test_mosaic_impls_on_multidevice_mesh():
     """Mosaic (Pallas TPU) kernels can't be partitioned by automatic SPMD
-    (jax tpu_custom_call raises under any multi-device jit). 'auto'
-    resolutions fall back to the XLA paths; explicit kernel requests on a
-    multi-device mesh must fail with a readable error."""
+    (jax tpu_custom_call raises under any multi-device jit). Round 4:
+    explicit kernel requests on a pure-DP mesh are ACCEPTED — the eval/
+    serving step runs them inside shard_map (tests/test_spmd_fused.py) —
+    while the TRAIN step still rejects them with a readable error, and
+    param-sharded meshes (TP/FSDP) reject at construction."""
     from dfu_multimodal_tpu import config
     from dfu_multimodal_tpu.models.common import mosaic_kernels_ok
     from dfu_multimodal_tpu.train.engine import Trainer
@@ -369,10 +371,15 @@ def test_mosaic_impls_rejected_on_multidevice_mesh():
     cfg = config.TrainConfig(batch_size=8,
                              mesh=config.MeshConfig(data=8))
     mods = {"thermal": config.thermal_modality()}
-    with pytest.raises(ValueError, match="[Mm]osaic"):
-        Trainer("thermal_only", cfg, mods, block_impl="fused")
-    with pytest.raises(ValueError, match="[Mm]osaic"):
-        Trainer("thermal_only", cfg, mods, attention_impl="pallas")
+    for kw in ({"block_impl": "fused"}, {"attention_impl": "pallas"}):
+        tr = Trainer("thermal_only", cfg, mods, **kw)
+        assert tr._eval_shard_map            # serving path is wrapped
+        with pytest.raises(ValueError, match="single-device"):
+            tr.build_train_step()
+    tp_cfg = config.TrainConfig(batch_size=8,
+                                mesh=config.MeshConfig(data=4, model=2))
+    with pytest.raises(ValueError, match="partitioner"):
+        Trainer("thermal_only", tp_cfg, mods, block_impl="fused")
 
 
 def test_fsdp_batchnorm_model_matches_data_parallel():

@@ -1,0 +1,212 @@
+"""Fused Pallas kernels under SPMD (jax.shard_map over the data axis).
+
+Round-4 closing of the "Kernels under SPMD" gap (docs/DESIGN.md): on a
+pure-DP multi-device mesh the Trainer's eval/serving step runs inside
+``jax.shard_map``, where every device traces a per-device program — so the
+Mosaic kernels never meet XLA's auto-partitioner and the fused serving
+paths survive multi-chip DP.  Multi-chip TPU hardware is unavailable in CI
+(SURVEY.md §4), so these tests run the kernels in Pallas interpret mode on
+the virtual 8-device CPU mesh and pin:
+
+- row/metric parity of the shard_map-wrapped fused step vs the plain
+  jit/XLA step (same variables, same batch);
+- bit-exact parity of the shard_map REDUCTIONS alone (flax impls forced
+  through the wrapper);
+- the int8 (q8) serving tree under the mesh vs the same tree single-device;
+- the ToMe (token-merge) serving path under the mesh;
+- the readable train-step rejection for mosaic impls on multi-device, and
+  the end-to-end ServingEngine round trip over the wrapped step.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from dfu_multimodal_tpu.config import (TrainConfig, rgb_modality,
+                                       thermal_modality)
+from dfu_multimodal_tpu.parallel import mesh as mesh_mod
+from dfu_multimodal_tpu.train.engine import Trainer
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs the virtual 8-device mesh")
+
+
+def _cfg(batch=8):
+    return TrainConfig(batch_size=batch, compute_dtype="float32")
+
+
+def _thermal_batch(rng, b=8, s=32):
+    return {"thermal": rng.integers(0, 256, (b, s, s, 3), dtype=np.uint8),
+            "label": rng.integers(0, 2, (b,)).astype(np.int32),
+            "valid": np.ones(b, np.float32)}
+
+
+def _assert_out_close(o_ref, o_new, rtol=0, atol=0):
+    np.testing.assert_allclose(np.asarray(o_new["loss"]),
+                               np.asarray(o_ref["loss"]),
+                               rtol=rtol, atol=max(atol, 1e-5))
+    np.testing.assert_array_equal(np.asarray(o_new["counts"]),
+                                  np.asarray(o_ref["counts"]))
+    np.testing.assert_allclose(np.asarray(o_new["probs"]),
+                               np.asarray(o_ref["probs"]),
+                               rtol=rtol, atol=max(atol, 1e-5))
+    np.testing.assert_array_equal(np.asarray(o_new["preds"]),
+                                  np.asarray(o_ref["preds"]))
+
+
+def test_fused_spmd_eval_matches_flax_jit(rng):
+    """Fused (interpret) blocks under shard_map on the 8-device mesh ==
+    the flax/XLA jit path, within the fused kernels' GELU-approximation
+    tolerance (test_ops.py::test_fused_vit_forward_matches_flax)."""
+    mods = {"thermal": thermal_modality()}
+    tr_ref = Trainer("thermal_only", _cfg(), mods,
+                     block_impl="flax", attention_impl="xla")
+    tr_fused = Trainer("thermal_only", _cfg(), mods,
+                       block_impl="fused_interpret")
+    assert not tr_ref._eval_shard_map
+    assert tr_fused._eval_shard_map
+
+    state = tr_ref.init_state(jax.random.PRNGKey(0), image_size=32)
+    v = tr_ref.variables(state)
+    batch = jax.device_put(_thermal_batch(rng), tr_ref.batch_sharding)
+    _assert_out_close(tr_ref.eval_step(v, batch),
+                      tr_fused.eval_step(v, batch), atol=3e-3)
+
+
+def test_shard_map_reductions_bit_exact(rng):
+    """The wrapper alone (flax impls, force_shard_map) must reproduce the
+    jit path bit-for-bit: per-shard num/den/counts + psum is the same
+    arithmetic as the global reduction here (8 rows, fp32)."""
+    mods = {"thermal": thermal_modality()}
+    tr = Trainer("thermal_only", _cfg(), mods,
+                 block_impl="flax", attention_impl="xla")
+    state = tr.init_state(jax.random.PRNGKey(0), image_size=32)
+    v = tr.variables(state)
+    batch = _thermal_batch(rng)
+    batch["valid"][-2:] = 0.0          # padding rows must not contribute
+    batch = jax.device_put(batch, tr.batch_sharding)
+    o_jit = tr.eval_step(v, batch)
+    o_shm = tr.build_eval_step(force_shard_map=True)(v, batch)
+    for k in ("loss", "counts", "probs", "preds"):
+        np.testing.assert_array_equal(np.asarray(o_jit[k]),
+                                      np.asarray(o_shm[k]))
+
+
+def test_multimodal_fused_spmd_eval(rng):
+    """The fusion model (ResNet BN eval stats + ViT branch + fusion MLP)
+    under the wrapped step."""
+    mods = {"rgb": rgb_modality(), "thermal": thermal_modality()}
+    tr_ref = Trainer("multimodal", _cfg(), mods,
+                     block_impl="flax", attention_impl="xla")
+    tr_fused = Trainer("multimodal", _cfg(), mods,
+                       block_impl="fused_interpret")
+    assert tr_fused._eval_shard_map
+
+    state = tr_ref.init_state(jax.random.PRNGKey(0), image_size=32)
+    v = tr_ref.variables(state)
+    batch = _thermal_batch(rng)
+    batch["rgb"] = rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8)
+    batch = jax.device_put(batch, tr_ref.batch_sharding)
+    _assert_out_close(tr_ref.eval_step(v, batch),
+                      tr_fused.eval_step(v, batch), atol=3e-3)
+
+
+def test_q8_spmd_matches_q8_single_device(rng):
+    """The int8 serving tree under the 8-device shard_map step must match
+    the SAME per-device program run single-device.  With 8 rows over 8
+    devices each shard is a batch-1 program, so the reference is eight
+    single-device batch-1 evals — comparing against one batch-8 program
+    instead would measure int8 ROUNDING amplifying XLA's batch-shape-
+    dependent fp reduction order in the pre-kernel ops (measured ~1e-3 in
+    probs), not the wrapper."""
+    from dfu_multimodal_tpu.models.vit import quantize_variables
+
+    mods = {"thermal": thermal_modality()}
+    tr_fp = Trainer("thermal_only", _cfg(), mods,
+                    block_impl="flax", attention_impl="xla")
+    state = tr_fp.init_state(jax.random.PRNGKey(1), image_size=32)
+    qv = quantize_variables(tr_fp.variables(state))
+
+    tr_mesh = Trainer("thermal_only", _cfg(), mods,
+                      block_impl="fused_q8_interpret")
+    assert tr_mesh._eval_shard_map
+    mesh1 = mesh_mod.make_mesh(devices=jax.devices()[:1])
+    tr_one = Trainer("thermal_only", _cfg(), mods, mesh=mesh1,
+                     block_impl="fused_q8_interpret")
+    assert not tr_one._eval_shard_map
+
+    batch = _thermal_batch(rng)
+    o_mesh = tr_mesh.eval_step(
+        qv, jax.device_put(batch, tr_mesh.batch_sharding))
+    qv_one = jax.device_put(qv, tr_one.replicated)
+    row_probs = []
+    for i in range(8):
+        b1 = {k: v[i:i + 1] for k, v in batch.items()}
+        o = tr_one.eval_step(
+            qv_one, jax.device_put(b1, tr_one.batch_sharding))
+        row_probs.append(np.asarray(o["probs"])[0])
+    np.testing.assert_allclose(np.asarray(o_mesh["probs"]),
+                               np.asarray(row_probs), atol=1e-5)
+
+
+def test_tome_fused_spmd(rng):
+    """token_merge + fused blocks under the wrapped step vs the flax
+    token_merge jit path (same split variables)."""
+    from dfu_multimodal_tpu.models.vit import split_encoder_variables
+
+    mods = {"thermal": thermal_modality()}
+    tr_fp = Trainer("thermal_only", _cfg(), mods,
+                    block_impl="flax", attention_impl="xla")
+    state = tr_fp.init_state(jax.random.PRNGKey(2), image_size=32)
+    sv = split_encoder_variables(tr_fp.variables(state), 2)
+
+    kw = dict(token_merge=(2, 3))
+    tr_ref = Trainer("thermal_only", _cfg(), mods, block_impl="flax",
+                     attention_impl="xla", **kw)
+    tr_fused = Trainer("thermal_only", _cfg(), mods,
+                       block_impl="fused_interpret", **kw)
+    assert tr_fused._eval_shard_map
+
+    batch = jax.device_put(_thermal_batch(rng), tr_ref.batch_sharding)
+    _assert_out_close(tr_ref.eval_step(sv, batch),
+                      tr_fused.eval_step(sv, batch), atol=3e-3)
+
+
+def test_train_step_rejects_mosaic_on_multidevice():
+    mods = {"thermal": thermal_modality()}
+    tr = Trainer("thermal_only", _cfg(), mods, block_impl="fused_q8")
+    with pytest.raises(ValueError, match="single-device"):
+        tr.build_train_step()
+
+
+def test_serving_engine_over_shard_map_step(rng):
+    """End-to-end: the ServingEngine batcher drives the wrapped step on
+    the mesh and fans per-row results back out (incl. a partial bucket,
+    i.e. padding rows under shard_map)."""
+    from dfu_multimodal_tpu.serve.engine import ServingEngine
+
+    mods = {"thermal": thermal_modality()}
+    tr = Trainer("thermal_only", _cfg(), mods, block_impl="fused_interpret")
+    state = tr.init_state(jax.random.PRNGKey(3), image_size=32)
+
+    with ServingEngine(tr, state, image_size=32, max_batch=8,
+                       max_wait_ms=20.0) as eng:
+        samples = [{"thermal": rng.integers(0, 256, (32, 32, 3),
+                                            dtype=np.uint8)}
+                   for _ in range(5)]          # partial bucket: 5 -> 8
+        results = eng.predict(samples)
+    assert len(results) == 5
+    for prob, pred in results:
+        assert 0.0 <= prob <= 1.0 and pred in (0, 1)
+
+    # same samples through the plain 1-device jit path must agree
+    mesh1 = mesh_mod.make_mesh(devices=jax.devices()[:1])
+    tr_one = Trainer("thermal_only", _cfg(), mods, mesh=mesh1,
+                     block_impl="fused_interpret")
+    state_one = jax.device_put(state, tr_one.replicated)
+    with ServingEngine(tr_one, state_one, image_size=32, max_batch=8,
+                       max_wait_ms=20.0) as eng:
+        ref = eng.predict(samples)
+    np.testing.assert_allclose([p for p, _ in results],
+                               [p for p, _ in ref], atol=1e-5)
+    assert [c for _, c in results] == [c for _, c in ref]
