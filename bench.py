@@ -28,7 +28,8 @@ CPU_BASELINE_FILE = REPO_ROOT / "BASELINE_CPU.json"
 
 
 def build_forward(batch_size: int, image_size: int = 224,
-                  int8: bool = False, token_merge=None):
+                  int8: bool = False, token_merge=None,
+                  tome_prop_attn: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -80,7 +81,8 @@ def build_forward(batch_size: int, image_size: int = 224,
                  if int8 else {})
         module, spec = zoo.build("multimodal", dtype=dtype,
                                  attention_impl=attention_impl,
-                                 token_merge=(merge_at, keep), **extra)
+                                 token_merge=(merge_at, keep),
+                                 tome_prop_attn=tome_prop_attn, **extra)
     rgb_mod = config.rgb_modality()
     th_mod = config.thermal_modality()
 
@@ -125,7 +127,8 @@ def _tunnel_rtt_ms(repeats: int = 7) -> float:
 
 
 def measure(batch_size: int, iters: int, chain: int = 10,
-            int8: bool = False, token_merge=None):
+            int8: bool = False, token_merge=None,
+            tome_prop_attn: bool = False):
     """Steady-state throughput via a chained-scan program.
 
     ``chain`` forwards are serialized inside ONE device program by a
@@ -138,7 +141,8 @@ def measure(batch_size: int, iters: int, chain: int = 10,
     import numpy as np
 
     forward, variables, rgb, th, platform = build_forward(
-        batch_size, int8=int8, token_merge=token_merge)
+        batch_size, int8=int8, token_merge=token_merge,
+        tome_prop_attn=tome_prop_attn)
     rtt_ms = _tunnel_rtt_ms()
 
     def chained(variables, rgb, th):
@@ -238,6 +242,9 @@ def main():
     parser.add_argument("--token-merge", default=None, metavar="L:K",
                         help="measure the ToMe serving path: L full-token "
                              "encoder blocks, bipartite-merge to K tokens")
+    parser.add_argument("--tome-prop-attn", action="store_true",
+                        help="with --token-merge: ToMe proportional "
+                             "attention (log-size key bias)")
     # Accepted no-op for one round: the warmup count became adaptive in
     # round 3, but the flag is part of the driver-facing contract.
     parser.add_argument("--warmup", type=int, default=None,
@@ -290,7 +297,8 @@ def main():
     result = measure(args.batch_size or (128 if on_tpu else 4),
                      args.iters or (7 if on_tpu else 2),
                      chain=10 if on_tpu else 2, int8=args.int8,
-                     token_merge=args.token_merge)
+                     token_merge=args.token_merge,
+                     tome_prop_attn=args.tome_prop_attn)
 
     vs_baseline = None
     if CPU_BASELINE_FILE.exists():
@@ -365,18 +373,34 @@ def main():
     # reduced token count under --token-merge) — utils/flops.py; null on
     # unknown chips rather than silently wrong.  Analytic because XLA's
     # cost_analysis cannot see inside the Pallas block kernels that carry
-    # most of the ViT's work.  Suppressed for --int8: the int8 path's
-    # peak is the chip's int8 TOPS, not the bf16 rate, so a bf16-relative
-    # "MFU" would mislead.
+    # most of the ViT's work.  For --int8 the bf16-relative MFU stays
+    # suppressed (wrong peak) and the artifact instead reports
+    # ``int8_serving_utilization_pct`` = ops/sec over the chip's int8
+    # peak (device_peak_int8_tops; null on chips without published int8
+    # rates).  The int8 path is mixed precision — attention/LN/softmax
+    # stay bf16/fp32 — so this is a lower bound on int8-work scheduling
+    # quality; docs/DESIGN.md "int8 roofline" carries the structural
+    # attribution of the remainder.
     from dfu_multimodal_tpu.utils import flops as flops_mod
     peak_tflops = flops_mod.device_peak_tflops() if on_tpu else None
+    peak_int8 = flops_mod.device_peak_int8_tops() if on_tpu else None
     serving_mfu = None
+    int8_util = None
     if on_tpu and not args.int8:
         serving_mfu = flops_mod.mfu_pct(
             result["images_per_sec_per_chip"],
             flops_mod.model_forward_flops(
                 "multimodal", token_merge=args.token_merge),
             peak_tflops)
+    int8_headline_ips = (result["images_per_sec_per_chip"] if args.int8
+                         else int8_ips)
+    if on_tpu and int8_headline_ips:
+        int8_util = flops_mod.mfu_pct(
+            int8_headline_ips,
+            flops_mod.model_forward_flops(
+                "multimodal",
+                token_merge=args.token_merge if args.int8 else None),
+            peak_int8)
     # train MFU per model (3x-forward rule, utils/flops.py): the honest
     # denominator includes device-side augmentation + AdamW time that
     # adds no counted flops
@@ -411,7 +435,9 @@ def main():
         "b8_p50_latency_ms": b8_ms,
         "device_kind": (jax.devices()[0].device_kind if on_tpu else None),
         "peak_bf16_tflops": peak_tflops,
+        "peak_int8_tops": peak_int8,
         "approx_serving_mfu_pct": serving_mfu,
+        "int8_serving_utilization_pct": int8_util,
         "multimodal_train_mfu_pct": train_mfu.get("multimodal"),
         "thermal_train_mfu_pct": train_mfu.get("thermal_only"),
         "rgb_train_mfu_pct": train_mfu.get("rgb_only"),

@@ -69,6 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "validate the accuracy cost on real data "
                              "before deploying; composes with --int8: "
                              "5300 img/s/chip combined)")
+    parser.add_argument("--tome-prop-attn", action="store_true",
+                        help="with --token-merge: ToMe proportional "
+                             "attention (full Bolya et al. recipe) — "
+                             "post-merge blocks bias each key's scores "
+                             "by log(token size)")
     parser.add_argument("--threshold", type=float, default=None,
                         help="classify ulcer when P(ulcer) >= this value "
                              "instead of argmax (0.5). Tune it on a "
@@ -292,9 +297,12 @@ def main(argv=None):
             from dfu_multimodal_tpu.serve.engine import tome_for_serving
             trainer, state = tome_for_serving(
                 trainer, state, merge_at, keep, image_size=args.image_size,
-                attention_impl=args.attention_impl)
+                attention_impl=args.attention_impl,
+                prop_attn=args.tome_prop_attn)
             print(f"Token merging: {merge_at} full-token blocks, "
-                  f"then {keep} tokens")
+                  f"then {keep} tokens"
+                  + (" (proportional attention)"
+                     if args.tome_prop_attn else ""))
 
     n = len(paths)
     ds = ArrayDataset(arrays=arrays, labels=np.zeros(n, np.int32))

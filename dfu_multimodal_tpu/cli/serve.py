@@ -104,6 +104,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "accuracy on real data first). Non-ViT "
                              "models in a --checkpoint-root router are "
                              "served unmodified; composes with --int8")
+    parser.add_argument("--tome-prop-attn", action="store_true",
+                        help="with --token-merge: ToMe proportional "
+                             "attention (full Bolya et al. recipe) — "
+                             "post-merge blocks bias each key's scores "
+                             "by log(token size)")
     parser.add_argument("--shadow", type=Path, action="append",
                         default=None,
                         help="shadow-deploy a candidate checkpoint: it "
@@ -204,7 +209,8 @@ def restore_trainer(ckpt: Path, model_name, args, cfg, modalities,
             trainer, state = tome_for_serving(
                 trainer, state, merge_at, keep,
                 image_size=args.image_size,
-                attention_impl=args.attention_impl)
+                attention_impl=args.attention_impl,
+                prop_attn=getattr(args, "tome_prop_attn", False))
             print(f"{ckpt.name}: token merging ({merge_at} full-token "
                   f"blocks, then {keep} tokens)")
         else:

@@ -86,6 +86,9 @@ class MultimodalFusionClassifier(nn.Module):
     # inference-only ToMe token merging for the ViT branch
     # (models/vit.py token_merge; load via split_encoder_variables)
     token_merge: Optional[Tuple[int, int]] = None
+    # ToMe proportional attention for the post-merge ViT blocks
+    # (models/vit.py tome_prop_attn; opt-in)
+    tome_prop_attn: bool = False
 
     @nn.compact
     def __call__(self, rgb: jnp.ndarray, thermal: jnp.ndarray, *,
@@ -100,6 +103,7 @@ class MultimodalFusionClassifier(nn.Module):
         thermal_feats = ViTBase16(self.dtype, self.attention_impl,
                                   self.block_impl,
                                   token_merge=self.token_merge,
+                                  tome_prop_attn=self.tome_prop_attn,
                                   name="thermal_branch")(
             thermal, train=train, taps=taps)                   # (B, 768)
         fused = jnp.concatenate([rgb_feats, thermal_feats], axis=-1)

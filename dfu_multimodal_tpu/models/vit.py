@@ -37,11 +37,16 @@ from dfu_multimodal_tpu.models.common import Taps, canonical_dtype, tap
 AttentionFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 
-def xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """Plain softmax attention. q,k,v: (B, H, N, D) -> (B, H, N, D)."""
+def xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                  bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Plain softmax attention. q,k,v: (B, H, N, D) -> (B, H, N, D).
+    ``bias``: optional (B, N) additive score bias per KEY token (ToMe
+    proportional attention — log token sizes, Bolya et al. ICLR'23 §3)."""
     scale = q.shape[-1] ** -0.5
     logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
                         preferred_element_type=jnp.float32)
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)[:, None, None, :]
     probs = nn.softmax(logits, axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
@@ -73,7 +78,8 @@ class MultiHeadAttention(nn.Module):
     calibrate: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         b, n, c = x.shape
         head_dim = c // self.num_heads
         qkv = nn.Dense(3 * c, dtype=self.dtype, param_dtype=jnp.float32,
@@ -81,16 +87,20 @@ class MultiHeadAttention(nn.Module):
 
         impl = resolve_attention_impl(self.attention_impl)
 
-        if impl == "pallas":
+        if impl == "pallas" and bias is None:
             # Packed-qkv kernel: heads are sliced inside VMEM, so no
             # (B,N,3C)->(B,H,N,D) transposes ever hit HBM (measured at
-            # ~half the MHA block cost, docs/DESIGN.md).
+            # ~half the MHA block cost, docs/DESIGN.md).  The biased
+            # (ToMe proportional) case runs the XLA path below — the
+            # production ToMe trunks use the FUSED blocks, whose kernels
+            # take the bias natively (ops/vit_block.py).
             from dfu_multimodal_tpu.ops.attention import qkv_attention
             out = qkv_attention(qkv, self.num_heads)
         else:
+            # reaches here with impl == "xla", or "pallas" + bias
             qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
             q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
-            out = resolve_attention(impl)(q, k, v)       # (B, H, N, D)
+            out = xla_attention(q, k, v, bias)           # (B, H, N, D)
             out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         if self.calibrate:
             self.sow("calibration", "proj_in",
@@ -149,6 +159,10 @@ class FusedEncoderBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, _=None):
         from dfu_multimodal_tpu.ops.vit_block import attn_block, mlp_block
 
+        # A (tokens, attn_bias) tuple carry threads the ToMe proportional-
+        # attention bias through the scanned stack (models/vit.py
+        # token_merge with tome_prop_attn); a bare array is the default.
+        x, attn_bias = x if isinstance(x, tuple) else (x, None)
         c = x.shape[-1]
         g1, be1 = _LNParams(name="norm1")(c)
         (wqkv, bqkv), (wproj, bproj) = _AttnParams(name="attn")(c)
@@ -159,10 +173,10 @@ class FusedEncoderBlock(nn.Module):
         dt = canonical_dtype(self.dtype)
         x = attn_block(x, g1, be1, wqkv.astype(dt), bqkv, wproj.astype(dt),
                        bproj, num_heads=self.num_heads,
-                       interpret=self.interpret)
+                       interpret=self.interpret, bias=attn_bias)
         x = mlp_block(x, g2, be2, w1.astype(dt), b1, w2.astype(dt), b2,
                       interpret=self.interpret)
-        return x, None
+        return ((x, attn_bias) if attn_bias is not None else x), None
 
 
 class _QDenseParams(nn.Module):
@@ -206,6 +220,7 @@ class QuantizedEncoderBlock(nn.Module):
         from dfu_multimodal_tpu.ops.vit_block_q8 import (attn_block_q8,
                                                          mlp_block_q8)
 
+        x, attn_bias = x if isinstance(x, tuple) else (x, None)
         c = x.shape[-1]
         g1, be1 = _LNParams(name="norm1")(c)
         (qkv_q, qkv_s, qkv_b), (pr_q, pr_s, pr_b) = _QAttnParams(
@@ -215,10 +230,11 @@ class QuantizedEncoderBlock(nn.Module):
         w2_q, s2, b2 = _QDenseParams(c, name="mlp_fc2")(self.mlp_ratio * c)
 
         x = attn_block_q8(x, g1, be1, qkv_q, qkv_s, qkv_b, pr_q, pr_s, pr_b,
-                          num_heads=self.num_heads, interpret=self.interpret)
+                          num_heads=self.num_heads, interpret=self.interpret,
+                          bias=attn_bias)
         x = mlp_block_q8(x, g2, be2, w1_q, s1, b1, w2_q, s2, b2,
                          interpret=self.interpret)
-        return x, None
+        return ((x, attn_bias) if attn_bias is not None else x), None
 
 
 class StaticQuantizedEncoderBlock(nn.Module):
@@ -240,6 +256,7 @@ class StaticQuantizedEncoderBlock(nn.Module):
         from dfu_multimodal_tpu.ops.vit_block_q8 import (attn_block_q8s,
                                                          mlp_block_q8s)
 
+        x, attn_bias = x if isinstance(x, tuple) else (x, None)
         c = x.shape[-1]
         g1, be1 = _LNParams(name="norm1")(c)
         (qkv_q, qkv_s, qkv_b), (pr_q, pr_s, pr_b) = _QAttnParams(
@@ -251,10 +268,10 @@ class StaticQuantizedEncoderBlock(nn.Module):
 
         x = attn_block_q8s(x, g1, be1, qkv_q, qkv_s, qkv_b, pr_q, pr_s,
                            pr_b, 1.0 / a[:2], num_heads=self.num_heads,
-                           interpret=self.interpret)
+                           interpret=self.interpret, bias=attn_bias)
         x = mlp_block_q8s(x, g2, be2, w1_q, s1, b1, w2_q, s2, b2,
                           1.0 / a[2:], interpret=self.interpret)
-        return x, None
+        return ((x, attn_bias) if attn_bias is not None else x), None
 
 
 def quantize_encoder_params(trunk_params, act_absmax=None):
@@ -455,14 +472,18 @@ class EncoderBlock(nn.Module):
         """(carry, None) -> (carry, None): scan-compatible signature so the
         12 blocks compile as ONE scanned program (one Pallas payload instead
         of twelve — essential for compile size/time, and the idiomatic TPU
-        layer-stacking pattern)."""
+        layer-stacking pattern).  The carry is either the token array or a
+        (tokens, attn_bias) tuple — the latter threads the ToMe
+        proportional-attention bias (log token sizes) through the stack."""
+        x, attn_bias = x if isinstance(x, tuple) else (x, None)
         c = x.shape[-1]
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                          param_dtype=jnp.float32, name="norm1")(x)
         self._cal("ln1_out", y)
         x = x + MultiHeadAttention(self.num_heads, self.dtype,
                                    self.attention_impl,
-                                   calibrate=self.calibrate, name="attn")(y)
+                                   calibrate=self.calibrate,
+                                   name="attn")(y, attn_bias)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                          param_dtype=jnp.float32, name="norm2")(x)
         self._cal("ln2_out", y)
@@ -472,7 +493,8 @@ class EncoderBlock(nn.Module):
         self._cal("gelu_out", y)
         y = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32,
                      name="mlp_fc2")(y)
-        return x + y, None
+        out = x + y
+        return ((out, attn_bias) if attn_bias is not None else out), None
 
 
 class ViT(nn.Module):
@@ -514,6 +536,14 @@ class ViT(nn.Module):
     # transforms restored checkpoints with :func:`split_encoder_variables`
     # (the quantize_variables pattern). Requires scan_blocks.
     token_merge: Optional[Tuple[int, int]] = None
+    # ToMe PROPORTIONAL attention (Bolya et al. ICLR'23 §3, the full
+    # recipe): post-merge blocks add log(token size) to each KEY's
+    # attention scores, so a token representing s patches draws s× the
+    # softmax mass it would as one patch.  Opt-in (default off keeps
+    # round-3 ToMe behavior bit-identical); only meaningful with
+    # token_merge.  All three block families take the bias natively
+    # (ops/vit_block.py, ops/vit_block_q8.py).
+    tome_prop_attn: bool = False
 
     def _resolve_block(self):
         """Returns (block_cls, block_args) for the configured impl."""
@@ -608,9 +638,17 @@ class ViT(nn.Module):
                 )
             x, _ = scan_of(merge_at)(*block_args, name="encoder")(x, None)
             sizes = jnp.ones(x.shape[:2], jnp.float32)
-            x, _ = bipartite_merge(x, sizes, r)
-            x, _ = scan_of(self.depth - merge_at)(
-                *block_args, name="encoder2")(x, None)
+            x, sizes = bipartite_merge(x, sizes, r)
+            if self.tome_prop_attn:
+                # proportional attention: carry (tokens, log sizes)
+                # through the post-merge stack
+                carry, _ = scan_of(self.depth - merge_at)(
+                    *block_args, name="encoder2")((x, jnp.log(sizes)),
+                                                  None)
+                x, _ = carry
+            else:
+                x, _ = scan_of(self.depth - merge_at)(
+                    *block_args, name="encoder2")(x, None)
         elif self.scan_blocks:
             # One scanned block: params stacked (depth, ...), a single
             # compiled body — compile time and program size are O(1) in
@@ -651,12 +689,14 @@ class ViTClassifier(nn.Module):
     attention_impl: str = "auto"
     block_impl: str = "auto"
     token_merge: Optional[Tuple[int, int]] = None
+    tome_prop_attn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False,
                  taps: Taps = None) -> jnp.ndarray:
         feats = ViTBase16(self.dtype, self.attention_impl, self.block_impl,
-                          token_merge=self.token_merge)(
+                          token_merge=self.token_merge,
+                          tome_prop_attn=self.tome_prop_attn)(
             x, train=train, taps=taps)
         feats = nn.Dropout(self.drop_rate, deterministic=not train)(feats)
         return nn.Dense(self.num_classes, dtype=jnp.float32,

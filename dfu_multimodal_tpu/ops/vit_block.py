@@ -68,7 +68,7 @@ def _gelu_fast(x):
     return x * jax.nn.sigmoid(z)
 
 
-def _attention_head(q_c, k_c, v, scale):
+def _attention_head(q_c, k_c, v, scale, bias_row=None):
     """One head of softmax attention with DEFERRED normalization: the
     softmax division is applied to the (N, D) output of e·V rather than the
     (N, N) exp matrix — 3× fewer VPU normalization ops.  Identical math in
@@ -88,7 +88,11 @@ def _attention_head(q_c, k_c, v, scale):
     a measured ~1.5% int8-serving regression); non-pow2 scales fall back
     to scaling the fp32 scores.  Softmax statistics fp32.  With fp32
     inputs (CPU tests) every cast is a no-op and the kernel matches the
-    jnp oracle exactly.  Returns fp32 (N, D)."""
+    jnp oracle exactly.  Returns fp32 (N, D).
+
+    ``bias_row``: optional fp32 (1, N) additive score bias per KEY token,
+    applied before the softmax — ToMe proportional attention feeds
+    log(token sizes) here (Bolya et al. ICLR'23 §3; ops/token_merge.py)."""
     from dfu_multimodal_tpu.ops.attention import _is_pow2
     if _is_pow2(scale):
         scores = jax.lax.dot_general(
@@ -100,6 +104,8 @@ def _attention_head(q_c, k_c, v, scale):
             q_c, k_c,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
+    if bias_row is not None:
+        scores = scores + bias_row                    # (1, N) over rows
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)                           # rows in (0, 1]
     s = jnp.sum(e, axis=-1, keepdims=True)
@@ -114,7 +120,13 @@ def _attention_head(q_c, k_c, v, scale):
 
 
 def _attn_block_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref,
-                       bproj_ref, o_ref, *, num_heads: int):
+                       bproj_ref, *rest, num_heads: int):
+    # Optional trailing bias operand (ToMe proportional attention): the
+    # refs between bproj and the output are (bias_ref, o_ref) or (o_ref,).
+    if len(rest) == 2:
+        bias_ref, o_ref = rest
+    else:
+        (o_ref,), bias_ref = rest, None
     ipp, n, c = x_ref.shape                          # images per grid step
     d = c // num_heads
     scale = d ** -0.5
@@ -134,12 +146,14 @@ def _attn_block_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref,
     outs = []
     for i in range(ipp):
         qkv_i = qkv[i * n:(i + 1) * n]
+        bias_i = (None if bias_ref is None
+                  else bias_ref[i, :, :].astype(jnp.float32))
         heads = []
         for h in range(num_heads):
             q = qkv_i[:, h * d:(h + 1) * d]
             k = qkv_i[:, c + h * d:c + (h + 1) * d]
             v = qkv_i[:, 2 * c + h * d:2 * c + (h + 1) * d]
-            heads.append(_attention_head(q, k, v, scale))
+            heads.append(_attention_head(q, k, v, scale, bias_i))
         outs.append(jnp.concatenate(heads, axis=-1))
     attn = jnp.concatenate(outs, axis=0).astype(x.dtype)     # (ipp·N, C)
 
@@ -151,7 +165,8 @@ def _attn_block_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref,
     o_ref[...] = (x + o).reshape(ipp, n, c)
 
 
-def _attn_block_ref(x, g1, b1, wqkv, bqkv, wproj, bproj, *, num_heads: int):
+def _attn_block_ref(x, g1, b1, wqkv, bqkv, wproj, bproj, *,
+                    num_heads: int, bias=None):
     """Plain-jnp oracle matching the kernel numerics (fp32 LN/softmax,
     compute-dtype matmul operands, fp32 accumulation) up to one bf16-level
     difference: the kernel defers the softmax division past e·V (casting the
@@ -171,6 +186,8 @@ def _attn_block_ref(x, g1, b1, wqkv, bqkv, wproj, bproj, *, num_heads: int):
     v = qkv[:, :, 2].transpose(0, 2, 1, 3)
     logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
                         preferred_element_type=jnp.float32)
+    if bias is not None:                  # (B, N) per-key additive bias
+        logits = logits + bias.astype(jnp.float32)[:, None, None, :]
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
@@ -189,7 +206,7 @@ from dfu_multimodal_tpu.ops.pallas_common import (const_spec as
 
 
 def _attn_block_call(x, g1, b1, wqkv, bqkv, wproj, bproj, num_heads,
-                     interpret):
+                     interpret, bias=None):
     b, n, c = x.shape
     ipp = 2 if b % 2 == 0 else 1    # images per grid step (VMEM-bounded)
     g1r, b1r = g1.reshape(1, c), b1.reshape(1, c)
@@ -198,17 +215,26 @@ def _attn_block_call(x, g1, b1, wqkv, bqkv, wproj, bproj, num_heads,
     def img_block(i):
         return (i, 0, 0)
 
+    in_specs = [
+        pl.BlockSpec((ipp, n, c), img_block,
+                     memory_space=_vmem(interpret)),
+        _const_spec((1, c), interpret), _const_spec((1, c), interpret),
+        _const_spec((c, 3 * c), interpret),
+        _const_spec((1, 3 * c), interpret),
+        _const_spec((c, c), interpret), _const_spec((1, c), interpret),
+    ]
+    operands = [x, g1r, b1r, wqkv, bqkvr, wproj, bprojr]
+    if bias is not None:            # (B, N) fp32 per-key score bias
+        # (B, 1, N): Mosaic requires the last two block dims divisible
+        # by (8, 128) or equal to the array dims — (1, N) satisfies the
+        # latter for any N, where a 2-D (ipp, N) block would not.
+        in_specs.append(pl.BlockSpec((ipp, 1, n), lambda i: (i, 0, 0),
+                                     memory_space=_vmem(interpret)))
+        operands.append(bias.astype(jnp.float32).reshape(b, 1, n))
     return pl.pallas_call(
         functools.partial(_attn_block_kernel, num_heads=num_heads),
         grid=(b // ipp,),
-        in_specs=[
-            pl.BlockSpec((ipp, n, c), img_block,
-                         memory_space=_vmem(interpret)),
-            _const_spec((1, c), interpret), _const_spec((1, c), interpret),
-            _const_spec((c, 3 * c), interpret),
-            _const_spec((1, 3 * c), interpret),
-            _const_spec((c, c), interpret), _const_spec((1, c), interpret),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (ipp, n, c), img_block,
             memory_space=_vmem(interpret)),
@@ -219,7 +245,7 @@ def _attn_block_call(x, g1, b1, wqkv, bqkv, wproj, bproj, num_heads,
             * x.dtype.itemsize,
             transcendentals=b * num_heads * n * n),
         interpret=interpret,
-    )(x, g1r, b1r, wqkv, bqkvr, wproj, bprojr)
+    )(*operands)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
@@ -514,12 +540,20 @@ _attn_block.defvjp(_attn_block_fwd, _attn_block_bwd)
 def attn_block(x: jnp.ndarray, g1: jnp.ndarray, b1: jnp.ndarray,
                wqkv: jnp.ndarray, bqkv: jnp.ndarray,
                wproj: jnp.ndarray, bproj: jnp.ndarray,
-               num_heads: int, interpret: bool = False) -> jnp.ndarray:
+               num_heads: int, interpret: bool = False,
+               bias: jnp.ndarray | None = None) -> jnp.ndarray:
     """x + proj(attention(qkv(LN1(x)))) in one VMEM-resident kernel.
 
     x: (B, N, C) in compute dtype; wqkv (C, 3C) / wproj (C, C) already cast
     to the compute dtype; LN params and biases fp32. Trainable (custom VJP).
-    """
+
+    ``bias``: optional fp32 (B, N) additive attention-score bias per KEY
+    token (ToMe proportional attention — log token sizes).  The biased
+    path is INFERENCE-ONLY (no custom VJP; ToMe itself is serving-only,
+    models/vit.py ``token_merge``)."""
+    if bias is not None:
+        return _attn_block_call(x, g1, b1, wqkv, bqkv, wproj, bproj,
+                                num_heads, interpret, bias=bias)
     return _attn_block(x, g1, b1, wqkv, bqkv, wproj, bproj, num_heads,
                        interpret)
 

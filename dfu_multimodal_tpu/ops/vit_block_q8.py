@@ -68,8 +68,14 @@ def _q8_matmul(y_q, a, w_ref, s_ref, b_ref):
 
 
 def _attn_block_q8_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, sqkv_ref,
-                          bqkv_ref, wproj_ref, sproj_ref, bproj_ref, o_ref,
-                          *, num_heads: int):
+                          bqkv_ref, wproj_ref, sproj_ref, bproj_ref, *rest,
+                          num_heads: int):
+    # Optional trailing bias operand (ToMe proportional attention), as in
+    # ops/vit_block.py::_attn_block_kernel.
+    if len(rest) == 2:
+        bias_ref, o_ref = rest
+    else:
+        (o_ref,), bias_ref = rest, None
     ipp, n, c = x_ref.shape
     d = c // num_heads
     scale = d ** -0.5
@@ -82,12 +88,14 @@ def _attn_block_q8_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, sqkv_ref,
     outs = []
     for i in range(ipp):
         qkv_i = qkv[i * n:(i + 1) * n]
+        bias_i = (None if bias_ref is None
+                  else bias_ref[i, :, :].astype(jnp.float32))
         heads = []
         for h in range(num_heads):
             q = qkv_i[:, h * d:(h + 1) * d]
             k = qkv_i[:, c + h * d:c + (h + 1) * d]
             v = qkv_i[:, 2 * c + h * d:2 * c + (h + 1) * d]
-            heads.append(_attention_head(q, k, v, scale))
+            heads.append(_attention_head(q, k, v, scale, bias_i))
         outs.append(jnp.concatenate(heads, axis=-1))
     attn = jnp.concatenate(outs, axis=0)                 # (ipp·N, C) f32
 
@@ -148,9 +156,13 @@ def _static_quant(y, inv_scale):
 
 def _attn_block_q8s_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, sqkv_ref,
                            bqkv_ref, wproj_ref, sproj_ref, bproj_ref,
-                           inv_ref, o_ref, *, num_heads: int):
+                           inv_ref, *rest, num_heads: int):
     """Static-scale attn block: inv_ref (1, 2) holds [1/s_ln1, 1/s_attn];
     sqkv/sproj are the weight scales PRE-MULTIPLIED by the act scales."""
+    if len(rest) == 2:
+        bias_ref, o_ref = rest
+    else:
+        (o_ref,), bias_ref = rest, None
     ipp, n, c = x_ref.shape
     d = c // num_heads
     scale = d ** -0.5
@@ -167,12 +179,14 @@ def _attn_block_q8s_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, sqkv_ref,
     outs = []
     for i in range(ipp):
         qkv_i = qkv[i * n:(i + 1) * n]
+        bias_i = (None if bias_ref is None
+                  else bias_ref[i, :, :].astype(jnp.float32))
         heads = []
         for h in range(num_heads):
             q = qkv_i[:, h * d:(h + 1) * d]
             k = qkv_i[:, c + h * d:c + (h + 1) * d]
             v = qkv_i[:, 2 * c + h * d:2 * c + (h + 1) * d]
-            heads.append(_attention_head(q, k, v, scale))
+            heads.append(_attention_head(q, k, v, scale, bias_i))
         outs.append(jnp.concatenate(heads, axis=-1))
     attn = jnp.concatenate(outs, axis=0)                 # (ipp·N, C) f32
 
@@ -223,30 +237,40 @@ from dfu_multimodal_tpu.ops.pallas_common import (const_spec as
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
 def attn_block_q8(x, g1, b1, wqkv_q8, sqkv, bqkv, wproj_q8, sproj, bproj,
-                  num_heads: int, interpret: bool = False) -> jnp.ndarray:
+                  num_heads: int, interpret: bool = False,
+                  bias=None) -> jnp.ndarray:
     """Serving-only int8 variant of ops/vit_block.py::attn_block.
-    Weights pre-quantized via :func:`quantize_weight`."""
+    Weights pre-quantized via :func:`quantize_weight`.  ``bias``: optional
+    fp32 (B, N) per-key attention-score bias (ToMe proportional
+    attention)."""
     b, n, c = x.shape
     ipp = 2 if b % 2 == 0 else 1
-    args = (x, g1.reshape(1, c), b1.reshape(1, c),
+    args = [x, g1.reshape(1, c), b1.reshape(1, c),
             wqkv_q8, sqkv.reshape(1, 3 * c), bqkv.reshape(1, 3 * c),
-            wproj_q8, sproj.reshape(1, c), bproj.reshape(1, c))
+            wproj_q8, sproj.reshape(1, c), bproj.reshape(1, c)]
 
     def img_block(i):
         return (i, 0, 0)
 
+    in_specs = [
+        pl.BlockSpec((ipp, n, c), img_block, memory_space=_vmem(interpret)),
+        _const_spec((1, c), interpret), _const_spec((1, c), interpret),
+        _const_spec((c, 3 * c), interpret),
+        _const_spec((1, 3 * c), interpret),
+        _const_spec((1, 3 * c), interpret),
+        _const_spec((c, c), interpret),
+        _const_spec((1, c), interpret), _const_spec((1, c), interpret),
+    ]
+    if bias is not None:
+        # (B, 1, N): see ops/vit_block.py — trailing block dims must
+        # equal the array dims for Mosaic's block-shape rule
+        in_specs.append(pl.BlockSpec((ipp, 1, n), lambda i: (i, 0, 0),
+                                     memory_space=_vmem(interpret)))
+        args.append(bias.astype(jnp.float32).reshape(b, 1, n))
     return pl.pallas_call(
         functools.partial(_attn_block_q8_kernel, num_heads=num_heads),
         grid=(b // ipp,),
-        in_specs=[
-            pl.BlockSpec((ipp, n, c), img_block, memory_space=_vmem(interpret)),
-            _const_spec((1, c), interpret), _const_spec((1, c), interpret),
-            _const_spec((c, 3 * c), interpret),
-            _const_spec((1, 3 * c), interpret),
-            _const_spec((1, 3 * c), interpret),
-            _const_spec((c, c), interpret),
-            _const_spec((1, c), interpret), _const_spec((1, c), interpret),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((ipp, n, c), img_block,
                                memory_space=_vmem(interpret)),
         out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
@@ -305,33 +329,42 @@ def mlp_block_q8(x, g2, b2, w1_q8, s1, b1, w2_q8, s2, b2b,
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
 def attn_block_q8s(x, g1, b1, wqkv_q8, sqkv_eff, bqkv, wproj_q8, sproj_eff,
                    bproj, inv_scales, num_heads: int,
-                   interpret: bool = False) -> jnp.ndarray:
+                   interpret: bool = False, bias=None) -> jnp.ndarray:
     """Static-scale int8 attn block.  ``sqkv_eff``/``sproj_eff`` are
     per-channel weight scales pre-multiplied by the calibrated input act
-    scales; ``inv_scales`` (2,) = [1/s_ln1_out, 1/s_attn_out]."""
+    scales; ``inv_scales`` (2,) = [1/s_ln1_out, 1/s_attn_out].  ``bias``:
+    optional fp32 (B, N) per-key attention-score bias (ToMe proportional
+    attention)."""
     b, n, c = x.shape
     ipp = 2 if b % 2 == 0 else 1
-    args = (x, g1.reshape(1, c), b1.reshape(1, c),
+    args = [x, g1.reshape(1, c), b1.reshape(1, c),
             wqkv_q8, sqkv_eff.reshape(1, 3 * c), bqkv.reshape(1, 3 * c),
             wproj_q8, sproj_eff.reshape(1, c), bproj.reshape(1, c),
-            inv_scales.reshape(1, 2).astype(jnp.float32))
+            inv_scales.reshape(1, 2).astype(jnp.float32)]
 
     def img_block(i):
         return (i, 0, 0)
 
+    in_specs = [
+        pl.BlockSpec((ipp, n, c), img_block, memory_space=_vmem(interpret)),
+        _const_spec((1, c), interpret), _const_spec((1, c), interpret),
+        _const_spec((c, 3 * c), interpret),
+        _const_spec((1, 3 * c), interpret),
+        _const_spec((1, 3 * c), interpret),
+        _const_spec((c, c), interpret),
+        _const_spec((1, c), interpret), _const_spec((1, c), interpret),
+        _const_spec((1, 2), interpret),
+    ]
+    if bias is not None:
+        # (B, 1, N): see ops/vit_block.py — trailing block dims must
+        # equal the array dims for Mosaic's block-shape rule
+        in_specs.append(pl.BlockSpec((ipp, 1, n), lambda i: (i, 0, 0),
+                                     memory_space=_vmem(interpret)))
+        args.append(bias.astype(jnp.float32).reshape(b, 1, n))
     return pl.pallas_call(
         functools.partial(_attn_block_q8s_kernel, num_heads=num_heads),
         grid=(b // ipp,),
-        in_specs=[
-            pl.BlockSpec((ipp, n, c), img_block, memory_space=_vmem(interpret)),
-            _const_spec((1, c), interpret), _const_spec((1, c), interpret),
-            _const_spec((c, 3 * c), interpret),
-            _const_spec((1, 3 * c), interpret),
-            _const_spec((1, 3 * c), interpret),
-            _const_spec((c, c), interpret),
-            _const_spec((1, c), interpret), _const_spec((1, c), interpret),
-            _const_spec((1, 2), interpret),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((ipp, n, c), img_block,
                                memory_space=_vmem(interpret)),
         out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),

@@ -132,7 +132,8 @@ def quantize_for_serving(trainer, state, image_size: int = 224,
 
 
 def tome_for_serving(trainer, state, merge_at: int, keep: int,
-                     image_size: int = 224, attention_impl: str = "auto"):
+                     image_size: int = 224, attention_impl: str = "auto",
+                     prop_attn: bool = False):
     """Rebuild a restored (trainer, state) around the token-merge ViT
     serving path (models/vit.py ``token_merge``, ops/token_merge.py):
     blocks [0, merge_at) run on the full token set, one bipartite merge
@@ -145,7 +146,12 @@ def tome_for_serving(trainer, state, merge_at: int, keep: int,
     purely structural) — measured 4092 -> 5300 img/s/chip b128 with
     int8 + L=2 K=128 (docs/DESIGN.md). The checkpoint's stacked
     ``encoder`` params split into ``encoder``/``encoder2``
-    (split_encoder_variables). Returns the new (trainer, state)."""
+    (split_encoder_variables). Returns the new (trainer, state).
+
+    ``prop_attn``: ToMe PROPORTIONAL attention (the full Bolya et al.
+    recipe) — post-merge blocks bias each key's attention scores by
+    log(token size).  Opt-in; default keeps the size-unweighted scores
+    round 3 shipped."""
     import jax
 
     from dfu_multimodal_tpu.models.vit import split_encoder_variables
@@ -159,7 +165,8 @@ def tome_for_serving(trainer, state, merge_at: int, keep: int,
                                           "auto"),
                        rgb_impl=getattr(trainer.module, "rgb_impl",
                                         "auto"),
-                       token_merge=(merge_at, keep))
+                       token_merge=(merge_at, keep),
+                       tome_prop_attn=prop_attn)
     tstate = ttrainer.init_state(jax.random.PRNGKey(0),
                                  image_size=image_size)
     tstate = tstate.replace(params=svars["params"],

@@ -176,7 +176,7 @@ class Trainer:
                  class_weights: Optional[np.ndarray] = None,
                  mesh=None, attention_impl: str = "auto",
                  block_impl: str = "auto", rgb_impl: str = "auto",
-                 token_merge=None):
+                 token_merge=None, tome_prop_attn: bool = False):
         # every CLI builds a Trainer, so this is the one chokepoint where
         # the persistent XLA compile cache can cover the whole product
         # surface (train -> eval -> predict -> serve are separate
@@ -256,6 +256,10 @@ class Trainer:
                     f"({sorted(VIT_TRUNK_MODELS)}), not "
                     f"{spec_probe.name!r}")
             kwargs["token_merge"] = tuple(token_merge)
+            # full Bolya et al. recipe: post-merge blocks bias each key's
+            # attention scores by log(token size) — opt-in, default
+            # preserves the round-3 ToMe numerics (models/vit.py)
+            kwargs["tome_prop_attn"] = bool(tome_prop_attn)
         if spec_probe.name == "multimodal":
             kwargs["rgb_impl"] = rgb_impl
         elif (spec_probe.name in ("rgb_only", "resnet18_rgb",

@@ -47,6 +47,20 @@ _PEAK_BF16_TFLOPS = {
     "TPU v6": 918.0,
 }
 
+# Peak dense INT8 matmul TOP/s per chip: generations whose MXU runs int8
+# at 2x the bf16 rate (public datasheets: v5e 394, v5p 918, v6e 1836).
+# v4 has no published int8 acceleration — absent here, so int8
+# utilization reports null on it rather than a wrong number.
+_PEAK_INT8_TOPS = {
+    "TPU v5 lite": 393.2,
+    "TPU v5e": 393.2,
+    "TPU v5": 918.0,
+    "TPU v5p": 918.0,
+    "TPU v6 lite": 1836.0,
+    "TPU v6e": 1836.0,
+    "TPU v6": 1836.0,
+}
+
 
 def device_peak_tflops(device=None) -> Optional[float]:
     """Peak dense bf16 TFLOP/s of ``device`` (default: first visible
@@ -69,6 +83,30 @@ def device_peak_tflops(device=None) -> Optional[float]:
             if "lite" in rest or rest in ("i", "e", "p"):
                 return None          # unknown sub-variant of a known gen
             return _PEAK_BF16_TFLOPS[k]
+    return None
+
+
+def device_peak_int8_tops(device=None) -> Optional[float]:
+    """Peak dense int8 TOP/s of ``device``, or ``None`` when unknown —
+    same matching/refusal rules as :func:`device_peak_tflops`.  Used for
+    the int8 serving path's utilization accounting: the path is MIXED
+    precision (int8 matmuls/convs, bf16/fp32 attention + LN/softmax), so
+    ops ÷ int8-peak is a LOWER BOUND on how well the int8 work is
+    scheduled — honest as a utilization number because the int8 peak is
+    the rate the path is paying for."""
+    if device is None:
+        import jax
+        device = jax.devices()[0]
+    kind = getattr(device, "device_kind", "") or ""
+    if kind in _PEAK_INT8_TOPS:
+        return _PEAK_INT8_TOPS[kind]
+    norm = kind.strip().lower()
+    for k in sorted(_PEAK_INT8_TOPS, key=len, reverse=True):
+        if norm.startswith(k.lower()):
+            rest = norm[len(k):].strip()
+            if "lite" in rest or rest in ("i", "e", "p"):
+                return None
+            return _PEAK_INT8_TOPS[k]
     return None
 
 

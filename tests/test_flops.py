@@ -80,3 +80,18 @@ def test_device_peak_refuses_unknown_subvariants():
     assert flops.device_peak_tflops(FakeDev("TPU v4i")) is None
     # known-kind suffixes still resolve via the longest-key match
     assert flops.device_peak_tflops(FakeDev("TPU v5 lite chip")) == 196.6
+
+
+def test_device_peak_int8_lookup():
+    """int8 peaks: published 2x-bf16 generations resolve, v4 (no
+    published int8 rate) and unknown sub-variants report null."""
+    class FakeDev:
+        def __init__(self, kind):
+            self.device_kind = kind
+
+    assert flops.device_peak_int8_tops(FakeDev("TPU v5 lite")) == 393.2
+    assert flops.device_peak_int8_tops(FakeDev("TPU v5e")) == 393.2
+    assert flops.device_peak_int8_tops(FakeDev("TPU v6e")) == 1836.0
+    assert flops.device_peak_int8_tops(FakeDev("TPU v4")) is None
+    assert flops.device_peak_int8_tops(FakeDev("TPU v7x")) is None
+    assert flops.device_peak_int8_tops(FakeDev("TPU v5 lite chip")) == 393.2

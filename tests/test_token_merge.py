@@ -214,3 +214,120 @@ def test_trainer_rejects_token_merge_for_non_vit():
     with pytest.raises(ValueError, match="ViT-trunk"):
         Trainer("rgb_only", cfg, {"rgb": config.rgb_modality()},
                 token_merge=(2, 3))
+
+
+# ------------------------------------------- proportional attention (ToMe)
+
+
+def test_biased_attn_block_matches_oracle():
+    """The fused attn block's optional per-key score bias (ToMe
+    proportional attention) must match the jnp oracle; without a bias the
+    kernel is unchanged."""
+    from dfu_multimodal_tpu.ops.vit_block import _attn_block_ref, attn_block
+
+    rng = np.random.default_rng(0)
+    B, N, C, H = 4, 9, 64, 4
+    x = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+    g1 = jnp.asarray(rng.normal(size=(C,)).astype(np.float32))
+    b1 = jnp.asarray(rng.normal(size=(C,)).astype(np.float32))
+    wqkv = jnp.asarray((rng.normal(size=(C, 3 * C)) * 0.1).astype(np.float32))
+    bqkv = jnp.asarray(rng.normal(size=(3 * C,)).astype(np.float32))
+    wproj = jnp.asarray((rng.normal(size=(C, C)) * 0.1).astype(np.float32))
+    bproj = jnp.asarray(rng.normal(size=(C,)).astype(np.float32))
+    bias = jnp.asarray(np.log(rng.integers(1, 5, (B, N))).astype(np.float32))
+
+    ref = _attn_block_ref(x, g1, b1, wqkv, bqkv, wproj, bproj,
+                          num_heads=H, bias=bias)
+    out = attn_block(x, g1, b1, wqkv, bqkv, wproj, bproj, num_heads=H,
+                     interpret=True, bias=bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # the bias genuinely moves the output
+    out0 = attn_block(x, g1, b1, wqkv, bqkv, wproj, bproj, num_heads=H,
+                      interpret=True)
+    assert float(jnp.max(jnp.abs(out - out0))) > 1e-3
+
+
+def test_biased_q8_attn_blocks_follow_the_bias():
+    """int8 dynamic + static attn blocks accept the same bias operand;
+    quantization noise aside, they must track the fp32 biased oracle."""
+    from dfu_multimodal_tpu.ops.vit_block import _attn_block_ref
+    from dfu_multimodal_tpu.ops.vit_block_q8 import (attn_block_q8,
+                                                     attn_block_q8s,
+                                                     quantize_weight)
+
+    rng = np.random.default_rng(1)
+    B, N, C, H = 2, 9, 64, 4
+    x = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+    g1 = jnp.asarray(np.ones(C, np.float32))
+    b1 = jnp.asarray(np.zeros(C, np.float32))
+    wqkv = jnp.asarray((rng.normal(size=(C, 3 * C)) * 0.1).astype(np.float32))
+    bqkv = jnp.asarray((rng.normal(size=(3 * C,)) * 0.1).astype(np.float32))
+    wproj = jnp.asarray((rng.normal(size=(C, C)) * 0.1).astype(np.float32))
+    bproj = jnp.asarray((rng.normal(size=(C,)) * 0.1).astype(np.float32))
+    bias = jnp.asarray(np.log(rng.integers(1, 5, (B, N))).astype(np.float32))
+
+    ref = _attn_block_ref(x, g1, b1, wqkv, bqkv, wproj, bproj,
+                          num_heads=H, bias=bias)
+    kq, s = quantize_weight(wqkv)
+    pq, ps = quantize_weight(wproj)
+    out = attn_block_q8(x, g1, b1, kq, s, bqkv, pq, ps, bproj,
+                        num_heads=H, interpret=True, bias=bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0.1, atol=0.1)     # int8 tolerance
+    abs_ln = float(jnp.max(jnp.abs(x)))  # crude static act scale
+    inv = jnp.full((2,), 127.0 / (3 * abs_ln), jnp.float32)
+    outs = attn_block_q8s(x, g1, b1, kq, s, bqkv, pq, ps,
+                          bproj, inv, num_heads=H, interpret=True,
+                          bias=bias)
+    assert np.isfinite(np.asarray(outs)).all()
+
+
+def test_vit_prop_attn_invariances(vit_vars):
+    """r=0 merge => all sizes 1 => log-size bias is exactly zero, so
+    proportional attention must be BIT-EXACT to the unbiased path; with a
+    real merge it must change the output, and the flax and fused-interpret
+    impls must agree on the biased forward."""
+    m, _, v = vit_vars
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 32, 32, 3),
+                          jnp.float32)
+    sv = split_encoder_variables(v, 2)
+
+    m_r0, _ = zoo.build("thermal_only", dtype=jnp.float32,
+                        token_merge=(2, 5))            # r = 0
+    m_r0p, _ = zoo.build("thermal_only", dtype=jnp.float32,
+                         token_merge=(2, 5), tome_prop_attn=True)
+    np.testing.assert_array_equal(
+        np.asarray(m_r0.apply(sv, x, train=False)),
+        np.asarray(m_r0p.apply(sv, x, train=False)))
+
+    m_p, _ = zoo.build("thermal_only", dtype=jnp.float32,
+                       token_merge=(2, 3), tome_prop_attn=True)
+    m_np, _ = zoo.build("thermal_only", dtype=jnp.float32,
+                        token_merge=(2, 3))
+    o_p = m_p.apply(sv, x, train=False)
+    o_np = m_np.apply(sv, x, train=False)
+    assert float(jnp.max(jnp.abs(o_p - o_np))) > 1e-4
+
+    m_pf, _ = zoo.build("thermal_only", dtype=jnp.float32,
+                        block_impl="fused_interpret",
+                        token_merge=(2, 3), tome_prop_attn=True)
+    np.testing.assert_allclose(np.asarray(m_pf.apply(sv, x, train=False)),
+                               np.asarray(o_p), rtol=2e-3, atol=2e-3)
+
+
+def test_tome_for_serving_prop_attn(vit_vars):
+    """The serving rebuild threads prop_attn through to the model."""
+    from dfu_multimodal_tpu.serve.engine import tome_for_serving
+    from dfu_multimodal_tpu.train.engine import Trainer
+
+    cfg = config.TrainConfig(batch_size=4, eval_batch_size=4,
+                             compute_dtype="float32")
+    mods = {"thermal": config.thermal_modality()}
+    trainer = Trainer("thermal_only", cfg, mods)
+    state = trainer.init_state(jax.random.PRNGKey(0), image_size=32)
+    t1, s1 = tome_for_serving(trainer, state, 2, 3, image_size=32,
+                              prop_attn=True)
+    assert t1.module.tome_prop_attn is True
+    t0, s0 = tome_for_serving(trainer, state, 2, 3, image_size=32)
+    assert t0.module.tome_prop_attn is False
