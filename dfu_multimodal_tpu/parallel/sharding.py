@@ -28,6 +28,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dfu_multimodal_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
+def put_global(value, sharding: NamedSharding):
+    """Place a HOST value onto a (possibly multi-process) mesh sharding.
+
+    Single-process: plain ``jax.device_put``.  Multi-process: the mesh
+    spans non-addressable devices, where ``device_put`` of a host value
+    raises — build the global array from each process's addressable
+    shards instead (``jax.make_array_from_callback``).  Correct because
+    every process holds the IDENTICAL host value (deterministic seeded
+    init / the same restored checkpoint), so slicing it locally yields
+    consistent global contents.
+    """
+    if jax.process_count() > 1:
+        v = np.asarray(value)
+        return jax.make_array_from_callback(v.shape, sharding,
+                                            lambda idx: v[idx])
+    return jax.device_put(value, sharding)
+
+
 # (path regex, spec builder(ndim) -> PartitionSpec)
 # Paths are '/'-joined param paths like
 # 'params/ViT_0/encoder/mlp_fc1/kernel' (leading depth axis when scanned).
@@ -71,24 +89,34 @@ def tp_param_specs(variables: Dict, rules=None) -> Dict:
     return traverse_util.unflatten_dict(specs)
 
 
-def shard_variables(variables: Dict, mesh: Mesh, rules=None) -> Dict:
-    """device_put every param with its TP sharding (replicated over
-    ``data``). Divisibility guard: a dim not divisible by the model-axis
-    size falls back to replication."""
+def tp_shardings(variables: Dict, mesh: Mesh, rules=None) -> Dict:
+    """NamedSharding pytree for the TP layout (replicated over ``data``),
+    with the divisibility guard applied: a dim not divisible by the
+    model-axis size falls back to replication.  Works on shape-carrying
+    leaves (arrays or ShapeDtypeStructs), so it can also serve as a jit
+    ``out_shardings`` tree."""
     model_size = mesh.shape[MODEL_AXIS]
     specs = tp_param_specs(variables, rules)
 
-    def place(value, spec):
+    def guard(value, spec):
+        shape = getattr(value, "shape", ())
         for axis_idx, name in enumerate(spec):
-            if name == MODEL_AXIS and np.shape(value)[axis_idx] % model_size:
+            if name == MODEL_AXIS and shape[axis_idx] % model_size:
                 spec = P()
                 break
-        return jax.device_put(value, NamedSharding(mesh, spec))
+        return NamedSharding(mesh, spec)
 
     flat_v = traverse_util.flatten_dict(variables)
     flat_s = traverse_util.flatten_dict(specs)
-    placed = {k: place(v, flat_s[k]) for k, v in flat_v.items()}
-    return traverse_util.unflatten_dict(placed)
+    return traverse_util.unflatten_dict(
+        {k: guard(v, flat_s[k]) for k, v in flat_v.items()})
+
+
+def shard_variables(variables: Dict, mesh: Mesh, rules=None) -> Dict:
+    """Place every param with its TP sharding (multi-process safe via
+    :func:`put_global`)."""
+    return jax.tree.map(put_global, variables,
+                        tp_shardings(variables, mesh, rules))
 
 
 # ---------------------------------------------------------------- FSDP
@@ -110,9 +138,12 @@ def fsdp_param_specs(variables: Dict, mesh: Mesh,
     flat = traverse_util.flatten_dict(variables)
     specs = {}
     for path, value in flat.items():
-        shape = np.shape(value)
+        # .shape-attr access (not np.shape): the tree may carry
+        # ShapeDtypeStructs when building a jit out_shardings tree
+        shape = tuple(getattr(value, "shape", ()) or ())
+        size = int(np.prod(shape)) if shape else 1
         spec = P()
-        if data > 1 and np.size(value) >= min_size:
+        if data > 1 and size >= min_size:
             divisible = [i for i, d in enumerate(shape) if d and d % data == 0]
             if divisible:
                 axis = max(divisible, key=lambda i: shape[i])
@@ -123,13 +154,17 @@ def fsdp_param_specs(variables: Dict, mesh: Mesh,
     return traverse_util.unflatten_dict(specs)
 
 
+def fsdp_shardings(variables: Dict, mesh: Mesh,
+                   min_size: int = 1024) -> Dict:
+    """NamedSharding pytree of :func:`fsdp_param_specs`."""
+    return jax.tree.map(lambda s: NamedSharding(mesh, s),
+                        fsdp_param_specs(variables, mesh, min_size),
+                        is_leaf=lambda s: isinstance(s, P))
+
+
 def fsdp_shard_variables(variables: Dict, mesh: Mesh,
                          min_size: int = 1024) -> Dict:
-    """device_put every param with its FSDP sharding (see
-    :func:`fsdp_param_specs`)."""
-    specs = traverse_util.flatten_dict(
-        fsdp_param_specs(variables, mesh, min_size))
-    flat = traverse_util.flatten_dict(variables)
-    placed = {k: jax.device_put(v, NamedSharding(mesh, specs[k]))
-              for k, v in flat.items()}
-    return traverse_util.unflatten_dict(placed)
+    """Place every param with its FSDP sharding (multi-process safe via
+    :func:`put_global`)."""
+    return jax.tree.map(put_global, variables,
+                        fsdp_shardings(variables, mesh, min_size))

@@ -284,32 +284,36 @@ class Trainer:
 
     # ------------------------------------------------------------- state
 
-    def _place_params(self, params: Dict) -> Dict:
-        """Apply this trainer's param placement: FSDP shards over ``data``,
-        TP shards over ``model``; otherwise replicate."""
-        from dfu_multimodal_tpu.parallel.sharding import (
-            fsdp_shard_variables, shard_variables)
+    def _param_shardings(self, params: Dict) -> Dict:
+        """NamedSharding tree for this trainer's param placement: FSDP
+        shards over ``data``, TP over ``model``; otherwise replicated.
+        Leaves may be arrays OR ShapeDtypeStructs (jit out_shardings)."""
+        from dfu_multimodal_tpu.parallel.sharding import (fsdp_shardings,
+                                                          tp_shardings)
         if self.fsdp:
-            return fsdp_shard_variables(params, self.mesh)
+            return fsdp_shardings(params, self.mesh)
         if self.mesh.shape[mesh_mod.MODEL_AXIS] > 1:
-            return shard_variables(params, self.mesh)
-        return jax.device_put(params, self.replicated)
+            return tp_shardings(params, self.mesh)
+        return jax.tree.map(lambda _: self.replicated, params)
 
-    def _place_opt_state(self, opt_state, params: Dict):
-        """Place an optimizer state on the mesh: the mu/nu sub-trees are
-        structurally identical to ``params`` and get the params'
-        FSDP/TP placement (the specs are derived from leaf paths/shapes,
-        which match); everything else (step counts, empty states)
-        replicates.  Needed explicitly because ``jit(tx.init)`` constant-
-        folds the zeros_like and XLA then parks the whole optimizer
-        state on ONE device — full-model-size on that chip, silently
-        voiding the ZeRO-3 memory contract."""
+    def _place_params(self, params: Dict) -> Dict:
+        """Apply this trainer's param placement (multi-process safe:
+        parallel.sharding.put_global builds global arrays from each
+        process's addressable shards when the mesh spans hosts)."""
+        from dfu_multimodal_tpu.parallel.sharding import put_global
+        return jax.tree.map(put_global, params,
+                            self._param_shardings(params))
+
+    def _opt_tree_map(self, params: Dict, opt_tree, param_fn, other_fn):
+        """Walk an optimizer-state-shaped tree: sub-trees structurally
+        identical to ``params`` (mu/nu) map through ``param_fn``; every
+        other leaf (step counts, empty states) through ``other_fn``."""
         pstruct = jax.tree_util.tree_structure(params)
 
         def rec(node):
             if isinstance(node, dict):
                 if jax.tree_util.tree_structure(node) == pstruct:
-                    return self._place_params(node)
+                    return param_fn(node)
                 return {k: rec(v) for k, v in node.items()}
             if isinstance(node, tuple):        # incl. optax NamedTuples
                 children = [rec(c) for c in node]
@@ -317,9 +321,34 @@ class Trainer:
                         else tuple(children))
             if isinstance(node, list):
                 return [rec(c) for c in node]
-            return jax.device_put(node, self.replicated)
+            return other_fn(node)
 
-        return rec(opt_state)
+        return rec(opt_tree)
+
+    def _place_opt_state(self, opt_state, params: Dict):
+        """Place a LIVE optimizer state (host/device leaves) on the mesh:
+        mu/nu get the params' FSDP/TP placement, everything else
+        replicates.  Needed explicitly because ``jit(tx.init)`` constant-
+        folds the zeros_like and XLA then parks the whole optimizer
+        state on ONE device — full-model-size on that chip, silently
+        voiding the ZeRO-3 memory contract (fresh init avoids this via
+        :meth:`_init_opt_state_sharded`; this method re-places restored
+        checkpoints)."""
+        from dfu_multimodal_tpu.parallel.sharding import put_global
+        return self._opt_tree_map(
+            params, opt_state, self._place_params,
+            lambda node: put_global(node, self.replicated))
+
+    def _init_opt_state_sharded(self, params: Dict):
+        """Fresh optimizer state with the correct sharded placement, via
+        jit ``out_shardings`` — the zeros are CREATED sharded (works on
+        multi-process meshes too, where re-placing a constant-folded
+        single-device result would not)."""
+        shardings = self._opt_tree_map(
+            params, jax.eval_shape(self.tx.init, params),
+            lambda node: self._param_shardings(node),
+            lambda node: self.replicated)
+        return jax.jit(self.tx.init, out_shardings=shardings)(params)
 
     def init_state(self, rng: jax.Array, image_size: int = 224) -> TrainState:
         variables = zoo.init_model(self.module, self.spec, rng, image_size)
@@ -339,18 +368,20 @@ class Trainer:
         if self.mesh.shape[mesh_mod.MODEL_AXIS] > 1 or self.fsdp:
             # Sharded params: Megatron-style TP over ``model``, or ZeRO-3
             # FSDP over ``data``.  The optimizer state gets the params'
-            # placement EXPLICITLY — jit(tx.init) does NOT inherit it
-            # (zeros_like constant-folds; XLA parks the result on one
-            # device, see _place_opt_state).
+            # placement EXPLICITLY via jit out_shardings — a plain
+            # jit(tx.init) does NOT inherit it (zeros_like constant-
+            # folds; XLA parks the result on one device).  put_global
+            # placements make all of this multi-process safe (each host
+            # contributes its addressable shards).
+            from dfu_multimodal_tpu.parallel.sharding import put_global
             params = self._place_params(params)
-            batch_stats = jax.device_put(batch_stats, self.replicated)
+            batch_stats = jax.tree.map(
+                lambda v: put_global(v, self.replicated), batch_stats)
             ema = ema_copy(params) if use_ema else None
             return TrainState(
-                step=jax.device_put(jnp.zeros((), jnp.int32),
-                                    self.replicated),
+                step=put_global(jnp.zeros((), jnp.int32), self.replicated),
                 params=params, batch_stats=batch_stats,
-                opt_state=self._place_opt_state(
-                    jax.jit(self.tx.init)(params), params),
+                opt_state=self._init_opt_state_sharded(params),
                 ema_params=ema)
 
         state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
@@ -776,18 +807,34 @@ class Trainer:
         use_ema = float(getattr(cfg, "ema_decay", 0.0)) > 0.0
         patience = int(getattr(cfg, "early_stop_patience", 0))
         best_seen, epochs_since_best = -1.0, 0
-        saver = (ckpt_mod.AsyncCheckpointer()
-                 if getattr(cfg, "async_checkpoint", False) else None)
-        save_fn = saver.save if saver is not None else ckpt_mod.save_checkpoint
+        multihost = jax.process_count() > 1
+        use_async = getattr(cfg, "async_checkpoint", False) and not multihost
+        if getattr(cfg, "async_checkpoint", False) and multihost:
+            # the async saver's background fetch would run the multi-host
+            # shard-gather collective on an unsynchronized daemon thread
+            log("async checkpointing is single-process only; saving "
+                "synchronously")
+        saver = ckpt_mod.AsyncCheckpointer() if use_async else None
+        base_save = (saver.save if saver is not None
+                     else ckpt_mod.save_checkpoint)
         # Multi-host: every process runs the identical loop (the sharded
         # arrays are global), but exactly ONE process may touch shared
         # files — two writers racing unlink+write on the same
         # best_model.msgpack can interleave to a truncated checkpoint,
         # and the metrics JSONL would carry duplicate epoch lines.
+        # Non-writer processes still CALL saves, with write=False: the
+        # device->host fetch must gather non-addressable shards (FSDP/TP
+        # over a multi-process mesh) with a collective every process
+        # joins (utils/checkpoint.py::_to_numpy) — the save DECISION is
+        # identical on all processes (same global metrics), so the
+        # collective order matches.
         is_writer = jax.process_index() == 0
+        save_fn = (base_save if is_writer
+                   else partial(base_save, write=False))
         if not is_writer:
             metrics_jsonl = None
-            checkpoint_dir = None
+            if not multihost:
+                checkpoint_dir = None
 
         meter = ThroughputMeter(n_chips=self.mesh.size)
         for epoch in range(start_epoch, cfg.num_epochs + 1):
@@ -851,7 +898,8 @@ class Trainer:
                                    if use_ema else {})},
                     extra_state=({"raw_params": state.params}
                                  if use_ema else None))
-                log(f"  Saved BEST model (Val F1: {val_m.f1:.4f})")
+                if is_writer:
+                    log(f"  Saved BEST model (Val F1: {val_m.f1:.4f})")
 
             if checkpoint_dir is not None and getattr(cfg, "save_last",
                                                       False):

@@ -34,21 +34,38 @@ def _names(basename: str) -> Tuple[str, str]:
 
 
 def _to_numpy(tree: Any) -> Any:
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+    """Fetch a state tree to host numpy.  Multi-host sharded arrays
+    (FSDP/TP over a multi-process mesh) are not fully addressable, so
+    ``np.asarray`` alone would raise — gather them first.  The gather is
+    a COLLECTIVE: every process must reach this call (the engine keeps
+    non-writer processes participating with ``write=False`` saves)."""
+    def fetch(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+            return np.asarray(
+                multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
+    return jax.tree.map(fetch, tree)
 
 
 def save_checkpoint(directory: Path, *, epoch: int, model_state: Dict,
                     opt_state: Any, val_f1: float, history: Dict,
                     extra_meta: Optional[Dict] = None,
                     extra_state: Optional[Dict] = None,
-                    basename: str = "best_model") -> Path:
+                    basename: str = "best_model",
+                    write: bool = True) -> Optional[Path]:
     """Write the best-model checkpoint, replacing any previous one.
 
     ``extra_state`` adds top-level payload trees (e.g. the EMA trainer's
     ``raw_params`` for exact mid-train resume); absent keys simply aren't
-    in the payload, keeping old checkpoints loadable."""
-    directory = Path(directory)
-    directory.mkdir(parents=True, exist_ok=True)
+    in the payload, keeping old checkpoints loadable.
+
+    ``write=False`` performs only the device->host fetch (whose shard
+    gather is a collective on multi-host meshes) and skips all file IO —
+    non-writer processes of a multi-host run call it this way so the
+    collective stays synchronized while exactly one process touches the
+    shared filesystem."""
     # to_state_dict converts optax namedtuple chains into plain nested
     # dicts that msgpack can serialize.
     payload = {
@@ -57,6 +74,10 @@ def save_checkpoint(directory: Path, *, epoch: int, model_state: Dict,
     }
     for key, tree in (extra_state or {}).items():
         payload[key] = serialization.to_state_dict(_to_numpy(tree))
+    if not write:
+        return None
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
     ckpt_name, meta_name = _names(basename)
     path = directory / ckpt_name
     # atomic replace: these are multi-hundred-MB writes (262 s over the
@@ -212,9 +233,20 @@ class AsyncCheckpointer:
              opt_state: Any, val_f1: float, history: Dict,
              extra_meta: Optional[Dict] = None,
              extra_state: Optional[Dict] = None,
-             basename: str = "best_model") -> None:
+             basename: str = "best_model", write: bool = True) -> None:
         import copy
         import threading
+
+        import jax as _jax
+        if _jax.process_count() > 1:
+            # the background fetch would run the multi-host shard-gather
+            # collective on an unsynchronized daemon thread — refuse
+            # rather than risk a cross-process collective mismatch (the
+            # engine already falls back to synchronous saves here)
+            raise RuntimeError(
+                "async checkpointing is single-process only: the "
+                "device->host fetch is a collective on multi-host "
+                "meshes. Use synchronous save_checkpoint.")
 
         self.wait()
         snap_model, snap_opt = self._snapshot_device(

@@ -98,3 +98,76 @@ state = trainer.init_state(jax.random.PRNGKey(0), image_size=32)
 state, em = trainer.run_train_epoch(state, ds, np.random.default_rng(7),
                                     jax.random.PRNGKey(3))
 print(f"MULTIHOST_TRAIN_OK {em.loss:.6f}", flush=True)
+
+# ---------------------------------------------------------------------------
+# Stage 3: multi-host FSDP (round-4 VERDICT #4 — previously "not wired").
+# ZeRO-3 param+opt sharding over the SAME 2-process x 4-device mesh:
+# - init builds params/opt-state as global sharded arrays from per-process
+#   addressable shards (parallel.sharding.put_global; opt state created
+#   sharded via jit out_shardings);
+# - one identical train epoch must reproduce the plain-DP loss (FSDP is a
+#   placement, never different math);
+# - each process must hold only its 1/2 of every sharded leaf (the ZeRO
+#   memory contract across hosts);
+# - the write-gated checkpoint save gathers shards collectively on BOTH
+#   processes while only process 0 writes.
+# ---------------------------------------------------------------------------
+import tempfile  # noqa: E402
+
+from dfu_multimodal_tpu.parallel.sharding import fsdp_param_specs  # noqa: E402
+from dfu_multimodal_tpu.utils import checkpoint as ckpt_mod  # noqa: E402
+
+fsdp_cfg = config.TrainConfig(
+    batch_size=8, compute_dtype="float32", seed=0,
+    mesh=config.MeshConfig(data=8, model=1, fsdp=True))
+ftrainer = Trainer("thermal_only", fsdp_cfg,
+                   {"thermal": config.thermal_modality()},
+                   attention_impl="xla")
+fstate = ftrainer.init_state(jax.random.PRNGKey(0), image_size=32)
+
+# ZeRO contract: every FSDP-sharded leaf keeps only 1/nproc of its
+# elements on this process (4 of 8 devices x 1/8 each); aggregate local
+# fraction of the param tree must therefore sit well under replication.
+specs = fsdp_param_specs(fstate.params, ftrainer.mesh)
+import jax.tree_util as jtu  # noqa: E402
+flat_p = jtu.tree_leaves_with_path(fstate.params)
+flat_s = {k: v for k, v in jtu.tree_leaves_with_path(
+    specs, is_leaf=lambda s: getattr(s, "__class__", None).__name__
+    == "PartitionSpec")}
+local_elems = total_elems = 0
+for path, leaf in flat_p:
+    local = sum(s.data.size for s in leaf.addressable_shards)
+    total_elems += leaf.size
+    local_elems += local
+    if any(ax is not None for ax in flat_s[path]):
+        assert local * nproc == leaf.size, (
+            jtu.keystr(path), local, leaf.size)
+frac = local_elems / total_elems
+assert frac < 0.6, frac        # replicated-everywhere would be 4.0
+
+# opt-state mu/nu must carry the same sharded placement (the jit
+# out_shardings init — a constant-folded init would park them one-device):
+# check the LARGEST mu leaf (small leaves replicate by design)
+mu = fstate.opt_state[0].mu if hasattr(fstate.opt_state[0], "mu") else None
+if mu is not None:
+    big = max(jax.tree.leaves(mu), key=lambda a: a.size)
+    mu_local = sum(s.data.size for s in big.addressable_shards)
+    assert mu_local * nproc == big.size, (mu_local, big.size)
+
+fstate, fem = ftrainer.run_train_epoch(fstate, ds,
+                                       np.random.default_rng(7),
+                                       jax.random.PRNGKey(3))
+print(f"MULTIHOST_FSDP_OK {fem.loss:.6f} frac={frac:.3f}", flush=True)
+
+# Write-gated collective checkpoint: both processes fetch (the shard
+# gather inside _to_numpy is a collective), only rank 0 writes.
+ckpt_dir = os.path.join(tempfile.gettempdir(), f"dfu_mh_ckpt_{port}")
+ckpt_mod.save_checkpoint(
+    ckpt_dir, epoch=1, model_state=ftrainer.variables(fstate),
+    opt_state=fstate.opt_state, val_f1=0.5, history={},
+    write=(rank == 0))
+if rank == 0:
+    payload, meta = ckpt_mod.load_checkpoint(ckpt_dir)
+    pe = payload["model_state"]["params"]["ViT_0"]["patch_embed"]["kernel"]
+    assert pe.shape == (768, 768), pe.shape       # FULL gathered shape
+    print("MULTIHOST_CKPT_OK", flush=True)

@@ -333,6 +333,21 @@ def test_multiprocess_execution_two_hosts():
     assert len(losses) == 2, outs
     assert losses[0] == losses[1], outs
 
+    # Stage 3 (round 4): multi-host FSDP — both ranks ran a ZeRO-3
+    # epoch on the same data.  Its loss must match the DP epoch (FSDP is
+    # placement, not different math), each rank held only its half of
+    # the sharded leaves (frac printed by the worker, asserted there),
+    # and the write-gated collective checkpoint round-tripped on rank 0.
+    fsdp_lines = [line.split()[1:] for out in outs
+                  for line in out.splitlines()
+                  if line.startswith("MULTIHOST_FSDP_OK")]
+    assert len(fsdp_lines) == 2, outs
+    assert fsdp_lines[0][0] == fsdp_lines[1][0], fsdp_lines
+    assert float(fsdp_lines[0][0]) == pytest.approx(float(losses[0]),
+                                                    rel=2e-4), (
+        fsdp_lines, losses)
+    assert any("MULTIHOST_CKPT_OK" in out for out in outs), outs
+
     import jax.numpy  # noqa: F401  (jax already imported at module scope)
     from dfu_multimodal_tpu import config
     from dfu_multimodal_tpu.data.loader import ArrayDataset
