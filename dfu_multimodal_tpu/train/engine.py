@@ -279,6 +279,19 @@ class Trainer:
                               weight_decay=cfg.weight_decay,
                               mu_dtype=jnp.dtype(getattr(
                                   cfg, "optimizer_mu_dtype", "bfloat16")))
+        if getattr(cfg, "flat_opt_state", False):
+            if self.fsdp or self.mesh.shape[mesh_mod.MODEL_AXIS] > 1:
+                # a single concatenated mu/nu vector defeats the
+                # per-leaf FSDP/TP placement rules — the flat state
+                # would silently replicate full-model-size per device
+                raise ValueError(
+                    "flat_opt_state is incompatible with fsdp/tensor "
+                    "parallelism (per-leaf sharding rules cannot apply "
+                    "to the flattened vector)")
+            # mu/nu become one vector each (~4 leaves instead of ~3.2k):
+            # probe for per-buffer donated-state dispatch overhead
+            # (docs/DESIGN.md round-4 study)
+            self.tx = optax.flatten(self.tx)
         self._train_step = None
         self._eval_step = None
 
