@@ -154,14 +154,6 @@ class TrainConfig:
     # Peak activation memory drops ~grad_accum×; BatchNorm models update
     # running stats once per microbatch (standard accumulation semantics).
     grad_accum: int = 1
-    # Flatten the optimizer state (optax.flatten around AdamW): mu/nu
-    # live as ONE concatenated vector each instead of ~1.6k per-param
-    # leaves.  Probe for the rgb_only step's measured ~1.7 ms of
-    # µs-scale donated-buffer handoff events (docs/DESIGN.md round-4
-    # study — check there for the measured outcome before enabling).
-    # Incompatible with fsdp/TP (the flat vector defeats per-leaf
-    # sharding) and changes the checkpoint's opt_state layout.
-    flat_opt_state: bool = False
     # Quantization-aware training (train/qat.py): compute the loss through
     # ViT encoder kernels AND ResNet stage convs snapped to their int8
     # serving grids (straight-through estimator), so the int8 conversion

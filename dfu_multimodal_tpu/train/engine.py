@@ -279,19 +279,12 @@ class Trainer:
                               weight_decay=cfg.weight_decay,
                               mu_dtype=jnp.dtype(getattr(
                                   cfg, "optimizer_mu_dtype", "bfloat16")))
-        if getattr(cfg, "flat_opt_state", False):
-            if self.fsdp or self.mesh.shape[mesh_mod.MODEL_AXIS] > 1:
-                # a single concatenated mu/nu vector defeats the
-                # per-leaf FSDP/TP placement rules — the flat state
-                # would silently replicate full-model-size per device
-                raise ValueError(
-                    "flat_opt_state is incompatible with fsdp/tensor "
-                    "parallelism (per-leaf sharding rules cannot apply "
-                    "to the flattened vector)")
-            # mu/nu become one vector each (~4 leaves instead of ~3.2k):
-            # probe for per-buffer donated-state dispatch overhead
-            # (docs/DESIGN.md round-4 study)
-            self.tx = optax.flatten(self.tx)
+        # NOTE: do NOT wrap self.tx in optax.flatten to attack the rgb
+        # step's ~1.7 ms of per-buffer dispatch copies — built and
+        # measured in round 4 at −59.8% (13.5 → 33.5 ms/step b32): the
+        # ravel/unravel of the ~100 MB param/grad/update trees costs far
+        # more HBM traffic than the µs-copies it removes (docs/DESIGN.md
+        # "Donated-state handoff study").
         self._train_step = None
         self._eval_step = None
 
