@@ -352,13 +352,15 @@ def _augment_one(key: jax.Array, image: jnp.ndarray, cfg: AugmentConfig,
 
 
 @partial(jax.jit, static_argnames=("modality", "dtype", "warp_impl"))
-def augment_and_normalize(key: jax.Array, images: jnp.ndarray,
-                          modality: ModalityConfig,
-                          dtype=jnp.float32,
-                          warp_impl: str = "auto") -> jnp.ndarray:
-    """Train-time transform: per-sample random augment + normalize.
-    ``images``: uint8 (B, H, W, C) -> normalized (B, H, W, C) ``dtype``."""
-    keys = jax.random.split(key, images.shape[0])
+def augment_and_normalize_keys(keys: jax.Array, images: jnp.ndarray,
+                               modality: ModalityConfig,
+                               dtype=jnp.float32,
+                               warp_impl: str = "auto") -> jnp.ndarray:
+    """Like :func:`augment_and_normalize` but with the per-row keys
+    (B, 2) provided by the caller — the shard_map train step passes each
+    shard its slice of the GLOBAL ``jax.random.split(key, B_global)``
+    stream, so per-device augmentation is bit-identical to the
+    single-program path (train/engine.py)."""
     work = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
     warp = resolve_warp(warp_impl, modality.augment)
     fill = (tuple(255.0 * m for m in modality.mean)
@@ -367,6 +369,17 @@ def augment_and_normalize(key: jax.Array, images: jnp.ndarray,
         lambda k, im: _augment_one(k, im, modality.augment, work, warp,
                                    fill))(keys, images)
     return normalize(out, modality.mean, modality.std, dtype)
+
+
+def augment_and_normalize(key: jax.Array, images: jnp.ndarray,
+                          modality: ModalityConfig,
+                          dtype=jnp.float32,
+                          warp_impl: str = "auto") -> jnp.ndarray:
+    """Train-time transform: per-sample random augment + normalize.
+    ``images``: uint8 (B, H, W, C) -> normalized (B, H, W, C) ``dtype``."""
+    return augment_and_normalize_keys(
+        jax.random.split(key, images.shape[0]), images, modality, dtype,
+        warp_impl)
 
 
 @partial(jax.jit, static_argnames=("modality", "dtype"))

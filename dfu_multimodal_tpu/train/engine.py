@@ -424,22 +424,40 @@ class Trainer:
             return jnp.asarray(self.class_weights)[labels] * valid
         return valid
 
-    def build_train_step(self, jit: bool = True) -> Callable:
-        if self.mesh.size > 1:
-            # The eval/serving step keeps Mosaic kernels on multi-device
-            # meshes by running under shard_map; the train step does not
-            # (grads/BN/metrics would need hand-written collectives per
-            # model family) — reject mosaic impls with a readable error
-            # instead of the raw "cannot be automatically partitioned".
-            bi = str(getattr(self.module, "block_impl", "auto"))
+    def build_train_step(self, jit: bool = True,
+                         force_shard_map: bool = False) -> Callable:
+        accum_n = max(1, int(getattr(self.cfg, "grad_accum", 1)))
+        mix = float(getattr(self.cfg, "mixup_alpha", 0.0)) > 0.0
+        # Fused kernels under SPMD, train side: the BN-free thermal model
+        # (pure ViT — no cross-shard batch statistics) trains inside
+        # jax.shard_map on a pure-DP mesh, with the gradient/metric
+        # reductions as explicit psums (the same DP all-reduce XLA would
+        # insert) — so multi-chip DP training keeps the fused Pallas
+        # fwd+bwd kernels instead of falling back to the XLA blocks.
+        # grad-accum and mixup keep the jit path (the microbatch scan and
+        # the batch-global mix permutation are not worth hand-sharding).
+        bi = str(getattr(self.module, "block_impl", "auto"))
+        q8 = bi.startswith("fused_q8")     # serving-only (no VJP)
+        use_shmap = (self.spec.name == "thermal_only"
+                     and accum_n == 1 and not mix and not q8
+                     and ((self._pure_dp and self._eval_shard_map)
+                          or force_shard_map))
+        if self.mesh.size > 1 and not use_shmap:
+            # Outside the shard_map path, Mosaic kernels cannot survive
+            # a multi-device jit — reject mosaic impls with a readable
+            # error instead of the raw "cannot be automatically
+            # partitioned" (BN models need cross-shard stats; the int8
+            # kernels are serving-only; accum and mixup configurations
+            # keep the XLA path).
             ai = str(getattr(self.module, "attention_impl", "auto"))
             if bi in ("fused", "fused_q8", "fused_q8s") or ai == "pallas":
                 raise ValueError(
                     f"training with block_impl={bi!r}/attention_impl="
-                    f"{ai!r} needs a single-device mesh: the fused Pallas "
-                    "kernels run multi-device only in the shard_map-"
-                    "wrapped eval/serving step. Train with 'auto' (XLA "
-                    "impls on this mesh) or on one device.")
+                    f"{ai!r} on a {self.mesh.size}-device mesh is only "
+                    "supported for the shard_map path (thermal_only "
+                    "trainable impls, pure-DP, no grad-accum/mixup). "
+                    "Train with 'auto' (XLA impls on this mesh) or on "
+                    "one device.")
         module, spec, tx = self.module, self.spec, self.tx
         accum = max(1, int(getattr(self.cfg, "grad_accum", 1)))
         qat = bool(getattr(self.cfg, "qat", False))
@@ -583,6 +601,93 @@ class Trainer:
                                       ema_params=ema_update(state.ema_params,
                                                             new_params))
             return new_state, {"loss": loss, "counts": counts.sum(axis=0)}
+
+        if use_shmap:
+            import contextlib
+
+            from jax.sharding import PartitionSpec as P
+
+            from dfu_multimodal_tpu.data.transforms import (
+                augment_and_normalize_keys)
+            from dfu_multimodal_tpu.models import common as common_mod
+
+            d_axis = mesh_mod.DATA_AXIS
+            n_shards = self.mesh.shape[d_axis]
+            force = jax.devices()[0].platform == "tpu"
+
+            def preprocess_spmd(rng, batch):
+                """Per-shard augmentation drawing each row's key from the
+                GLOBAL ``split(key, B_global)`` stream (sliced by shard
+                position) — bit-identical augmentation to the
+                single-program path."""
+                idx = jax.lax.axis_index(d_axis)
+                bl = batch["label"].shape[0]
+                inputs = []
+                for i, m in enumerate(self.spec.inputs):
+                    key = jax.random.fold_in(rng, i)
+                    gkeys = jax.random.split(key, bl * n_shards)
+                    lkeys = jax.lax.dynamic_slice_in_dim(
+                        gkeys, idx * bl, bl)
+                    inputs.append(augment_and_normalize_keys(
+                        lkeys, batch[m], self.modalities[m],
+                        self.compute_dtype))
+                return tuple(inputs)
+
+            def train_step_spmd(state: TrainState,
+                                batch: Dict[str, jnp.ndarray],
+                                rng: jax.Array):
+                ctx = (common_mod.force_mosaic_kernels() if force
+                       else contextlib.nullcontext())
+                with ctx:
+                    aug_rng, drop_rng = jax.random.split(
+                        jax.random.fold_in(rng, state.step))
+                    inputs = preprocess_spmd(aug_rng, batch)
+                    labels, valid = batch["label"], batch["valid"]
+                    weights = self._sample_weights(labels, valid)
+                    # dropout masks are generated at the SHARD's batch
+                    # shape, so per-device streams must differ — the one
+                    # (documented) RNG divergence from the jit path
+                    drop_local = jax.random.fold_in(
+                        drop_rng, jax.lax.axis_index(d_axis))
+
+                    def loss_fn(params):
+                        logits, _ = apply_model(params, state.batch_stats,
+                                                inputs, drop_local)
+                        numer = jnp.sum(weights
+                                        * per_sample(logits, labels))
+                        return numer, logits
+
+                    (numer, logits), g = jax.value_and_grad(
+                        loss_fn, has_aux=True)(state.params)
+                # grads of the UNNORMALIZED weighted sum, psum'd, then
+                # divided by the global weight mass: exactly the
+                # jit path's ∇(Σw·ce / Σw) since Σw is param-independent
+                numer, den, g = jax.lax.psum(
+                    (numer, jnp.sum(weights), g), d_axis)
+                den = jnp.maximum(den, 1e-12)
+                grads = jax.tree.map(lambda x: x / den, g)
+                loss = numer / den
+                updates, new_opt = tx.update(grads, state.opt_state,
+                                             state.params)
+                new_params = optax.apply_updates(state.params, updates)
+                new_state = state.replace(
+                    step=state.step + 1, params=new_params,
+                    batch_stats=state.batch_stats, opt_state=new_opt,
+                    ema_params=ema_update(state.ema_params, new_params))
+                counts = jax.lax.psum(
+                    metrics_mod.confusion_counts(
+                        jnp.argmax(logits, axis=-1), labels, valid),
+                    d_axis)
+                return new_state, {"loss": loss, "counts": counts}
+
+            shmapped = jax.shard_map(
+                train_step_spmd, mesh=self.mesh,
+                in_specs=(P(), P(d_axis), P()),
+                out_specs=(P(), {"loss": P(), "counts": P()}),
+                check_vma=False)
+            if not jit:
+                return shmapped
+            return jax.jit(shmapped, donate_argnums=(0,))
 
         step = train_step_accum if accum > 1 else train_step
         if not jit:

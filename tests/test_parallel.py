@@ -374,9 +374,10 @@ def test_mosaic_impls_on_multidevice_mesh():
     """Mosaic (Pallas TPU) kernels can't be partitioned by automatic SPMD
     (jax tpu_custom_call raises under any multi-device jit). Round 4:
     explicit kernel requests on a pure-DP mesh are ACCEPTED — the eval/
-    serving step runs them inside shard_map (tests/test_spmd_fused.py) —
-    while the TRAIN step still rejects them with a readable error, and
-    param-sharded meshes (TP/FSDP) reject at construction."""
+    serving step runs them inside shard_map, and the BN-free thermal
+    TRAIN step does too (tests/test_spmd_fused.py) — while BN models
+    still reject for training and param-sharded meshes (TP/FSDP) reject
+    at construction."""
     from dfu_multimodal_tpu import config
     from dfu_multimodal_tpu.models.common import mosaic_kernels_ok
     from dfu_multimodal_tpu.train.engine import Trainer
@@ -389,8 +390,13 @@ def test_mosaic_impls_on_multidevice_mesh():
     for kw in ({"block_impl": "fused"}, {"attention_impl": "pallas"}):
         tr = Trainer("thermal_only", cfg, mods, **kw)
         assert tr._eval_shard_map            # serving path is wrapped
-        with pytest.raises(ValueError, match="single-device"):
-            tr.build_train_step()
+        assert tr.build_train_step() is not None   # shard_map train path
+    mm = Trainer("multimodal", cfg,
+                 {"rgb": config.rgb_modality(),
+                  "thermal": config.thermal_modality()},
+                 block_impl="fused")
+    with pytest.raises(ValueError, match="shard_map path"):
+        mm.build_train_step()                # ResNet BN: still rejected
     tp_cfg = config.TrainConfig(batch_size=8,
                                 mesh=config.MeshConfig(data=4, model=2))
     with pytest.raises(ValueError, match="partitioner"):

@@ -173,9 +173,11 @@ def test_tome_fused_spmd(rng):
 
 
 def test_train_step_rejects_mosaic_on_multidevice():
+    """int8 kernels are serving-only (no VJP): training with them stays
+    rejected even though the thermal shard_map train path exists."""
     mods = {"thermal": thermal_modality()}
     tr = Trainer("thermal_only", _cfg(), mods, block_impl="fused_q8")
-    with pytest.raises(ValueError, match="single-device"):
+    with pytest.raises(ValueError, match="shard_map path"):
         tr.build_train_step()
 
 
@@ -210,3 +212,89 @@ def test_serving_engine_over_shard_map_step(rng):
     np.testing.assert_allclose([p for p, _ in results],
                                [p for p, _ in ref], atol=1e-5)
     assert [c for _, c in results] == [c for _, c in ref]
+
+
+# --------------------------------------------------- train step under SPMD
+
+
+def _copy_state(state):
+    import jax.numpy as jnp
+    return jax.jit(lambda t: jax.tree.map(jnp.copy, t))(state)
+
+
+def test_spmd_train_step_reductions_bit_exact(rng):
+    """The shard_map train wrapper (flax impls forced through it) must be
+    BIT-EXACT vs the jit path: augmentation draws each row's key from the
+    global split-stream (sliced per shard), the unnormalized-grad psum ÷
+    global weight mass is the same arithmetic as ∇(Σw·ce/Σw), and the
+    optimizer update is replicated.  drop_rate=0 removes the one
+    documented RNG divergence (shard-shaped dropout masks)."""
+    from dfu_multimodal_tpu.config import TrainConfig
+
+    cfg = TrainConfig(batch_size=8, compute_dtype="float32", drop_rate=0.0)
+    mods = {"thermal": thermal_modality()}
+    tr = Trainer("thermal_only", cfg, mods,
+                 block_impl="flax", attention_impl="xla")
+    state0 = tr.init_state(jax.random.PRNGKey(0), image_size=32)
+    batch = jax.device_put(_thermal_batch(rng), tr.batch_sharding)
+    key = jax.random.PRNGKey(5)
+
+    s_jit, m_jit = tr.train_step(_copy_state(state0), batch, key)
+    s_shm, m_shm = tr.build_train_step(force_shard_map=True)(
+        _copy_state(state0), batch, key)
+    np.testing.assert_array_equal(np.asarray(m_jit["loss"]),
+                                  np.asarray(m_shm["loss"]))
+    np.testing.assert_array_equal(np.asarray(m_jit["counts"]),
+                                  np.asarray(m_shm["counts"]))
+    for a, b in zip(jax.tree.leaves(s_jit.params),
+                    jax.tree.leaves(s_shm.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_spmd_train_step_fused_matches_jit(rng):
+    """Fused (interpret) kernels inside the shard_map train step track
+    the flax jit step within the fused GELU-approximation budget, across
+    TWO optimizer steps (state threads through the wrapper)."""
+    from dfu_multimodal_tpu.config import TrainConfig
+
+    cfg = TrainConfig(batch_size=8, compute_dtype="float32", drop_rate=0.0)
+    mods = {"thermal": thermal_modality()}
+    tr_ref = Trainer("thermal_only", cfg, mods,
+                     block_impl="flax", attention_impl="xla")
+    tr_fused = Trainer("thermal_only", cfg, mods,
+                       block_impl="fused_interpret")
+    state0 = tr_ref.init_state(jax.random.PRNGKey(0), image_size=32)
+    batch = jax.device_put(_thermal_batch(rng), tr_ref.batch_sharding)
+
+    s_ref, s_fused = _copy_state(state0), _copy_state(state0)
+    for i in range(2):
+        key = jax.random.PRNGKey(11 + i)
+        s_ref, m_ref = tr_ref.train_step(s_ref, batch, key)
+        s_fused, m_fused = tr_fused.train_step(s_fused, batch, key)
+        np.testing.assert_allclose(np.asarray(m_fused["loss"]),
+                                   np.asarray(m_ref["loss"]), atol=3e-3)
+        np.testing.assert_array_equal(np.asarray(m_fused["counts"]),
+                                      np.asarray(m_ref["counts"]))
+    for a, b in zip(jax.tree.leaves(s_ref.params),
+                    jax.tree.leaves(s_fused.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3)
+
+
+def test_spmd_train_gate_conditions(rng):
+    """Configurations outside the wrapper's scope still reject mosaic
+    impls readably: grad-accum, mixup, and the BN-carrying multimodal."""
+    from dfu_multimodal_tpu.config import TrainConfig
+
+    mods = {"thermal": thermal_modality()}
+    for kw in ({"grad_accum": 2}, {"mixup_alpha": 0.2}):
+        cfg = TrainConfig(batch_size=8, compute_dtype="float32", **kw)
+        tr = Trainer("thermal_only", cfg, mods, block_impl="fused")
+        with pytest.raises(ValueError, match="shard_map path"):
+            tr.build_train_step()
+    mm = Trainer("multimodal",
+                 TrainConfig(batch_size=8, compute_dtype="float32"),
+                 {"rgb": rgb_modality(), "thermal": thermal_modality()},
+                 block_impl="fused")
+    with pytest.raises(ValueError, match="shard_map path"):
+        mm.build_train_step()
