@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="freeze the token-merge ViT serving path "
                              "(L full-token blocks, merge to K tokens; "
                              "see serve --token-merge; composes with --int8)")
+    parser.add_argument("--tome-prop-attn", action="store_true",
+                        help="with --token-merge: freeze the ToMe "
+                             "proportional-attention variant (log-size "
+                             "key bias; serve --tome-prop-attn)")
     parser.add_argument("--verify", action="store_true",
                         help="reload the bundle and check prob/pred parity "
                              "vs the live checkpoint forward")
@@ -90,6 +94,7 @@ def main(argv=None):
         max_batch=args.max_batch, buckets=buckets, platforms=platforms,
         extra_meta={"int8": bool(args.int8),
                     "token_merge": args.token_merge,
+                    "tome_prop_attn": bool(args.tome_prop_attn),
                     "checkpoint": str(args.checkpoint)})
     # carry the checkpoint's val-tuned deployment config (threshold /
     # temperature, extended_metrics --save-deployment) into the bundle —
