@@ -89,6 +89,9 @@ class MultimodalFusionClassifier(nn.Module):
     # ToMe proportional attention for the post-merge ViT blocks
     # (models/vit.py tome_prop_attn; opt-in)
     tome_prop_attn: bool = False
+    # cross-shard BN stats axis for the shard_map train path
+    # (models/resnet.py Bottleneck.bn_axis_name); None = jit path
+    bn_axis_name: Any = None
 
     @nn.compact
     def __call__(self, rgb: jnp.ndarray, thermal: jnp.ndarray, *,
@@ -98,7 +101,9 @@ class MultimodalFusionClassifier(nn.Module):
             rgb_feats = Int8ResNet50(dtype=self.dtype, name="rgb_branch")(
                 rgb, train=train, taps=taps)                   # (B, 2048)
         else:
-            rgb_feats = ResNet50(dtype=self.dtype, name="rgb_branch")(
+            rgb_feats = ResNet50(dtype=self.dtype,
+                                 bn_axis_name=self.bn_axis_name,
+                                 name="rgb_branch")(
                 rgb, train=train, taps=taps)                   # (B, 2048)
         thermal_feats = ViTBase16(self.dtype, self.attention_impl,
                                   self.block_impl,

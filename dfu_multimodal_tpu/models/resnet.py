@@ -37,6 +37,10 @@ class Bottleneck(nn.Module):
     stride: int = 1
     dtype: Any = jnp.float32
     calibrate: bool = False
+    # Cross-shard BatchNorm: when set (the shard_map train path binds it
+    # to the mesh's data axis), batch statistics pmean over the axis so
+    # per-device programs reproduce the global-batch BN of the jit path.
+    bn_axis_name: Any = None
 
     def _cal(self, name: str, x: jnp.ndarray) -> None:
         if self.calibrate:
@@ -49,7 +53,8 @@ class Bottleneck(nn.Module):
                        param_dtype=jnp.float32)
         norm = partial(nn.BatchNorm, use_running_average=not train,
                        momentum=0.9, epsilon=1e-5, dtype=self.dtype,
-                       param_dtype=jnp.float32)
+                       param_dtype=jnp.float32,
+                       axis_name=self.bn_axis_name)
 
         residual = x
         self._cal("conv1_in", x)
@@ -89,6 +94,7 @@ class BasicBlock(nn.Module):
     stride: int = 1
     dtype: Any = jnp.float32
     calibrate: bool = False
+    bn_axis_name: Any = None      # see Bottleneck
 
     def _cal(self, name: str, x: jnp.ndarray) -> None:
         if self.calibrate:
@@ -100,7 +106,8 @@ class BasicBlock(nn.Module):
         dtype = canonical_dtype(self.dtype)
         bn = partial(nn.BatchNorm, use_running_average=not train,
                      momentum=0.9, epsilon=1e-5, dtype=dtype,
-                     param_dtype=jnp.float32)
+                     param_dtype=jnp.float32,
+                     axis_name=self.bn_axis_name)
         conv = partial(nn.Conv, use_bias=False, dtype=dtype,
                        param_dtype=jnp.float32)
         shortcut = x
@@ -228,6 +235,9 @@ class ResNet(nn.Module):
     # "bottleneck" (ResNet-50 family, 4x expansion) or "basic"
     # (ResNet-18/34, 1x) — the distillation student uses "basic"
     block_type: str = "bottleneck"
+    # cross-shard BN stats axis for the shard_map train path (see
+    # Bottleneck.bn_axis_name); None = per-program stats (jit path)
+    bn_axis_name: Any = None
 
     def _use_fused(self, train: bool) -> bool:
         if train:
@@ -245,7 +255,7 @@ class ResNet(nn.Module):
                     name="stem_conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=dtype, param_dtype=jnp.float32,
-                         name="stem_bn")(x)
+                         axis_name=self.bn_axis_name, name="stem_bn")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -259,6 +269,7 @@ class ResNet(nn.Module):
                 if self.block_type == "basic":
                     x = BasicBlock(width, stride, dtype=dtype,
                                    calibrate=self.calibrate,
+                                   bn_axis_name=self.bn_axis_name,
                                    name=name)(x, train=train)
                 elif fused and stride == 1:
                     x = FusedBottleneck(width, dtype=dtype,
@@ -267,6 +278,7 @@ class ResNet(nn.Module):
                 else:
                     x = Bottleneck(width, stride, dtype=dtype,
                                    calibrate=self.calibrate,
+                                   bn_axis_name=self.bn_axis_name,
                                    name=name)(x, train=train)
             x = tap(self, f"stage{stage_idx}", x, taps)
 

@@ -262,6 +262,17 @@ class Trainer:
             kwargs["tome_prop_attn"] = bool(tome_prop_attn)
         if spec_probe.name == "multimodal":
             kwargs["rgb_impl"] = rgb_impl
+            if (self._eval_shard_map
+                    and int(getattr(cfg, "grad_accum", 1)) <= 1
+                    and float(getattr(cfg, "mixup_alpha", 0.0)) == 0.0):
+                # Cross-shard BatchNorm for the shard_map train path:
+                # batch stats pmean over ``data`` inside the per-device
+                # programs, reproducing the jit path's global-batch BN
+                # (models/resnet.py).  Only set when the shard_map step
+                # will actually be built — under a plain multi-device
+                # jit the axis would be unbound (grad-accum/mixup keep
+                # that path, so they gate the binding here).
+                kwargs["bn_axis_name"] = mesh_mod.DATA_AXIS
         elif (spec_probe.name in ("rgb_only", "resnet18_rgb",
                                   "resnet18_thermal")
               and rgb_impl == "int8"):
@@ -438,7 +449,13 @@ class Trainer:
         # the batch-global mix permutation are not worth hand-sharding).
         bi = str(getattr(self.module, "block_impl", "auto"))
         q8 = bi.startswith("fused_q8")     # serving-only (no VJP)
-        use_shmap = (self.spec.name == "thermal_only"
+        # BN models qualify only with cross-shard stats wired
+        # (models/resnet.py bn_axis_name — multimodal sets it in
+        # __init__ when this path will be built)
+        bn_ok = (self.spec.name == "multimodal"
+                 and getattr(self.module, "bn_axis_name", None)
+                 == mesh_mod.DATA_AXIS)
+        use_shmap = ((self.spec.name == "thermal_only" or bn_ok)
                      and accum_n == 1 and not mix and not q8
                      and ((self._pure_dp and self._eval_shard_map)
                           or force_shard_map))
@@ -651,13 +668,17 @@ class Trainer:
                         drop_rng, jax.lax.axis_index(d_axis))
 
                     def loss_fn(params):
-                        logits, _ = apply_model(params, state.batch_stats,
-                                                inputs, drop_local)
+                        logits, new_bs = apply_model(
+                            params, state.batch_stats, inputs, drop_local)
                         numer = jnp.sum(weights
                                         * per_sample(logits, labels))
-                        return numer, logits
+                        return numer, (logits, new_bs)
 
-                    (numer, logits), g = jax.value_and_grad(
+                    # new_bs: with bn_axis_name bound, the BN batch stats
+                    # pmean over the data axis inside apply, so the
+                    # updated running stats are identical on every shard
+                    # (replicated state stays consistent)
+                    (numer, (logits, new_bs)), g = jax.value_and_grad(
                         loss_fn, has_aux=True)(state.params)
                 # grads of the UNNORMALIZED weighted sum, psum'd, then
                 # divided by the global weight mass: exactly the
@@ -672,7 +693,7 @@ class Trainer:
                 new_params = optax.apply_updates(state.params, updates)
                 new_state = state.replace(
                     step=state.step + 1, params=new_params,
-                    batch_stats=state.batch_stats, opt_state=new_opt,
+                    batch_stats=new_bs, opt_state=new_opt,
                     ema_params=ema_update(state.ema_params, new_params))
                 counts = jax.lax.psum(
                     metrics_mod.confusion_counts(

@@ -395,8 +395,8 @@ def test_mosaic_impls_on_multidevice_mesh():
                  {"rgb": config.rgb_modality(),
                   "thermal": config.thermal_modality()},
                  block_impl="fused")
-    with pytest.raises(ValueError, match="shard_map path"):
-        mm.build_train_step()                # ResNet BN: still rejected
+    # multimodal now rides the wrapper too (cross-shard BN; round 4)
+    assert mm.build_train_step() is not None
     tp_cfg = config.TrainConfig(batch_size=8,
                                 mesh=config.MeshConfig(data=4, model=2))
     with pytest.raises(ValueError, match="partitioner"):

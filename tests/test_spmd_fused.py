@@ -283,18 +283,65 @@ def test_spmd_train_step_fused_matches_jit(rng):
 
 def test_spmd_train_gate_conditions(rng):
     """Configurations outside the wrapper's scope still reject mosaic
-    impls readably: grad-accum, mixup, and the BN-carrying multimodal."""
+    impls readably (grad-accum, mixup — for BOTH model families, since
+    they also gate the multimodal BN axis binding), while plain
+    multimodal now BUILDS the wrapped step (cross-shard BN wired)."""
     from dfu_multimodal_tpu.config import TrainConfig
 
     mods = {"thermal": thermal_modality()}
+    mm_mods = {"rgb": rgb_modality(), "thermal": thermal_modality()}
     for kw in ({"grad_accum": 2}, {"mixup_alpha": 0.2}):
         cfg = TrainConfig(batch_size=8, compute_dtype="float32", **kw)
         tr = Trainer("thermal_only", cfg, mods, block_impl="fused")
         with pytest.raises(ValueError, match="shard_map path"):
             tr.build_train_step()
+        mm = Trainer("multimodal", cfg, mm_mods, block_impl="fused")
+        assert getattr(mm.module, "bn_axis_name", None) is None
+        with pytest.raises(ValueError, match="shard_map path"):
+            mm.build_train_step()
     mm = Trainer("multimodal",
                  TrainConfig(batch_size=8, compute_dtype="float32"),
-                 {"rgb": rgb_modality(), "thermal": thermal_modality()},
-                 block_impl="fused")
-    with pytest.raises(ValueError, match="shard_map path"):
-        mm.build_train_step()
+                 mm_mods, block_impl="fused")
+    assert getattr(mm.module, "bn_axis_name", None) == "data"
+    assert mm.build_train_step() is not None
+
+
+def test_spmd_train_step_multimodal_bn_sync(rng):
+    """The BN-carrying multimodal model trains under shard_map once
+    cross-shard BatchNorm is bound (models/resnet.py bn_axis_name, set
+    by the Trainer): batch stats pmean over ``data`` reproduces the jit
+    path's global-batch BN — updated running stats must be replica-
+    consistent and match the jit step, params within the fused kernels'
+    tolerance."""
+    from dfu_multimodal_tpu.config import TrainConfig
+
+    cfg = TrainConfig(batch_size=8, compute_dtype="float32", drop_rate=0.0)
+    mods = {"rgb": rgb_modality(), "thermal": thermal_modality()}
+    tr_ref = Trainer("multimodal", cfg, mods,
+                     block_impl="flax", attention_impl="xla")
+    tr_fused = Trainer("multimodal", cfg, mods,
+                       block_impl="fused_interpret")
+    assert getattr(tr_fused.module, "bn_axis_name", None) == "data"
+
+    state0 = tr_ref.init_state(jax.random.PRNGKey(0), image_size=32)
+    batch = _thermal_batch(rng)
+    batch["rgb"] = rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8)
+    batch = jax.device_put(batch, tr_ref.batch_sharding)
+    key = jax.random.PRNGKey(5)
+
+    s_jit, m_jit = tr_ref.train_step(_copy_state(state0), batch, key)
+    s_f, m_f = tr_fused.train_step(_copy_state(state0), batch, key)
+    np.testing.assert_allclose(np.asarray(m_f["loss"]),
+                               np.asarray(m_jit["loss"]), atol=1e-4)
+    for a, b in zip(jax.tree.leaves(s_jit.batch_stats),
+                    jax.tree.leaves(s_f.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6)
+    for a, b in zip(jax.tree.leaves(s_jit.params),
+                    jax.tree.leaves(s_f.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3)
+    # replicated state must be bit-consistent across shards
+    lead = jax.tree.leaves(s_f.batch_stats)[0]
+    shards = [np.asarray(sh.data) for sh in lead.addressable_shards]
+    assert all(np.array_equal(shards[0], s) for s in shards[1:])
