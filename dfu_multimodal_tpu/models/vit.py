@@ -27,14 +27,12 @@ from __future__ import annotations
 
 import os
 from dataclasses import field
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
 
 from dfu_multimodal_tpu.models.common import Taps, canonical_dtype, tap
-
-AttentionFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 
 def xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -61,14 +59,6 @@ def resolve_attention_impl(impl: str) -> str:
     if impl not in ("xla", "pallas"):
         raise ValueError(f"unknown attention impl: {impl!r}")
     return impl
-
-
-def resolve_attention(impl: str) -> AttentionFn:
-    impl = resolve_attention_impl(impl)
-    if impl == "pallas":
-        from dfu_multimodal_tpu.ops.attention import flash_attention
-        return flash_attention
-    return xla_attention
 
 
 class MultiHeadAttention(nn.Module):

@@ -29,17 +29,29 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from dfu_multimodal_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 def put_global(value, sharding: NamedSharding):
-    """Place a HOST value onto a (possibly multi-process) mesh sharding.
+    """Place a value onto a (possibly multi-process) mesh sharding.
 
-    Single-process: plain ``jax.device_put``.  Multi-process: the mesh
-    spans non-addressable devices, where ``device_put`` of a host value
-    raises — build the global array from each process's addressable
-    shards instead (``jax.make_array_from_callback``).  Correct because
-    every process holds the IDENTICAL host value (deterministic seeded
-    init / the same restored checkpoint), so slicing it locally yields
-    consistent global contents.
+    Single-process: plain ``jax.device_put``.  Multi-process, host
+    values: the mesh spans non-addressable devices, where ``device_put``
+    of a host value raises — build the global array from each process's
+    addressable shards instead (``jax.make_array_from_callback``).
+    Correct because every process holds the IDENTICAL host value
+    (deterministic seeded init / the same restored checkpoint), so
+    slicing it locally yields consistent global contents.
+
+    Multi-process, already-GLOBAL device arrays (e.g. the fresh-init
+    leaves ``load_flexible`` keeps when a checkpoint lacks a key, or a
+    restored state's untouched opt_state): these cannot be fetched to
+    host (`np.asarray` raises on non-addressable spans) — pass them
+    through when already placed as requested, else reshard with a jitted
+    identity whose ``out_shardings`` is the target (a collective every
+    process executes).
     """
     if jax.process_count() > 1:
+        if isinstance(value, jax.Array) and not value.is_fully_addressable:
+            if value.sharding == sharding:
+                return value
+            return jax.jit(lambda x: x, out_shardings=sharding)(value)
         v = np.asarray(value)
         return jax.make_array_from_callback(v.shape, sharding,
                                             lambda idx: v[idx])

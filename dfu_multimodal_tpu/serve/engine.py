@@ -121,7 +121,11 @@ def quantize_for_serving(trainer, state, image_size: int = 224,
                                     dtype=trainer.compute_dtype)
         rgb_impl = "int8"
 
+    # mesh=trainer.mesh: the admission guard above vetted THAT mesh — a
+    # cfg-derived rebuild could land on a different one (e.g. a source
+    # trainer constructed with an explicit mesh= argument)
     qtrainer = Trainer(model_name, trainer.cfg, trainer.modalities,
+                       mesh=trainer.mesh,
                        attention_impl=attention_impl,
                        block_impl=vit_impl, rgb_impl=rgb_impl)
     qstate = qtrainer.init_state(jax.random.PRNGKey(0),
@@ -160,6 +164,7 @@ def tome_for_serving(trainer, state, merge_at: int, keep: int,
     model_name = trainer.spec.name
     svars = split_encoder_variables(trainer.variables(state), merge_at)
     ttrainer = Trainer(model_name, trainer.cfg, trainer.modalities,
+                       mesh=trainer.mesh,
                        attention_impl=attention_impl,
                        block_impl=getattr(trainer.module, "block_impl",
                                           "auto"),

@@ -437,7 +437,7 @@ class Trainer:
 
     def build_train_step(self, jit: bool = True,
                          force_shard_map: bool = False) -> Callable:
-        accum_n = max(1, int(getattr(self.cfg, "grad_accum", 1)))
+        accum = max(1, int(getattr(self.cfg, "grad_accum", 1)))
         mix = float(getattr(self.cfg, "mixup_alpha", 0.0)) > 0.0
         # Fused kernels under SPMD, train side: the BN-free thermal model
         # (pure ViT — no cross-shard batch statistics) trains inside
@@ -448,24 +448,38 @@ class Trainer:
         # grad-accum and mixup keep the jit path (the microbatch scan and
         # the batch-global mix permutation are not worth hand-sharding).
         bi = str(getattr(self.module, "block_impl", "auto"))
-        q8 = bi.startswith("fused_q8")     # serving-only (no VJP)
-        # BN models qualify only with cross-shard stats wired
-        # (models/resnet.py bn_axis_name — multimodal sets it in
-        # __init__ when this path will be built)
+        if bi.startswith("fused_q8"):
+            # serving-only kernels (no VJP): reject for TRAINING on any
+            # mesh size with a readable error instead of dying deep in
+            # autodiff with a raw "differentiation rule for pallas_call"
+            raise ValueError(
+                f"training with block_impl={bi!r} is not supported: the "
+                "int8 kernels are serving-only (no VJP). Train bf16/fp32 "
+                "and quantize at deployment (serve/predict --int8, or "
+                "--qat to train through the serving grid).")
+        # BN models qualify for the shard_map path only with cross-shard
+        # stats wired (models/resnet.py bn_axis_name — multimodal sets
+        # it in __init__ when this path will be built)
         bn_ok = (self.spec.name == "multimodal"
                  and getattr(self.module, "bn_axis_name", None)
                  == mesh_mod.DATA_AXIS)
-        use_shmap = ((self.spec.name == "thermal_only" or bn_ok)
-                     and accum_n == 1 and not mix and not q8
-                     and ((self._pure_dp and self._eval_shard_map)
-                          or force_shard_map))
+        spmd_capable = ((self.spec.name == "thermal_only" or bn_ok)
+                        and accum == 1 and not mix)
+        if force_shard_map and not spmd_capable:
+            # an ignored force flag would make parity tests measure the
+            # jit path and report vacuous success — fail loudly instead
+            raise ValueError(
+                "force_shard_map: this configuration cannot run the "
+                "shard_map train path (needs thermal_only, or multimodal "
+                "with bn_axis_name bound; no grad-accum/mixup)")
+        use_shmap = spmd_capable and (
+            (self._pure_dp and self._eval_shard_map) or force_shard_map)
         if self.mesh.size > 1 and not use_shmap:
             # Outside the shard_map path, Mosaic kernels cannot survive
             # a multi-device jit — reject mosaic impls with a readable
             # error instead of the raw "cannot be automatically
-            # partitioned" (BN models need cross-shard stats; the int8
-            # kernels are serving-only; accum and mixup configurations
-            # keep the XLA path).
+            # partitioned" (BN models need cross-shard stats; accum and
+            # mixup configurations keep the XLA path).
             ai = str(getattr(self.module, "attention_impl", "auto"))
             if bi in ("fused", "fused_q8", "fused_q8s") or ai == "pallas":
                 raise ValueError(
@@ -476,7 +490,6 @@ class Trainer:
                     "Train with 'auto' (XLA impls on this mesh) or on "
                     "one device.")
         module, spec, tx = self.module, self.spec, self.tx
-        accum = max(1, int(getattr(self.cfg, "grad_accum", 1)))
         qat = bool(getattr(self.cfg, "qat", False))
         ema_decay = float(getattr(self.cfg, "ema_decay", 0.0))
         loss_name = getattr(self.cfg, "loss", "ce")
@@ -963,10 +976,8 @@ class Trainer:
         is_writer = jax.process_index() == 0
         save_fn = (base_save if is_writer
                    else partial(base_save, write=False))
-        if not is_writer:
+        if not is_writer:      # implies multihost (rank > 0 exists)
             metrics_jsonl = None
-            if not multihost:
-                checkpoint_dir = None
 
         meter = ThroughputMeter(n_chips=self.mesh.size)
         for epoch in range(start_epoch, cfg.num_epochs + 1):

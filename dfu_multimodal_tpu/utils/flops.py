@@ -62,28 +62,33 @@ _PEAK_INT8_TOPS = {
 }
 
 
-def device_peak_tflops(device=None) -> Optional[float]:
-    """Peak dense bf16 TFLOP/s of ``device`` (default: first visible
-    device), or ``None`` when unknown (CPU, new chip generations) — the
-    caller should then report MFU as null, never a wrong number."""
+def _lookup_peak(device, table) -> Optional[float]:
+    """Shared device_kind -> peak lookup: exact table hit, else tolerate
+    vendor suffixes ("TPU v5 lite (chip)", case differences) by matching
+    the LONGEST table key first, REFUSING when the remainder names a
+    variant we don't know (e.g. 'TPU v4 lite'/v4i is NOT a v4 at its
+    full rate; reporting null beats a silently wrong peak)."""
     if device is None:
         import jax
         device = jax.devices()[0]
     kind = getattr(device, "device_kind", "") or ""
-    if kind in _PEAK_BF16_TFLOPS:
-        return _PEAK_BF16_TFLOPS[kind]
-    # tolerate vendor suffixes ("TPU v5 lite (chip)", case differences) —
-    # matching the LONGEST table key first, and refusing when the
-    # remainder names a variant we don't know (e.g. 'TPU v4 lite'/v4i is
-    # NOT a v4 at 275 TF/s; reporting null beats silently halving MFU)
+    if kind in table:
+        return table[kind]
     norm = kind.strip().lower()
-    for k in sorted(_PEAK_BF16_TFLOPS, key=len, reverse=True):
+    for k in sorted(table, key=len, reverse=True):
         if norm.startswith(k.lower()):
             rest = norm[len(k):].strip()
             if "lite" in rest or rest in ("i", "e", "p"):
                 return None          # unknown sub-variant of a known gen
-            return _PEAK_BF16_TFLOPS[k]
+            return table[k]
     return None
+
+
+def device_peak_tflops(device=None) -> Optional[float]:
+    """Peak dense bf16 TFLOP/s of ``device`` (default: first visible
+    device), or ``None`` when unknown (CPU, new chip generations) — the
+    caller should then report MFU as null, never a wrong number."""
+    return _lookup_peak(device, _PEAK_BF16_TFLOPS)
 
 
 def device_peak_int8_tops(device=None) -> Optional[float]:
@@ -94,20 +99,7 @@ def device_peak_int8_tops(device=None) -> Optional[float]:
     ops ÷ int8-peak is a LOWER BOUND on how well the int8 work is
     scheduled — honest as a utilization number because the int8 peak is
     the rate the path is paying for."""
-    if device is None:
-        import jax
-        device = jax.devices()[0]
-    kind = getattr(device, "device_kind", "") or ""
-    if kind in _PEAK_INT8_TOPS:
-        return _PEAK_INT8_TOPS[kind]
-    norm = kind.strip().lower()
-    for k in sorted(_PEAK_INT8_TOPS, key=len, reverse=True):
-        if norm.startswith(k.lower()):
-            rest = norm[len(k):].strip()
-            if "lite" in rest or rest in ("i", "e", "p"):
-                return None
-            return _PEAK_INT8_TOPS[k]
-    return None
+    return _lookup_peak(device, _PEAK_INT8_TOPS)
 
 
 def vit_block_flops(tokens: int, hidden_dim: int = 768,

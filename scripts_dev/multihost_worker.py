@@ -171,3 +171,22 @@ if rank == 0:
     pe = payload["model_state"]["params"]["ViT_0"]["patch_embed"]["kernel"]
     assert pe.shape == (768, 768), pe.shape       # FULL gathered shape
     print("MULTIHOST_CKPT_OK", flush=True)
+
+# Stage 4: multi-host FSDP RESTORE (round-4 review finding: put_global
+# must pass through / reshard already-global device arrays — restore
+# trees mix host leaves from the checkpoint with fresh-init DEVICE
+# leaves, and np.asarray cannot fetch non-addressable spans).
+from jax.experimental import multihost_utils  # noqa: E402
+
+multihost_utils.sync_global_devices("ckpt_written")   # rank 0 wrote
+rstate = ftrainer.restore(ckpt_dir, image_size=32, with_opt_state=True)
+# re-placing an ALREADY-GLOBAL tree must pass through unharmed
+replaced = ftrainer._place_params(rstate.params)
+big = max(jax.tree.leaves(rstate.params), key=lambda a: a.size)
+local = sum(sh.data.size for sh in big.addressable_shards)
+assert local * nproc == big.size, (local, big.size)
+rstate, rem = ftrainer.run_train_epoch(rstate, ds,
+                                       np.random.default_rng(8),
+                                       jax.random.PRNGKey(4))
+assert np.isfinite(rem.loss), rem.loss
+print(f"MULTIHOST_RESTORE_OK {rem.loss:.6f}", flush=True)

@@ -347,6 +347,11 @@ def test_multiprocess_execution_two_hosts():
                                                     rel=2e-4), (
         fsdp_lines, losses)
     assert any("MULTIHOST_CKPT_OK" in out for out in outs), outs
+    # Stage 4: restore of the multi-host FSDP checkpoint on BOTH ranks
+    # (exercises put_global's device-array pass-through/reshard)
+    restores = [line for out in outs for line in out.splitlines()
+                if line.startswith("MULTIHOST_RESTORE_OK")]
+    assert len(restores) == 2 and restores[0] == restores[1], outs
 
     import jax.numpy  # noqa: F401  (jax already imported at module scope)
     from dfu_multimodal_tpu import config

@@ -173,12 +173,23 @@ def test_tome_fused_spmd(rng):
 
 
 def test_train_step_rejects_mosaic_on_multidevice():
-    """int8 kernels are serving-only (no VJP): training with them stays
-    rejected even though the thermal shard_map train path exists."""
+    """int8 kernels are serving-only (no VJP): training with them is
+    rejected readably on ANY mesh — incl. the interpret spelling, which
+    previously fell through to a raw autodiff error."""
     mods = {"thermal": thermal_modality()}
-    tr = Trainer("thermal_only", _cfg(), mods, block_impl="fused_q8")
-    with pytest.raises(ValueError, match="shard_map path"):
-        tr.build_train_step()
+    for impl in ("fused_q8", "fused_q8_interpret", "fused_q8s"):
+        tr = Trainer("thermal_only", _cfg(), mods, block_impl=impl)
+        with pytest.raises(ValueError, match="serving-only"):
+            tr.build_train_step()
+    mesh1 = mesh_mod.make_mesh(devices=jax.devices()[:1])
+    tr1 = Trainer("thermal_only", _cfg(), mods, mesh=mesh1,
+                  block_impl="fused_q8")
+    with pytest.raises(ValueError, match="serving-only"):
+        tr1.build_train_step()
+    # an ignored force flag must fail loudly, not silently return jit
+    tr_rgb = Trainer("rgb_only", _cfg(), {"rgb": rgb_modality()})
+    with pytest.raises(ValueError, match="force_shard_map"):
+        tr_rgb.build_train_step(force_shard_map=True)
 
 
 def test_serving_engine_over_shard_map_step(rng):
