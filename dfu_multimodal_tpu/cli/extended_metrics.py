@@ -355,7 +355,8 @@ def main(argv=None) -> Dict[str, Dict]:
             except ValueError:
                 pass
         plots.plot_roc_curve(arrays["y_true"], arrays["y_probs"], display,
-                             out_dir, band=roc_ci_band)
+                             out_dir, band=roc_ci_band,
+                             band_alpha=args.bootstrap_alpha)
         plots.plot_precision_recall_curve(arrays["y_true"],
                                           arrays["y_probs"], display, out_dir)
         payload = {"y_true": arrays["y_true"], "y_pred": arrays["y_pred"],

@@ -77,8 +77,6 @@ def decode_all(paths: Sequence[Optional[Path]], image_size: int,
     var / ``--cache-dir`` flag), decoding routes through the persistent
     mmap-backed cache (:mod:`dfu_multimodal_tpu.data.cache`): decode once
     across runs, bounded RAM, datasets larger than memory."""
-    import os
-
     from dfu_multimodal_tpu.data import cache as cache_mod
 
     resolved = cache_mod.resolve_cache_dir(cache_dir)

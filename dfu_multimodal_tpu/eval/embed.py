@@ -64,7 +64,6 @@ def extract_features(trainer, state, dataset: ArrayDataset
     import jax
     import jax.numpy as jnp
 
-    from dfu_multimodal_tpu.data import loader as data_loader
     from dfu_multimodal_tpu.parallel import mesh as mesh_mod
 
     model_name = trainer.spec.name
@@ -123,6 +122,12 @@ def _run_embed(trainer, embed_step, variables, dataset: ArrayDataset,
                bs: int) -> Dict[str, np.ndarray]:
     from dfu_multimodal_tpu.data import loader as data_loader
 
+    if len(dataset) == 0:
+        # informative failure like Trainer.run_eval_epoch — a bare
+        # np.concatenate([]) would crash with no hint about the data dir
+        raise ValueError(
+            "cannot embed an empty dataset: the split directory has no "
+            "images (check the data-dir layout)")
     feat_parts: Dict[str, List[np.ndarray]] = {}
     prob_parts, pred_parts = [], []
     for batch in data_loader.device_prefetch(
@@ -181,8 +186,24 @@ def cross_split_near_duplicates(
     for that.  Returns ``[{split_a, path_a, split_b, path_b, sim}]``
     sorted most-similar first; splits are compared pairwise in the given
     key order.
+
+    Rows whose path is None (the aligned-pairing loader's black
+    missing-modality placeholders, data/pairing.py) are excluded: every
+    placeholder embeds to the same fixed vector, so any two splits
+    containing one would otherwise report a meaningless sim=1.0
+    "leak" between two images that don't exist.
     """
     names = list(feats)
+
+    def real_rows(split):
+        return np.array([p is not None and str(p) != "None"
+                         for p in paths[split]], bool)
+
+    keep = {split: real_rows(split) for split in names}
+    feats = {split: np.asarray(feats[split])[keep[split]]
+             for split in names}
+    paths = {split: [p for p, k in zip(paths[split], keep[split]) if k]
+             for split in names}
     best: Dict[tuple, Dict] = {}
     for ai in range(len(names)):
         for bi in range(ai + 1, len(names)):

@@ -69,15 +69,37 @@ def branch_variables(variables: Dict, branch: str) -> Dict:
             if isinstance(tree, dict) and branch in tree}
 
 
+def _tap_names(tree: Dict, prefix: str = "") -> list:
+    """All sown intermediate names in a nested intermediates dict."""
+    names = []
+    for key, val in tree.items():
+        if isinstance(val, dict):
+            names.extend(_tap_names(val, f"{prefix}{key}/"))
+        else:
+            names.append(key)
+    return names
+
+
 def tap_shape(module, variables, inputs: Tuple[jnp.ndarray, ...],
               tap_name: str):
-    """Shape of a tap activation, via eval_shape (no compute)."""
+    """Shape of a tap activation, via eval_shape (no compute).  Raises a
+    readable error naming the available taps when ``tap_name`` is not
+    sown (previously this returned None and the caller crashed with
+    "'NoneType' object has no attribute 'shape'")."""
+    names_box = []
+
     def fwd(*xs):
         _, state = module.apply(variables, *xs, train=False,
                                 mutable=["intermediates"])
+        names_box.append(_tap_names(state["intermediates"]))
         return _find_intermediate(state["intermediates"], tap_name)
 
-    return jax.eval_shape(fwd, *inputs)
+    shape = jax.eval_shape(fwd, *inputs)
+    if shape is None:
+        avail = sorted(set(names_box[0])) if names_box else []
+        raise ValueError(
+            f"unknown tap {tap_name!r}: this model sows {avail}")
+    return shape
 
 
 @partial(jax.jit, static_argnames=("module", "tap_name", "class_index",

@@ -48,7 +48,7 @@ def plot_confusion_matrix(y_true, y_pred, model_name: str,
 
 
 def plot_roc_curve(y_true, y_probs, model_name: str, output_dir: Path,
-                   band=None) -> Path:
+                   band=None, band_alpha: float = 0.05) -> Path:
     """``band`` (optional): ``(fpr_grid, tpr_lo, tpr_mean, tpr_hi)`` from
     ``eval.bootstrap.roc_band`` — drawn as a shaded bootstrap CI behind
     the curve when ``extended_metrics --bootstrap`` is on; the default
@@ -59,8 +59,9 @@ def plot_roc_curve(y_true, y_probs, model_name: str, output_dir: Path,
     fig, ax = plt.subplots(figsize=(8, 6))
     if band is not None:
         fgrid, lo, _, hi = band
+        pct = round(100 * (1.0 - band_alpha))
         ax.fill_between(fgrid, lo, hi, color="darkorange", alpha=0.18,
-                        linewidth=0, label="Bootstrap 95% band")
+                        linewidth=0, label=f"Bootstrap {pct}% band")
     ax.plot(fpr, tpr, color="darkorange", lw=2,
             label=f"ROC (AUC={roc_auc:.4f})")
     ax.plot([0, 1], [0, 1], color="navy", lw=2, linestyle="--",

@@ -154,6 +154,11 @@ def corrupted_counts(trainer, state, dataset, name: str,
     bs = mesh_mod.pad_batch_to_mesh(trainer.cfg.eval_bs, trainer.mesh)
     variables = trainer.variables(state)
     params_grid = SEVERITY_PARAMS[name]
+    bad = [s for s in severities if not 1 <= int(s) <= len(params_grid)]
+    if bad:
+        # severity 0 would silently negative-index to the HARSHEST level
+        raise ValueError(
+            f"severities must be in 1..{len(params_grid)}, got {bad}")
     out = []
     for sev in severities:
         param = jnp.float32(params_grid[sev - 1])

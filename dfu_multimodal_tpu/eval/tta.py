@@ -99,6 +99,12 @@ def tta_predictions(trainer, state, dataset: ArrayDataset,
         probs.append(np.asarray(pr))
 
     n = len(dataset)
+    if n == 0:
+        # same informative failure as Trainer.run_eval_epoch — a bare
+        # np.concatenate([]) would crash with no hint about the data dir
+        raise ValueError(
+            "cannot run TTA on an empty dataset: the split directory "
+            "has no images (check the data-dir layout)")
     return np.concatenate(preds)[:n], np.concatenate(probs)[:n]
 
 
@@ -114,8 +120,8 @@ def evaluate_with_tta(trainer, state, dataset: ArrayDataset,
     cm = metrics_mod.binary_confusion(all_labels, all_preds)
     tn, fp, fn, tp = (float(x) for x in cm.ravel())
     return {
-        "accuracy": metrics_mod.compute_all_metrics(
-            all_labels, all_preds)["accuracy"],
+        "accuracy": metrics_mod.accuracy_from_counts(
+            np.array([tn, fp, fn, tp])),
         "f1": metrics_mod.f1_from_counts(np.array([tn, fp, fn, tp])),
         "auc": metrics_mod.roc_auc_score(all_labels, all_probs),
         "sensitivity": tp / (tp + fn) if (tp + fn) > 0 else 0.0,
