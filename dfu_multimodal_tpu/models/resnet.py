@@ -306,6 +306,9 @@ class ResNetClassifier(nn.Module):
     dtype: Any = jnp.float32
     block_impl: str = "auto"
     trunk: str = "resnet50"       # or "resnet18" (distillation student)
+    # cross-shard BN stats axis for shard_map train steps (see ResNet;
+    # bound by DistillTrainer when the KD step runs under shard_map)
+    bn_axis_name: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False,
@@ -317,14 +320,16 @@ class ResNetClassifier(nn.Module):
             feats = Int8ResNet18(dtype=self.dtype, name="ResNet_0")(
                 x, train=train, taps=taps)
         elif self.trunk == "resnet18":
-            feats = ResNet18(dtype=self.dtype, name="ResNet_0")(
-                x, train=train, taps=taps)
+            feats = ResNet18(dtype=self.dtype,
+                             bn_axis_name=self.bn_axis_name,
+                             name="ResNet_0")(x, train=train, taps=taps)
         elif self.block_impl == "int8":
             from dfu_multimodal_tpu.models.resnet_q8 import Int8ResNet50
             feats = Int8ResNet50(dtype=self.dtype, name="ResNet_0")(
                 x, train=train, taps=taps)
         else:
             feats = ResNet50(dtype=self.dtype, block_impl=self.block_impl,
+                             bn_axis_name=self.bn_axis_name,
                              name="ResNet_0")(x, train=train, taps=taps)
         feats = nn.Dropout(self.drop_rate, deterministic=not train)(feats)
         logits = nn.Dense(self.num_classes, dtype=jnp.float32,

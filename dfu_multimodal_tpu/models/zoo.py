@@ -47,6 +47,9 @@ class TinyCNN(nn.Module):
     num_classes: int = 2
     drop_rate: float = 0.2
     dtype: Any = jnp.float32
+    # cross-shard BN axis (shard_map train steps) — mirrors the real
+    # families so engine SPMD paths can be tested at TinyCNN cost
+    bn_axis_name: Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, taps=None):
@@ -56,7 +59,8 @@ class TinyCNN(nn.Module):
                         name=f"conv{i}")(x)
             # fast-converging running stats: smoke runs are only ~20 steps
             x = nn.BatchNorm(use_running_average=not train, momentum=0.5,
-                             dtype=self.dtype, name=f"bn{i}")(x)
+                             dtype=self.dtype, axis_name=self.bn_axis_name,
+                             name=f"bn{i}")(x)
             x = nn.relu(x)
         if taps is not None and "features" in taps:
             x = x + taps["features"]
@@ -72,6 +76,7 @@ class TinyTrunk(nn.Module):
     feature vector like the real trunks emit (B, 2048)/(B, 768)."""
 
     dtype: Any = jnp.float32
+    bn_axis_name: Any = None          # see TinyCNN
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -80,7 +85,8 @@ class TinyTrunk(nn.Module):
             x = nn.Conv(feats, (3, 3), strides=(2, 2), dtype=self.dtype,
                         name=f"conv{i}")(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.5,
-                             dtype=self.dtype, name=f"bn{i}")(x)
+                             dtype=self.dtype, axis_name=self.bn_axis_name,
+                             name=f"bn{i}")(x)
             x = nn.relu(x)
         return jnp.mean(x, axis=(1, 2))
 
@@ -96,12 +102,14 @@ class TinyFusion(nn.Module):
     num_classes: int = 2
     drop_rate: float = 0.2
     dtype: Any = jnp.float32
+    bn_axis_name: Any = None          # see TinyCNN
 
     @nn.compact
     def __call__(self, rgb, thermal, *, train: bool = False, taps=None):
-        r = TinyTrunk(self.dtype, name="rgb_branch")(rgb, train=train)
-        t = TinyTrunk(self.dtype, name="thermal_branch")(thermal,
-                                                         train=train)
+        r = TinyTrunk(self.dtype, bn_axis_name=self.bn_axis_name,
+                      name="rgb_branch")(rgb, train=train)
+        t = TinyTrunk(self.dtype, bn_axis_name=self.bn_axis_name,
+                      name="thermal_branch")(thermal, train=train)
         fused = jnp.concatenate([r, t], axis=-1)
         fused = nn.Dropout(self.drop_rate,
                            deterministic=not train)(fused)

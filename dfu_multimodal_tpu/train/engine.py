@@ -429,6 +429,29 @@ class Trainer:
             eval_normalize(batch[m], self.modalities[m], self.compute_dtype)
             for m in self.spec.inputs)
 
+    def _preprocess_train_spmd(self, rng: jax.Array,
+                               batch: Dict[str, jnp.ndarray]) -> Tuple:
+        """Shard_map counterpart of :meth:`_preprocess_train` (call ONLY
+        inside a shard_map body over the data axis): per-shard
+        augmentation drawing each row's key from the GLOBAL
+        ``split(key, B_global)`` stream (sliced by shard position) —
+        bit-identical augmentation to the single-program path."""
+        from dfu_multimodal_tpu.data.transforms import (
+            augment_and_normalize_keys)
+
+        d_axis = mesh_mod.DATA_AXIS
+        n_shards = self.mesh.shape[d_axis]
+        idx = jax.lax.axis_index(d_axis)
+        bl = batch["label"].shape[0]
+        inputs = []
+        for i, m in enumerate(self.spec.inputs):
+            key = jax.random.fold_in(rng, i)
+            gkeys = jax.random.split(key, bl * n_shards)
+            lkeys = jax.lax.dynamic_slice_in_dim(gkeys, idx * bl, bl)
+            inputs.append(augment_and_normalize_keys(
+                lkeys, batch[m], self.modalities[m], self.compute_dtype))
+        return tuple(inputs)
+
     def _sample_weights(self, labels: jnp.ndarray,
                         valid: jnp.ndarray) -> jnp.ndarray:
         if self.class_weights is not None and self.cfg.class_weighted_loss:
@@ -445,8 +468,15 @@ class Trainer:
         # reductions as explicit psums (the same DP all-reduce XLA would
         # insert) — so multi-chip DP training keeps the fused Pallas
         # fwd+bwd kernels instead of falling back to the XLA blocks.
-        # grad-accum and mixup keep the jit path (the microbatch scan and
-        # the batch-global mix permutation are not worth hand-sharding).
+        # grad-accum composes (per-device microbatch scan of unnormalized
+        # grads, ONE full-tree psum at the end — ∇(N/W) is linear in the
+        # per-row contributions, so the spmd microbatch regrouping is
+        # exact for BN-free models; BN models' microbatch statistics ARE
+        # batch-global, so multimodal+accum keeps the jit path —
+        # docs/DESIGN.md "Kernels under SPMD").  Mixup keeps the jit path
+        # on any mesh: its batch-global permutation would need an
+        # all-gather of the full augmented image batch (measured note in
+        # DESIGN.md).
         bi = str(getattr(self.module, "block_impl", "auto"))
         if bi.startswith("fused_q8"):
             # serving-only kernels (no VJP): reject for TRAINING on any
@@ -463,15 +493,20 @@ class Trainer:
         bn_ok = (self.spec.name == "multimodal"
                  and getattr(self.module, "bn_axis_name", None)
                  == mesh_mod.DATA_AXIS)
-        spmd_capable = ((self.spec.name == "thermal_only" or bn_ok)
-                        and accum == 1 and not mix)
+        # grad-accum composes for the BN-free model only: multimodal's
+        # bn_axis_name is never bound with accum > 1 (__init__), because
+        # microbatch BN statistics are batch-GLOBAL groupings the
+        # per-shard scan cannot reproduce (docs/DESIGN.md).
+        spmd_capable = ((self.spec.name == "thermal_only"
+                         or (bn_ok and accum == 1)) and not mix)
         if force_shard_map and not spmd_capable:
             # an ignored force flag would make parity tests measure the
             # jit path and report vacuous success — fail loudly instead
             raise ValueError(
                 "force_shard_map: this configuration cannot run the "
                 "shard_map train path (needs thermal_only, or multimodal "
-                "with bn_axis_name bound; no grad-accum/mixup)")
+                "with bn_axis_name bound; no mixup, and no grad-accum "
+                "for the BN model)")
         use_shmap = spmd_capable and (
             (self._pure_dp and self._eval_shard_map) or force_shard_map)
         if self.mesh.size > 1 and not use_shmap:
@@ -486,7 +521,8 @@ class Trainer:
                     f"training with block_impl={bi!r}/attention_impl="
                     f"{ai!r} on a {self.mesh.size}-device mesh is only "
                     "supported for the shard_map path (thermal_only "
-                    "trainable impls, pure-DP, no grad-accum/mixup). "
+                    "trainable impls — grad-accum composes there — or "
+                    "multimodal without grad-accum; pure-DP, no mixup). "
                     "Train with 'auto' (XLA impls on this mesh) or on "
                     "one device.")
         module, spec, tx = self.module, self.spec, self.tx
@@ -637,31 +673,11 @@ class Trainer:
 
             from jax.sharding import PartitionSpec as P
 
-            from dfu_multimodal_tpu.data.transforms import (
-                augment_and_normalize_keys)
             from dfu_multimodal_tpu.models import common as common_mod
 
             d_axis = mesh_mod.DATA_AXIS
-            n_shards = self.mesh.shape[d_axis]
             force = jax.devices()[0].platform == "tpu"
-
-            def preprocess_spmd(rng, batch):
-                """Per-shard augmentation drawing each row's key from the
-                GLOBAL ``split(key, B_global)`` stream (sliced by shard
-                position) — bit-identical augmentation to the
-                single-program path."""
-                idx = jax.lax.axis_index(d_axis)
-                bl = batch["label"].shape[0]
-                inputs = []
-                for i, m in enumerate(self.spec.inputs):
-                    key = jax.random.fold_in(rng, i)
-                    gkeys = jax.random.split(key, bl * n_shards)
-                    lkeys = jax.lax.dynamic_slice_in_dim(
-                        gkeys, idx * bl, bl)
-                    inputs.append(augment_and_normalize_keys(
-                        lkeys, batch[m], self.modalities[m],
-                        self.compute_dtype))
-                return tuple(inputs)
+            preprocess_spmd = self._preprocess_train_spmd
 
             def train_step_spmd(state: TrainState,
                                 batch: Dict[str, jnp.ndarray],
@@ -714,8 +730,81 @@ class Trainer:
                     d_axis)
                 return new_state, {"loss": loss, "counts": counts}
 
+            def train_step_accum_spmd(state: TrainState,
+                                      batch: Dict[str, jnp.ndarray],
+                                      rng: jax.Array):
+                """Grad-accum inside the shard_map step (BN-free models):
+                each device scans its OWN microbatches accumulating
+                unnormalized grads/numerators, then ONE full-tree psum ÷
+                the global weight mass — the same ∇(N/W) identity as the
+                plain spmd step, so the result equals the jit accum step
+                exactly (the microbatch REGROUPING — per-device slices vs
+                global slices — changes nothing because the total is
+                linear in per-row contributions; only fp summation order
+                differs).  Peak activation memory stays one LOCAL
+                microbatch per device."""
+                ctx = (common_mod.force_mosaic_kernels() if force
+                       else contextlib.nullcontext())
+                with ctx:
+                    aug_rng, drop_rng = jax.random.split(
+                        jax.random.fold_in(rng, state.step))
+                    inputs = preprocess_spmd(aug_rng, batch)
+                    labels, valid = batch["label"], batch["valid"]
+                    weights = self._sample_weights(labels, valid)
+                    bl = labels.shape[0]
+                    if bl % accum:
+                        raise ValueError(
+                            f"per-device batch {bl} not divisible by "
+                            f"grad_accum={accum}")
+                    mbl = bl // accum
+
+                    def split(x):
+                        return x.reshape(accum, mbl, *x.shape[1:])
+
+                    drop_local = jax.random.fold_in(
+                        drop_rng, jax.lax.axis_index(d_axis))
+                    scan_xs = (tuple(split(x) for x in inputs),
+                               split(labels), split(weights), split(valid),
+                               jax.random.split(drop_local, accum))
+
+                    def unnorm_loss(params, bs, xs, ys, ws, dr):
+                        logits, new_bs = apply_model(params, bs, xs, dr)
+                        return jnp.sum(ws * per_sample(logits, ys)), (
+                            logits, new_bs)
+
+                    def body(carry, x):
+                        gacc, bs = carry
+                        xs, ys, ws, vd, dr = x
+                        (numer, (logits, new_bs)), g = jax.value_and_grad(
+                            unnorm_loss, has_aux=True)(state.params, bs,
+                                                       xs, ys, ws, dr)
+                        gacc = jax.tree.map(jnp.add, gacc, g)
+                        counts = metrics_mod.confusion_counts(
+                            jnp.argmax(logits, axis=-1), ys, vd)
+                        return (gacc, new_bs), (numer, jnp.sum(ws), counts)
+
+                    gacc0 = jax.tree.map(jnp.zeros_like, state.params)
+                    (gacc, new_bs), (numers, wsums, counts) = jax.lax.scan(
+                        body, (gacc0, state.batch_stats), scan_xs)
+                numer, den, gacc, counts = jax.lax.psum(
+                    (jnp.sum(numers), jnp.sum(wsums), gacc,
+                     counts.sum(axis=0)), d_axis)
+                den = jnp.maximum(den, 1e-12)
+                grads = jax.tree.map(lambda x: x / den, gacc)
+                loss = numer / den
+                updates, new_opt = tx.update(grads, state.opt_state,
+                                             state.params)
+                new_params = optax.apply_updates(state.params, updates)
+                new_state = state.replace(
+                    step=state.step + 1, params=new_params,
+                    batch_stats=new_bs, opt_state=new_opt,
+                    ema_params=ema_update(state.ema_params, new_params))
+                return new_state, {"loss": loss, "counts": counts}
+
+            spmd_body = (train_step_accum_spmd if accum > 1
+                         else train_step_spmd)
             shmapped = jax.shard_map(
-                train_step_spmd, mesh=self.mesh,
+                spmd_body, mesh=self.mesh,
                 in_specs=(P(), P(d_axis), P()),
                 out_specs=(P(), {"loss": P(), "counts": P()}),
                 check_vma=False)

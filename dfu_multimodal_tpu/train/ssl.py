@@ -140,9 +140,14 @@ def ssl_modality(modality: ModalityConfig, method: str,
 # ----------------------------------------------------------------- losses
 
 
-def nt_xent_loss(z1: jnp.ndarray, z2: jnp.ndarray, valid: jnp.ndarray,
-                 temperature: float = 0.2) -> jnp.ndarray:
-    """Normalized-temperature cross entropy over the 2B projected views.
+def nt_xent_row_losses(z1: jnp.ndarray, z2: jnp.ndarray,
+                       valid: jnp.ndarray, temperature: float = 0.2
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-anchor NT-Xent losses over the 2B projected views: returns
+    ``(losses, v2)`` with shape (2B,) each, where ``v2`` is the doubled
+    validity mask.  Split out so the shard_map SimCLR step can weight
+    only its LOCAL anchor rows while every row still contrasts against
+    the full global negative pool (train/ssl.py SPMD path).
 
     Padded rows (``valid==0``, the fixed-shape batch tail) are excluded
     both as anchors (zero loss weight) and as negatives (their similarity
@@ -160,7 +165,14 @@ def nt_xent_loss(z1: jnp.ndarray, z2: jnp.ndarray, valid: jnp.ndarray,
     sim = jnp.where(mask, neg, sim)
     pos = jnp.concatenate([jnp.arange(b) + b, jnp.arange(b)])
     logprob = jax.nn.log_softmax(sim, axis=-1)
-    losses = -logprob[jnp.arange(2 * b), pos]
+    return -logprob[jnp.arange(2 * b), pos], v2
+
+
+def nt_xent_loss(z1: jnp.ndarray, z2: jnp.ndarray, valid: jnp.ndarray,
+                 temperature: float = 0.2) -> jnp.ndarray:
+    """Normalized-temperature cross entropy over the 2B projected views
+    (see :func:`nt_xent_row_losses` for the masking semantics)."""
+    losses, v2 = nt_xent_row_losses(z1, z2, valid, temperature)
     return jnp.sum(losses * v2) / jnp.maximum(jnp.sum(v2), 1e-12)
 
 
@@ -352,7 +364,8 @@ class SSLTrainer:
 
     def __init__(self, trunk: str, cfg: PretrainConfig,
                  modality: ModalityConfig, mesh=None,
-                 image_size: int = 224):
+                 image_size: int = 224, block_impl: str = "auto",
+                 attention_impl: str = "auto"):
         from dfu_multimodal_tpu.utils.compile_cache import (
             enable_persistent_cache)
         enable_persistent_cache()
@@ -362,6 +375,14 @@ class SSLTrainer:
             raise ValueError("MAE pretrains the ViT trunk only "
                              "(masked patch tokens); use --method simclr "
                              f"for trunk {trunk!r}")
+        wants_mosaic = (str(block_impl).startswith("fused")
+                        or attention_impl == "pallas")
+        if cfg.method == "mae" and (wants_mosaic or block_impl == "int8"):
+            raise ValueError(
+                "MAE encodes masked 1+K-token sequences — the fused "
+                "Pallas kernels are tuned for the 197-token production "
+                "shape, so MAE impls are fixed to the XLA blocks "
+                f"(got block_impl={block_impl!r})")
         self.cfg = cfg
         self.trunk = trunk
         self.image_size = image_size
@@ -375,11 +396,36 @@ class SSLTrainer:
                                      cfg.simclr_color_jitter)
         vit_cfg = (cfg.vit_patch, cfg.vit_hidden, cfg.vit_depth,
                    cfg.vit_heads)
-        # multi-device meshes can't run the Mosaic kernels (CLAUDE.md
-        # "Kernels under SPMD"); "auto" resolves per-device, so only force
-        # the XLA path when sharded.
-        block_impl = "flax" if self.mesh.size > 1 else "auto"
-        attention_impl = "xla" if self.mesh.size > 1 else "auto"
+        # Fused kernels under SPMD (round-5): SimCLR over the (BN-free)
+        # ViT trunk on a pure-DP mesh trains inside jax.shard_map — the
+        # per-device traces keep the fused Pallas blocks, and the global
+        # NT-Xent negatives arrive via an in-shard all_gather of the
+        # (small) projection vectors (build_train_step).  Pretraining is
+        # the longest-running workload in the framework, so this is the
+        # one place a pod-sized run would otherwise pay the ~2.3x-slower
+        # XLA ViT forward (docs/DESIGN.md measured table).
+        self._pure_dp = (self.mesh.size > 1
+                         and self.mesh.shape[mesh_mod.MODEL_AXIS] == 1)
+        auto = "auto" in (block_impl, attention_impl)
+        self._spmd = (cfg.method == "simclr" and trunk == "vit"
+                      and self._pure_dp
+                      and (wants_mosaic
+                           or (auto
+                               and jax.devices()[0].platform == "tpu")))
+        if self.mesh.size > 1 and not self._spmd:
+            if wants_mosaic:
+                # Mosaic kernels cannot survive a plain multi-device jit
+                # and only the SimCLR/ViT step has a shard_map wrapper
+                raise ValueError(
+                    f"block_impl={block_impl!r}/attention_impl="
+                    f"{attention_impl!r} on a {self.mesh.size}-device "
+                    "mesh is only supported for the shard_map SimCLR "
+                    "path (trunk 'vit', pure data-parallel mesh). Use "
+                    "'auto' (XLA impls on this mesh) or one device.")
+            # other multi-device cases run the XLA paths under jit
+            # ("auto" resolves per-device; force for clarity)
+            block_impl = "flax"
+            attention_impl = "xla"
         if cfg.method == "simclr":
             self.module = SimCLRModel(
                 trunk=trunk, proj_hidden=cfg.proj_hidden,
@@ -449,10 +495,26 @@ class SSLTrainer:
             return z, aux["batch_stats"]
         return self.module.apply(variables, x, train=True), batch_stats
 
-    def build_train_step(self) -> Callable:
+    def build_train_step(self, force_shard_map: bool = False) -> Callable:
         cfg, tx = self.cfg, self._tx
         modality, dtype = self.modality, self.compute_dtype
         mod_name = self.modality.name
+        if force_shard_map and not (
+                cfg.method == "simclr"
+                and (self.mesh.size == 1
+                     or (self._pure_dp and self.trunk == "vit"))):
+            # an ignored force flag would make parity tests measure the
+            # jit path and report vacuous success — fail loudly instead.
+            # (BN trunks are excluded on multi-device meshes: per-shard
+            # batch statistics would silently diverge from the jit
+            # path's global-batch BN; a 1-device shard_map — the real-
+            # Mosaic chip probe — has one shard and is exact.)
+            raise ValueError(
+                "force_shard_map: the SSL shard_map path covers SimCLR "
+                "with the (BN-free) ViT trunk on a pure-DP mesh, or any "
+                "SimCLR trunk on a 1-device mesh")
+        if self._spmd or force_shard_map:
+            return self._build_simclr_spmd_step()
 
         def simclr_step(state: SSLState, batch: Dict, rng: jax.Array):
             k1, k2 = jax.random.split(jax.random.fold_in(rng, state.step))
@@ -498,6 +560,93 @@ class SSLTrainer:
 
         step = simclr_step if cfg.method == "simclr" else mae_step
         return jax.jit(step, donate_argnums=(0,))
+
+    def _build_simclr_spmd_step(self) -> Callable:
+        """SimCLR step inside ``jax.shard_map`` over the data axis:
+        per-device traces keep the fused Pallas ViT blocks on multi-chip
+        DP (models/common.py::force_mosaic_kernels), and the GLOBAL
+        NT-Xent negative pool is restored by an in-shard ``all_gather``
+        of the projection vectors — each device forms the full (2B, 2B)
+        similarity matrix (tiny: proj_dim columns) but weights only its
+        LOCAL anchor rows; psum of the unnormalized anchor losses ÷ the
+        global valid count reproduces the jit path's loss and gradient
+        exactly (up to fp summation order), because the count is
+        parameter-independent (the same ∇(N/W) identity as
+        train/engine.py).  Augmentation draws each row's keys from the
+        global split-stream (sliced per shard) — bit-identical views to
+        the jit path.  The ViT trunk is BN-free and dropout-free, so
+        there is NO RNG divergence from the jit path at all."""
+        import contextlib
+
+        from jax.sharding import PartitionSpec as P
+
+        from dfu_multimodal_tpu.data.transforms import (
+            augment_and_normalize_keys)
+        from dfu_multimodal_tpu.models import common as common_mod
+
+        cfg, tx = self.cfg, self._tx
+        modality, dtype = self.modality, self.compute_dtype
+        mod_name = self.modality.name
+        d_axis = mesh_mod.DATA_AXIS
+        n_shards = self.mesh.shape[d_axis]
+        force = jax.devices()[0].platform == "tpu"
+
+        def aug_view(key, images):
+            """Per-shard view from the GLOBAL per-row key stream."""
+            idx = jax.lax.axis_index(d_axis)
+            bl = images.shape[0]
+            gkeys = jax.random.split(key, bl * n_shards)
+            lkeys = jax.lax.dynamic_slice_in_dim(gkeys, idx * bl, bl)
+            return augment_and_normalize_keys(lkeys, images, modality,
+                                              dtype)
+
+        def simclr_step_spmd(state: SSLState, batch: Dict,
+                             rng: jax.Array):
+            ctx = (common_mod.force_mosaic_kernels() if force
+                   else contextlib.nullcontext())
+            with ctx:
+                k1, k2 = jax.random.split(
+                    jax.random.fold_in(rng, state.step))
+                v1 = aug_view(k1, batch[mod_name])
+                v2 = aug_view(k2, batch[mod_name])
+                valid = batch["valid"]
+                bl = valid.shape[0]
+                idx = jax.lax.axis_index(d_axis)
+                rows = jnp.arange(bl * n_shards)
+                local = ((rows >= idx * bl)
+                         & (rows < (idx + 1) * bl)).astype(jnp.float32)
+
+                def loss_fn(params):
+                    z1, bs = self._apply_simclr(params, state.batch_stats,
+                                                v1)
+                    z2, bs = self._apply_simclr(params, bs, v2)
+                    z1g = jax.lax.all_gather(z1, d_axis, tiled=True)
+                    z2g = jax.lax.all_gather(z2, d_axis, tiled=True)
+                    vg = jax.lax.all_gather(valid, d_axis, tiled=True)
+                    losses, v2mask = nt_xent_row_losses(
+                        z1g, z2g, vg, cfg.temperature)
+                    w = v2mask * jnp.concatenate([local, local])
+                    return jnp.sum(losses * w), (jnp.sum(w), bs)
+
+                (numer, (cnt, new_bs)), g = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params)
+            numer, cnt, g = jax.lax.psum((numer, cnt, g), d_axis)
+            cnt = jnp.maximum(cnt, 1e-12)
+            grads = jax.tree.map(lambda x: x / cnt, g)
+            loss = numer / cnt
+            updates, new_opt = tx.update(grads, state.opt_state,
+                                         state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return state.replace(step=state.step + 1, params=new_params,
+                                 batch_stats=new_bs,
+                                 opt_state=new_opt), loss
+
+        shmapped = jax.shard_map(
+            simclr_step_spmd, mesh=self.mesh,
+            in_specs=(P(), P(d_axis), P()),
+            out_specs=(P(), P()),
+            check_vma=False)
+        return jax.jit(shmapped, donate_argnums=(0,))
 
     @property
     def train_step(self) -> Callable:

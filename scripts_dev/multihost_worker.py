@@ -190,3 +190,62 @@ rstate, rem = ftrainer.run_train_epoch(rstate, ds,
                                        jax.random.PRNGKey(4))
 assert np.isfinite(rem.loss), rem.loss
 print(f"MULTIHOST_RESTORE_OK {rem.loss:.6f}", flush=True)
+
+# ---------------------------------------------------------------------------
+# Stage 5 (round 5): fused kernels under shard_map on a MULTI-PROCESS mesh
+# (round-4 VERDICT next-step #5).  The round-4 wrapper was only ever
+# executed on single-process virtual-device meshes; here the same
+# Trainer-built shard_map eval AND train steps run across 2 jax.distributed
+# processes — the explicit psums cross process boundaries over the gloo
+# collectives — with interpret-mode Pallas kernels inside the per-device
+# traces.  Parity is asserted against the plain jit/XLA programs on the
+# same variables/batch (the fused kernels' GELU-approximation budget).
+# ---------------------------------------------------------------------------
+import jax.numpy as jnp  # noqa: E402,F811
+
+fused_tr = Trainer("thermal_only", cfg,
+                   {"thermal": config.thermal_modality()},
+                   block_impl="fused_interpret")
+assert fused_tr._eval_shard_map, "fused-SPMD eval path not active"
+
+blo, bhi = mesh_mod.process_shard(8)
+batch_np = {"thermal": imgs[:8], "label": labels[:8],
+            "valid": np.ones(8, np.float32)}
+gbatch = {k: jax.make_array_from_process_local_data(
+              mesh_mod.batch_sharding(fused_tr.mesh), v[blo:bhi],
+              v.shape)
+          for k, v in batch_np.items()}
+variables = trainer.variables(state)
+o_ref = trainer.eval_step(variables, gbatch)
+o_f = fused_tr.eval_step(variables, gbatch)
+# probs shard over the data axis ACROSS processes — fetch with the
+# collective gather (a plain device_get cannot see remote shards)
+p_ref = np.asarray(multihost_utils.process_allgather(o_ref["probs"],
+                                                     tiled=True))
+p_f = np.asarray(multihost_utils.process_allgather(o_f["probs"],
+                                                   tiled=True))
+err = float(np.max(np.abs(p_f - p_ref)))
+assert np.isfinite(p_f).all() and err < 3e-3, err
+print(f"MULTIHOST_FUSED_SPMD_OK {err:.2e}", flush=True)
+
+# ... and the shard_map TRAIN step (psum'd grads across processes):
+# drop_rate=0 removes the one documented RNG divergence (shard-shaped
+# dropout masks), so loss parity vs the XLA jit step is tight.
+drop0 = config.TrainConfig(batch_size=8, compute_dtype="float32", seed=0,
+                           drop_rate=0.0,
+                           mesh=config.MeshConfig(data=8, model=1))
+t_ref = Trainer("thermal_only", drop0,
+                {"thermal": config.thermal_modality()},
+                block_impl="flax", attention_impl="xla")
+t_f = Trainer("thermal_only", drop0,
+              {"thermal": config.thermal_modality()},
+              block_impl="fused_interpret")
+st0 = t_ref.init_state(jax.random.PRNGKey(6), image_size=32)
+copy_state = jax.jit(lambda t: jax.tree.map(jnp.copy, t))
+_, m_ref = t_ref.train_step(copy_state(st0), gbatch, jax.random.PRNGKey(7))
+_, m_f = t_f.train_step(copy_state(st0), gbatch, jax.random.PRNGKey(7))
+l_ref = float(jax.device_get(m_ref["loss"]))
+l_f = float(jax.device_get(m_f["loss"]))
+assert np.isfinite(l_f) and abs(l_f - l_ref) < 3e-3, (l_f, l_ref)
+print(f"MULTIHOST_FUSED_TRAIN_OK {l_f:.6f} dloss={abs(l_f - l_ref):.2e}",
+      flush=True)

@@ -317,7 +317,7 @@ def test_multiprocess_execution_two_hosts():
                  stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                  text=True, env=env, cwd=repo)
              for r in range(2)]
-    outs = [p.communicate(timeout=480)[0] for p in procs]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-2000:]
     sums = [line.split()[1] for out in outs for line in out.splitlines()
@@ -352,6 +352,17 @@ def test_multiprocess_execution_two_hosts():
     restores = [line for out in outs for line in out.splitlines()
                 if line.startswith("MULTIHOST_RESTORE_OK")]
     assert len(restores) == 2 and restores[0] == restores[1], outs
+    # Stage 5 (round 5): the fused-kernel shard_map eval AND train steps
+    # executed across the 2-process mesh (explicit psums over gloo) with
+    # interpret-mode Pallas kernels, at parity with the jit/XLA programs
+    # — certifying the round-4 wrapper composes with jax.distributed,
+    # not just single-process virtual devices.
+    fused_eval = [line for out in outs for line in out.splitlines()
+                  if line.startswith("MULTIHOST_FUSED_SPMD_OK")]
+    assert len(fused_eval) == 2 and fused_eval[0] == fused_eval[1], outs
+    fused_train = [line for out in outs for line in out.splitlines()
+                   if line.startswith("MULTIHOST_FUSED_TRAIN_OK")]
+    assert len(fused_train) == 2 and fused_train[0] == fused_train[1], outs
 
     import jax.numpy  # noqa: F401  (jax already imported at module scope)
     from dfu_multimodal_tpu import config

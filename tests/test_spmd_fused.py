@@ -225,6 +225,221 @@ def test_serving_engine_over_shard_map_step(rng):
     assert [c for _, c in results] == [c for _, c in ref]
 
 
+# ----------------------------------------------------------- SSL under SPMD
+
+
+def _ssl_cfg(**over):
+    from dfu_multimodal_tpu.train.ssl import PretrainConfig
+
+    base = dict(method="simclr", batch_size=8, num_epochs=1,
+                learning_rate=1e-3, warmup_epochs=0.0,
+                compute_dtype="float32")
+    base.update(over)
+    return PretrainConfig(**base)
+
+
+def _ssl_batch(rng, b=8, s=32):
+    return {"thermal": rng.integers(0, 256, (b, s, s, 3), dtype=np.uint8),
+            "valid": np.ones(b, np.float32)}
+
+
+def test_simclr_spmd_reductions_match_jit(rng):
+    """The SimCLR shard_map step (flax impls forced through the wrapper)
+    must reproduce the jit step: all_gather restores the global NT-Xent
+    negative pool, local-anchor numerators psum ÷ global valid count is
+    the jit loss exactly (up to fp summation order), and the ViT trunk
+    is BN/dropout-free so there is no RNG divergence at all."""
+    from dfu_multimodal_tpu.train.ssl import SSLTrainer
+
+    cfg = _ssl_cfg(vit_patch=8, vit_hidden=32, vit_depth=2, vit_heads=4)
+    tr = SSLTrainer("vit", cfg, thermal_modality(), image_size=32,
+                    block_impl="flax", attention_impl="xla")
+    assert not tr._spmd
+    state0 = tr.init_state(jax.random.PRNGKey(0), steps_per_epoch=4)
+    batch = _ssl_batch(rng)
+    batch["valid"][-2:] = 0.0        # padded rows out of anchors AND pool
+    batch = jax.device_put(batch, tr.batch_sharding)
+    key = jax.random.PRNGKey(3)
+
+    s_jit, l_jit = tr.build_train_step()(_copy_state(state0), batch, key)
+    s_shm, l_shm = tr.build_train_step(force_shard_map=True)(
+        _copy_state(state0), batch, key)
+    np.testing.assert_allclose(np.asarray(l_shm), np.asarray(l_jit),
+                               rtol=1e-6)
+    # Param tolerance is 2·lr + margin, NOT 1e-5: the psum's fp summation
+    # order differs from the jit path's single reduction (~1e-10 grad
+    # noise), and Adam's first step m̂/√v̂ is sign-like for near-zero
+    # grads — a flipped sign moves a param by up to 2·lr (1e-3 here).
+    # Structural reduction errors are caught by the tight LOSS assert
+    # (and denominators scale the loss directly; Adam is scale-invariant
+    # so params could never catch those anyway).
+    for a, b in zip(jax.tree.leaves(s_jit.params),
+                    jax.tree.leaves(s_shm.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-3)
+
+
+def test_simclr_spmd_fused_matches_jit(rng):
+    """Fused (interpret) ViT blocks inside the SimCLR shard_map step —
+    the round-5 fix for ssl.py's blanket XLA override on multi-device
+    meshes — track the flax jit step within the GELU-approximation
+    budget, across two optimizer steps."""
+    from dfu_multimodal_tpu.train.ssl import SSLTrainer
+
+    cfg = _ssl_cfg()                     # full ViT-B cfg (5 tokens at 32)
+    tr_ref = SSLTrainer("vit", cfg, thermal_modality(), image_size=32,
+                        block_impl="flax", attention_impl="xla")
+    tr_fused = SSLTrainer("vit", cfg, thermal_modality(), image_size=32,
+                          block_impl="fused_interpret")
+    assert tr_fused._spmd                # explicit mosaic request
+    tr_fused.make_tx(4)                  # same schedule as ref's init
+    state0 = tr_ref.init_state(jax.random.PRNGKey(0), steps_per_epoch=4)
+    batch = jax.device_put(_ssl_batch(rng), tr_ref.batch_sharding)
+
+    s_ref, s_fused = _copy_state(state0), _copy_state(state0)
+    for i in range(2):
+        key = jax.random.PRNGKey(11 + i)
+        s_ref, l_ref = tr_ref.train_step(s_ref, batch, key)
+        s_fused, l_f = tr_fused.train_step(s_fused, batch, key)
+        np.testing.assert_allclose(np.asarray(l_f), np.asarray(l_ref),
+                                   atol=3e-3)
+    for a, b in zip(jax.tree.leaves(s_ref.params),
+                    jax.tree.leaves(s_fused.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3)
+
+
+def test_ssl_spmd_gates():
+    """Readable rejections: fused impls on a multi-device mesh outside
+    the SimCLR/ViT wrapper; MAE never takes mosaic impls; an ignored
+    force flag fails loudly."""
+    from dfu_multimodal_tpu.train.ssl import SSLTrainer
+
+    with pytest.raises(ValueError, match="shard_map SimCLR"):
+        SSLTrainer("resnet", _ssl_cfg(), rgb_modality(), image_size=32,
+                   block_impl="fused_interpret")
+    with pytest.raises(ValueError, match="197-token"):
+        SSLTrainer("vit", _ssl_cfg(method="mae"), thermal_modality(),
+                   image_size=32, block_impl="fused")
+    tr = SSLTrainer("tiny", _ssl_cfg(), rgb_modality(), image_size=32)
+    tr.make_tx(4)
+    with pytest.raises(ValueError, match="force_shard_map"):
+        tr.build_train_step(force_shard_map=True)
+
+
+# ------------------------------------------------------------ KD under SPMD
+
+
+def _kd_trainers(rng, teacher_impls, *, drop=0.0):
+    """(teacher Trainer+state, DistillTrainer) on the 8-device mesh."""
+    from dfu_multimodal_tpu.config import TrainConfig
+    from dfu_multimodal_tpu.train.distill import (DistillConfig,
+                                                  DistillTrainer)
+
+    cfg = TrainConfig(batch_size=8, compute_dtype="float32",
+                      drop_rate=drop)
+    mods = {"rgb": rgb_modality(), "thermal": thermal_modality()}
+    t_tr = Trainer("thermal_only", cfg, mods,
+                   block_impl="flax", attention_impl="xla")
+    t_state = t_tr.init_state(jax.random.PRNGKey(1), image_size=32)
+    dtr = DistillTrainer("tiny_rgb", "thermal_only",
+                         t_tr.variables(t_state), DistillConfig(),
+                         cfg, mods, **teacher_impls)
+    return t_tr, t_state, dtr
+
+
+def test_kd_spmd_reductions_match_jit(rng):
+    """The shard_map KD step (flax impls forced through the wrapper) must
+    reproduce the jit KD step: numerators psum'd, param-independent
+    denominators psum'd BEFORE the grad, student BN cross-shard via the
+    late bn_axis_name bind.  drop_rate=0 removes the dropout-stream
+    divergence."""
+    t_tr, t_state, dtr = _kd_trainers(
+        rng, dict(teacher_block_impl="flax",
+                  teacher_attention_impl="xla"))
+    assert not dtr._kd_spmd
+    state0 = dtr.init_state(jax.random.PRNGKey(2), image_size=32)
+    batch = _thermal_batch(rng)
+    batch["rgb"] = rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8)
+    batch["valid"][-2:] = 0.0
+    batch = jax.device_put(batch, dtr.batch_sharding)
+    key = jax.random.PRNGKey(3)
+
+    s_jit, m_jit = dtr.build_train_step()(_copy_state(state0), batch, key)
+    s_shm, m_shm = dtr.build_train_step(force_shard_map=True)(
+        _copy_state(state0), batch, key)
+    np.testing.assert_allclose(np.asarray(m_shm["loss"]),
+                               np.asarray(m_jit["loss"]), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(m_shm["counts"]),
+                                  np.asarray(m_jit["counts"]))
+    # 2·lr + margin, not 1e-5: psum fp-order noise through Adam's
+    # sign-like first step (see test_simclr_spmd_reductions_match_jit)
+    for a, b in zip(jax.tree.leaves(s_jit.params),
+                    jax.tree.leaves(s_shm.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-3)
+    # cross-shard BN: updated running stats replica-consistent AND equal
+    # to the jit path's global-batch statistics
+    for a, b in zip(jax.tree.leaves(s_jit.batch_stats),
+                    jax.tree.leaves(s_shm.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6)
+
+
+def test_kd_spmd_fused_teacher_matches_jit(rng):
+    """A fused (interpret) ViT TEACHER inside the shard_map KD step — the
+    reason this path exists: the longest-running KD configuration keeps
+    the fused Pallas teacher forward on multi-chip DP — tracks the flax
+    jit step within the GELU-approximation budget."""
+    t_tr, t_state, dtr_fused = _kd_trainers(
+        rng, dict(teacher_block_impl="fused_interpret"))
+    assert dtr_fused._kd_spmd      # explicit mosaic request activates it
+    _, _, dtr_ref = _kd_trainers(
+        rng, dict(teacher_block_impl="flax",
+                  teacher_attention_impl="xla"))
+    state0 = dtr_ref.init_state(jax.random.PRNGKey(2), image_size=32)
+    batch = _thermal_batch(rng)
+    batch["rgb"] = rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8)
+    batch = jax.device_put(batch, dtr_ref.batch_sharding)
+    key = jax.random.PRNGKey(4)
+
+    s_ref, m_ref = dtr_ref.build_train_step()(_copy_state(state0), batch,
+                                              key)
+    s_f, m_f = dtr_fused.build_train_step()(_copy_state(state0), batch,
+                                            key)
+    np.testing.assert_allclose(np.asarray(m_f["loss"]),
+                               np.asarray(m_ref["loss"]), atol=3e-3)
+    for a, b in zip(jax.tree.leaves(s_ref.params),
+                    jax.tree.leaves(s_f.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3)
+
+
+def test_kd_rejects_mosaic_outside_pure_dp(rng):
+    """On a non-pure-DP mesh the KD step cannot shard_map (params are
+    sharded); mosaic impls must be rejected readably, not die in the
+    auto-partitioner."""
+    from dfu_multimodal_tpu.config import MeshConfig, TrainConfig
+    from dfu_multimodal_tpu.train.distill import (DistillConfig,
+                                                  DistillTrainer)
+
+    cfg = TrainConfig(batch_size=8, compute_dtype="float32",
+                      mesh=MeshConfig(data=4, model=2))
+    mods = {"rgb": rgb_modality(), "thermal": thermal_modality()}
+    t_tr = Trainer("thermal_only",
+                   TrainConfig(batch_size=8, compute_dtype="float32"),
+                   mods, block_impl="flax", attention_impl="xla")
+    t_state = t_tr.init_state(jax.random.PRNGKey(1), image_size=32)
+    dtr = DistillTrainer("tiny_rgb", "thermal_only",
+                         t_tr.variables(t_state), DistillConfig(), cfg,
+                         mods, teacher_block_impl="fused_interpret")
+    assert not dtr._kd_spmd
+    with pytest.raises(ValueError, match="shard_map KD path"):
+        dtr.build_train_step()
+    with pytest.raises(ValueError, match="pure-DP"):
+        dtr.build_train_step(force_shard_map=True)
+
+
 # --------------------------------------------------- train step under SPMD
 
 
@@ -294,27 +509,102 @@ def test_spmd_train_step_fused_matches_jit(rng):
 
 def test_spmd_train_gate_conditions(rng):
     """Configurations outside the wrapper's scope still reject mosaic
-    impls readably (grad-accum, mixup — for BOTH model families, since
-    they also gate the multimodal BN axis binding), while plain
-    multimodal now BUILDS the wrapped step (cross-shard BN wired)."""
+    impls readably (mixup for both families; grad-accum for the BN model,
+    whose batch-GLOBAL microbatch statistics the per-shard scan cannot
+    reproduce), while thermal+accum and plain multimodal BUILD the
+    wrapped step (round-5: accum composes for BN-free models)."""
     from dfu_multimodal_tpu.config import TrainConfig
 
     mods = {"thermal": thermal_modality()}
     mm_mods = {"rgb": rgb_modality(), "thermal": thermal_modality()}
-    for kw in ({"grad_accum": 2}, {"mixup_alpha": 0.2}):
-        cfg = TrainConfig(batch_size=8, compute_dtype="float32", **kw)
-        tr = Trainer("thermal_only", cfg, mods, block_impl="fused")
-        with pytest.raises(ValueError, match="shard_map path"):
-            tr.build_train_step()
+    mix_cfg = TrainConfig(batch_size=8, compute_dtype="float32",
+                          mixup_alpha=0.2)
+    tr = Trainer("thermal_only", mix_cfg, mods, block_impl="fused")
+    with pytest.raises(ValueError, match="shard_map path"):
+        tr.build_train_step()
+    accum_cfg = TrainConfig(batch_size=8, compute_dtype="float32",
+                            grad_accum=2)
+    for cfg in (mix_cfg, accum_cfg):
         mm = Trainer("multimodal", cfg, mm_mods, block_impl="fused")
         assert getattr(mm.module, "bn_axis_name", None) is None
         with pytest.raises(ValueError, match="shard_map path"):
             mm.build_train_step()
+    # thermal_only (BN-free) + grad-accum: the shard_map step builds
+    tr_acc = Trainer("thermal_only", accum_cfg, mods,
+                     block_impl="fused_interpret")
+    assert tr_acc.build_train_step() is not None
     mm = Trainer("multimodal",
                  TrainConfig(batch_size=8, compute_dtype="float32"),
                  mm_mods, block_impl="fused")
     assert getattr(mm.module, "bn_axis_name", None) == "data"
     assert mm.build_train_step() is not None
+
+
+def test_spmd_train_accum_matches_jit_accum(rng):
+    """Grad-accum inside the shard_map step: per-device microbatch scan
+    of unnormalized grads + ONE psum ÷ global Σw must reproduce the jit
+    accum step — the microbatch REGROUPING (per-device slices vs global
+    slices) is exact because the total is linear in per-row
+    contributions.  Flax impls forced through the wrapper; drop_rate=0
+    removes the dropout-stream divergence."""
+    from dfu_multimodal_tpu.config import TrainConfig
+
+    cfg = TrainConfig(batch_size=16, compute_dtype="float32", drop_rate=0.0,
+                      grad_accum=2)
+    mods = {"thermal": thermal_modality()}
+    tr = Trainer("thermal_only", cfg, mods,
+                 block_impl="flax", attention_impl="xla")
+    state0 = tr.init_state(jax.random.PRNGKey(0), image_size=32)
+    batch = _thermal_batch(rng, b=16)   # 2 rows/device -> 1 per microbatch
+    batch["valid"][-1] = 0.0            # a padded row crosses microbatches
+    batch = jax.device_put(batch, tr.batch_sharding)
+    key = jax.random.PRNGKey(5)
+
+    s_jit, m_jit = tr.train_step(_copy_state(state0), batch, key)
+    s_shm, m_shm = tr.build_train_step(force_shard_map=True)(
+        _copy_state(state0), batch, key)
+    np.testing.assert_allclose(np.asarray(m_shm["loss"]),
+                               np.asarray(m_jit["loss"]), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(m_shm["counts"]),
+                                  np.asarray(m_jit["counts"]))
+    # 2·lr + margin, not 1e-5: the microbatch REGROUPING changes fp
+    # summation order (~1e-10 grad noise), which Adam's sign-like first
+    # step amplifies to up to 2·lr per param (see
+    # test_simclr_spmd_reductions_match_jit); the tight loss assert
+    # carries the structural check.
+    for a, b in zip(jax.tree.leaves(s_jit.params),
+                    jax.tree.leaves(s_shm.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-3)
+
+
+def test_spmd_train_accum_fused(rng):
+    """Fused (interpret) kernels inside the accum shard_map step track
+    the flax jit accum step within the GELU-approximation budget."""
+    from dfu_multimodal_tpu.config import TrainConfig
+
+    cfg = TrainConfig(batch_size=16, compute_dtype="float32", drop_rate=0.0,
+                      grad_accum=2)
+    mods = {"thermal": thermal_modality()}
+    tr_ref = Trainer("thermal_only", cfg, mods,
+                     block_impl="flax", attention_impl="xla")
+    tr_fused = Trainer("thermal_only", cfg, mods,
+                       block_impl="fused_interpret")
+    assert tr_fused._eval_shard_map
+    state0 = tr_ref.init_state(jax.random.PRNGKey(0), image_size=32)
+    batch = jax.device_put(_thermal_batch(rng, b=16), tr_ref.batch_sharding)
+    key = jax.random.PRNGKey(7)
+
+    s_ref, m_ref = tr_ref.train_step(_copy_state(state0), batch, key)
+    s_fused, m_fused = tr_fused.train_step(_copy_state(state0), batch, key)
+    np.testing.assert_allclose(np.asarray(m_fused["loss"]),
+                               np.asarray(m_ref["loss"]), atol=3e-3)
+    np.testing.assert_array_equal(np.asarray(m_fused["counts"]),
+                                  np.asarray(m_ref["counts"]))
+    for a, b in zip(jax.tree.leaves(s_ref.params),
+                    jax.tree.leaves(s_fused.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3)
 
 
 def test_spmd_train_step_multimodal_bn_sync(rng):
