@@ -382,6 +382,24 @@ def augment_and_normalize(key: jax.Array, images: jnp.ndarray,
         warp_impl)
 
 
+def augment_and_normalize_spmd(key: jax.Array, images: jnp.ndarray,
+                               modality: ModalityConfig,
+                               dtype, axis_name: str,
+                               n_shards: int) -> jnp.ndarray:
+    """Shard_map counterpart of :func:`augment_and_normalize` — call ONLY
+    inside a ``jax.shard_map`` body over ``axis_name``: draws each row's
+    key from the GLOBAL ``split(key, B_global)`` stream, sliced by this
+    shard's position, so per-device augmentation is bit-identical to the
+    single-program path.  THE one definition of that recipe — the
+    supervised (train/engine.py) and SSL (train/ssl.py) shard_map steps
+    both call it, so the streams can never silently diverge."""
+    idx = jax.lax.axis_index(axis_name)
+    bl = images.shape[0]
+    gkeys = jax.random.split(key, bl * n_shards)
+    lkeys = jax.lax.dynamic_slice_in_dim(gkeys, idx * bl, bl)
+    return augment_and_normalize_keys(lkeys, images, modality, dtype)
+
+
 @partial(jax.jit, static_argnames=("modality", "dtype"))
 def eval_normalize(images: jnp.ndarray, modality: ModalityConfig,
                    dtype=jnp.float32) -> jnp.ndarray:

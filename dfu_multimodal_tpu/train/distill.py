@@ -43,7 +43,7 @@ from dfu_multimodal_tpu.data.transforms import eval_normalize
 from dfu_multimodal_tpu.eval import metrics as metrics_mod
 from dfu_multimodal_tpu.models import zoo
 from dfu_multimodal_tpu.parallel import mesh as mesh_mod
-from dfu_multimodal_tpu.train.engine import Trainer
+from dfu_multimodal_tpu.train.engine import Trainer, per_sample_ce
 
 import optax
 
@@ -68,8 +68,7 @@ def kd_numerators(student_logits: jnp.ndarray, teacher_logits: jnp.ndarray,
     kl_rows = jnp.sum(p * (jnp.log(jnp.clip(p, 1e-12, 1.0))
                            - jax.nn.log_softmax(s, axis=-1)), axis=-1)
     v = valid.astype(jnp.float32)
-    ce_rows = optax.softmax_cross_entropy_with_integer_labels(
-        student_logits.astype(jnp.float32), labels)
+    ce_rows = per_sample_ce(student_logits, labels)
     return jnp.sum(kl_rows * v), jnp.sum(ce_weights * ce_rows)
 
 

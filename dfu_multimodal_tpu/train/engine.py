@@ -433,24 +433,18 @@ class Trainer:
                                batch: Dict[str, jnp.ndarray]) -> Tuple:
         """Shard_map counterpart of :meth:`_preprocess_train` (call ONLY
         inside a shard_map body over the data axis): per-shard
-        augmentation drawing each row's key from the GLOBAL
-        ``split(key, B_global)`` stream (sliced by shard position) —
-        bit-identical augmentation to the single-program path."""
+        augmentation drawing each row's key from the global split-stream
+        (data/transforms.py::augment_and_normalize_spmd) — bit-identical
+        augmentation to the single-program path."""
         from dfu_multimodal_tpu.data.transforms import (
-            augment_and_normalize_keys)
+            augment_and_normalize_spmd)
 
-        d_axis = mesh_mod.DATA_AXIS
-        n_shards = self.mesh.shape[d_axis]
-        idx = jax.lax.axis_index(d_axis)
-        bl = batch["label"].shape[0]
-        inputs = []
-        for i, m in enumerate(self.spec.inputs):
-            key = jax.random.fold_in(rng, i)
-            gkeys = jax.random.split(key, bl * n_shards)
-            lkeys = jax.lax.dynamic_slice_in_dim(gkeys, idx * bl, bl)
-            inputs.append(augment_and_normalize_keys(
-                lkeys, batch[m], self.modalities[m], self.compute_dtype))
-        return tuple(inputs)
+        n_shards = self.mesh.shape[mesh_mod.DATA_AXIS]
+        return tuple(
+            augment_and_normalize_spmd(
+                jax.random.fold_in(rng, i), batch[m], self.modalities[m],
+                self.compute_dtype, mesh_mod.DATA_AXIS, n_shards)
+            for i, m in enumerate(self.spec.inputs))
 
     def _sample_weights(self, labels: jnp.ndarray,
                         valid: jnp.ndarray) -> jnp.ndarray:
@@ -496,17 +490,30 @@ class Trainer:
         # grad-accum composes for the BN-free model only: multimodal's
         # bn_axis_name is never bound with accum > 1 (__init__), because
         # microbatch BN statistics are batch-GLOBAL groupings the
-        # per-shard scan cannot reproduce (docs/DESIGN.md).
+        # per-shard scan cannot reproduce (docs/DESIGN.md).  The spmd
+        # accum scan also needs accum to divide the PER-DEVICE batch
+        # (the jit scan only needs it to divide the global batch) — a
+        # config where it doesn't, e.g. --batch-size 64 --grad-accum 16
+        # on 8 chips, keeps the jit path rather than breaking a
+        # previously working run.
+        accum_ok = True
+        if accum > 1:
+            per_dev = (mesh_mod.pad_batch_to_mesh(self.cfg.batch_size,
+                                                  self.mesh)
+                       // self.mesh.shape[mesh_mod.DATA_AXIS])
+            accum_ok = per_dev % accum == 0
         spmd_capable = ((self.spec.name == "thermal_only"
-                         or (bn_ok and accum == 1)) and not mix)
+                         or (bn_ok and accum == 1))
+                        and accum_ok and not mix)
         if force_shard_map and not spmd_capable:
             # an ignored force flag would make parity tests measure the
             # jit path and report vacuous success — fail loudly instead
             raise ValueError(
                 "force_shard_map: this configuration cannot run the "
                 "shard_map train path (needs thermal_only, or multimodal "
-                "with bn_axis_name bound; no mixup, and no grad-accum "
-                "for the BN model)")
+                "with bn_axis_name bound; no mixup; grad-accum only for "
+                "the BN-free model and only when it divides the "
+                "per-device batch)")
         use_shmap = spmd_capable and (
             (self._pure_dp and self._eval_shard_map) or force_shard_map)
         if self.mesh.size > 1 and not use_shmap:

@@ -495,6 +495,25 @@ class SSLTrainer:
             return z, aux["batch_stats"]
         return self.module.apply(variables, x, train=True), batch_stats
 
+    def _project_views(self, params, batch_stats, v1, v2):
+        """(z1, z2, new_batch_stats) for the two augmented views.
+
+        BN-free trunks (ViT) run ONE forward over the concatenated 2B
+        batch — row-wise identical math (LayerNorm/attention are
+        per-image), half the dispatches/block-scans.  BN trunks keep the
+        two-pass form: concatenation would compute batch statistics over
+        both views at once (different normalization = a different
+        training run), and the stats must thread view1 -> view2 exactly
+        as before."""
+        if batch_stats:
+            z1, bs = self._apply_simclr(params, batch_stats, v1)
+            z2, bs = self._apply_simclr(params, bs, v2)
+            return z1, z2, bs
+        b = v1.shape[0]
+        z, _ = self._apply_simclr(params, batch_stats,
+                                  jnp.concatenate([v1, v2], axis=0))
+        return z[:b], z[b:], batch_stats
+
     def build_train_step(self, force_shard_map: bool = False) -> Callable:
         cfg, tx = self.cfg, self._tx
         modality, dtype = self.modality, self.compute_dtype
@@ -522,8 +541,8 @@ class SSLTrainer:
             v2 = augment_and_normalize(k2, batch[mod_name], modality, dtype)
 
             def loss_fn(params):
-                z1, bs = self._apply_simclr(params, state.batch_stats, v1)
-                z2, bs = self._apply_simclr(params, bs, v2)
+                z1, z2, bs = self._project_views(params, state.batch_stats,
+                                                 v1, v2)
                 return nt_xent_loss(z1, z2, batch["valid"],
                                     cfg.temperature), bs
 
@@ -581,7 +600,7 @@ class SSLTrainer:
         from jax.sharding import PartitionSpec as P
 
         from dfu_multimodal_tpu.data.transforms import (
-            augment_and_normalize_keys)
+            augment_and_normalize_spmd)
         from dfu_multimodal_tpu.models import common as common_mod
 
         cfg, tx = self.cfg, self._tx
@@ -592,13 +611,10 @@ class SSLTrainer:
         force = jax.devices()[0].platform == "tpu"
 
         def aug_view(key, images):
-            """Per-shard view from the GLOBAL per-row key stream."""
-            idx = jax.lax.axis_index(d_axis)
-            bl = images.shape[0]
-            gkeys = jax.random.split(key, bl * n_shards)
-            lkeys = jax.lax.dynamic_slice_in_dim(gkeys, idx * bl, bl)
-            return augment_and_normalize_keys(lkeys, images, modality,
-                                              dtype)
+            """Per-shard view from the GLOBAL per-row key stream (shared
+            recipe with the supervised engine — transforms.py)."""
+            return augment_and_normalize_spmd(key, images, modality,
+                                              dtype, d_axis, n_shards)
 
         def simclr_step_spmd(state: SSLState, batch: Dict,
                              rng: jax.Array):
@@ -617,9 +633,8 @@ class SSLTrainer:
                          & (rows < (idx + 1) * bl)).astype(jnp.float32)
 
                 def loss_fn(params):
-                    z1, bs = self._apply_simclr(params, state.batch_stats,
-                                                v1)
-                    z2, bs = self._apply_simclr(params, bs, v2)
+                    z1, z2, bs = self._project_views(
+                        params, state.batch_stats, v1, v2)
                     z1g = jax.lax.all_gather(z1, d_axis, tiled=True)
                     z2g = jax.lax.all_gather(z2, d_axis, tiled=True)
                     vg = jax.lax.all_gather(valid, d_axis, tiled=True)

@@ -533,6 +533,25 @@ def test_spmd_train_gate_conditions(rng):
     tr_acc = Trainer("thermal_only", accum_cfg, mods,
                      block_impl="fused_interpret")
     assert tr_acc.build_train_step() is not None
+    # ... but only when accum divides the PER-DEVICE batch: batch 8 on
+    # 8 devices with accum 2 keeps the jit path (which only needs the
+    # GLOBAL batch divisible — a round-4 working config must not break).
+    # Real Mosaic impls then reject readably; interpret impls lower to
+    # partitionable XLA ops, so they (like flax) build the jit step.
+    indiv_cfg = TrainConfig(batch_size=8, compute_dtype="float32",
+                            grad_accum=2)
+    tr_mosaic = Trainer("thermal_only", indiv_cfg, mods,
+                        block_impl="fused")
+    with pytest.raises(ValueError, match="shard_map path"):
+        tr_mosaic.build_train_step()
+    tr_indiv = Trainer("thermal_only", indiv_cfg, mods,
+                       block_impl="fused_interpret")
+    with pytest.raises(ValueError, match="force_shard_map"):
+        tr_indiv.build_train_step(force_shard_map=True)
+    assert tr_indiv.build_train_step() is not None   # jit fallback
+    tr_jit = Trainer("thermal_only", indiv_cfg, mods,
+                     block_impl="flax", attention_impl="xla")
+    assert tr_jit.build_train_step() is not None
     mm = Trainer("multimodal",
                  TrainConfig(batch_size=8, compute_dtype="float32"),
                  mm_mods, block_impl="fused")
