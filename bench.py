@@ -227,6 +227,60 @@ def measure_training(batch_size: int, iters: int, chain: int = 8,
             "p50_step_ms": per_step_ms, "chain": chain}
 
 
+def measure_ssl_pretrain(batch_size: int, iters: int, chain: int = 6):
+    """Steady-state SimCLR PRETRAIN-step throughput over the fused ViT
+    trunk (two augmented views through one concatenated forward, NT-Xent,
+    AdamW — train/ssl.py). images/sec counts dataset images (each costs
+    2 view forwards+backwards), so it compares 1:1 with the supervised
+    thermal train rate."""
+    import jax
+    import numpy as np
+
+    from dfu_multimodal_tpu import config
+    from dfu_multimodal_tpu.train.ssl import PretrainConfig, SSLTrainer
+
+    platform = jax.devices()[0].platform
+    cfg = PretrainConfig(
+        method="simclr", batch_size=batch_size,
+        compute_dtype="bfloat16" if platform == "tpu" else "float32")
+    trainer = SSLTrainer("vit", cfg, config.thermal_modality(blur=False))
+    state = trainer.init_state(jax.random.PRNGKey(0), steps_per_epoch=10)
+    step = trainer.build_train_step()
+    rtt_ms = _tunnel_rtt_ms()
+
+    rng = np.random.default_rng(0)
+    batch = {"thermal": rng.integers(0, 255, (batch_size, 224, 224, 3),
+                                     np.uint8),
+             "valid": np.ones(batch_size, np.float32)}
+    batch = jax.device_put(batch, trainer.batch_sharding)
+
+    def many_steps(state, batch, rng):
+        def body(s, i):
+            s, loss = step(s, batch, jax.random.fold_in(rng, i))
+            return s, loss
+        import jax.numpy as jnp
+        _, losses = jax.lax.scan(body, state,
+                                 jnp.arange(chain, dtype=jnp.int32))
+        return losses
+
+    # no donation: the same state re-runs every iteration (state size is
+    # ~1 GB headroom on a 16 GB chip; re-initializing per iter would put
+    # host-side init work between the timed fetches instead)
+    run = jax.jit(many_steps)
+    key = jax.random.PRNGKey(1)
+    np.asarray(run(state, batch, key))            # compile + warm
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        np.asarray(run(state, batch, key))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    per_step_ms = max((times[len(times) // 2] * 1e3 - rtt_ms) / chain, 1e-6)
+    return {"platform": platform, "batch_size": batch_size,
+            "ssl_images_per_sec_per_chip": batch_size / (per_step_ms / 1e3),
+            "p50_step_ms": per_step_ms, "chain": chain}
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch-size", type=int, default=None)
@@ -321,6 +375,15 @@ def main():
             except Exception as exc:                  # pragma: no cover
                 print(f"train-throughput measurement failed ({model}): "
                       f"{exc}", file=sys.stderr)
+    ssl_ips = None
+    if (on_tpu and not args.int8 and not args.token_merge
+            and not os.environ.get("DFU_BENCH_SKIP_SSL")):
+        try:
+            s = measure_ssl_pretrain(32, 3, chain=6)
+            ssl_ips = round(s["ssl_images_per_sec_per_chip"], 2)
+        except Exception as exc:                      # pragma: no cover
+            print(f"ssl-throughput measurement failed: {exc}",
+                  file=sys.stderr)
     int8_ips = None
     if (on_tpu and not args.int8 and not args.token_merge
             and not os.environ.get("DFU_BENCH_SKIP_INT8")):
@@ -428,6 +491,7 @@ def main():
         "thermal_train_images_per_sec_per_chip":
             train_ips.get("thermal_only"),
         "rgb_train_images_per_sec_per_chip": train_ips.get("rgb_only"),
+        "ssl_simclr_pretrain_images_per_sec_per_chip": ssl_ips,
         "int8_serving_images_per_sec_per_chip": int8_ips,
         "tome_serving_images_per_sec_per_chip": tome_ips,
         "int8_tome_serving_images_per_sec_per_chip": int8_tome_ips,
