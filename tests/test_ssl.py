@@ -293,6 +293,48 @@ def test_simclr_loss_identical_across_mesh_shapes(tmp_path):
     assert losses[1] == pytest.approx(losses[-1], rel=2e-4)
 
 
+def test_project_views_concat_equals_two_pass():
+    """Round-5 step optimization: BN-free trunks project both SimCLR
+    views in ONE concatenated forward (`SSLTrainer._project_views`).
+    This must be row-wise IDENTICAL to the original two-pass form
+    (LayerNorm/attention are per-image) — pin it directly, since all the
+    parity tests now run the concat form on both sides.  BN trunks must
+    keep the two-pass form (concat would change the batch statistics)."""
+    import jax.numpy as jnp
+
+    cfg = make_cfg(method="simclr", batch_size=4)
+    tr = SSLTrainer("vit", cfg, config.thermal_modality(), image_size=32)
+    state = tr.init_state(jax.random.PRNGKey(0), steps_per_epoch=2)
+    rng = np.random.default_rng(3)
+    v1 = jnp.asarray(rng.normal(size=(4, 32, 32, 3)).astype(np.float32))
+    v2 = jnp.asarray(rng.normal(size=(4, 32, 32, 3)).astype(np.float32))
+    z1c, z2c, _ = tr._project_views(state.params, state.batch_stats,
+                                    v1, v2)
+    z1, _ = tr._apply_simclr(state.params, state.batch_stats, v1)
+    z2, _ = tr._apply_simclr(state.params, state.batch_stats, v2)
+    np.testing.assert_allclose(np.asarray(z1c), np.asarray(z1),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(z2c), np.asarray(z2),
+                               atol=1e-5)
+
+    # BN trunk: _project_views must thread batch stats view1 -> view2
+    # (the two-pass form), not concatenate
+    tr_bn = SSLTrainer("tiny", cfg, config.rgb_modality(), image_size=32)
+    st_bn = tr_bn.init_state(jax.random.PRNGKey(0), steps_per_epoch=2)
+    assert st_bn.batch_stats
+    z1b, z2b, bs = tr_bn._project_views(st_bn.params, st_bn.batch_stats,
+                                        v1, v2)
+    z1r, bs_r = tr_bn._apply_simclr(st_bn.params, st_bn.batch_stats, v1)
+    z2r, bs_r = tr_bn._apply_simclr(st_bn.params, bs_r, v2)
+    np.testing.assert_allclose(np.asarray(z1b), np.asarray(z1r),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(z2b), np.asarray(z2r),
+                               atol=1e-6)
+    for a, b in zip(jax.tree.leaves(bs), jax.tree.leaves(bs_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6)
+
+
 def test_simclr_color_jitter_toggle():
     """simclr_color_jitter=False keeps the views color-sensitive; the
     thermal base (no jitter) never gains jitter either way."""
