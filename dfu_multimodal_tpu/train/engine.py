@@ -528,8 +528,9 @@ class Trainer:
                     f"training with block_impl={bi!r}/attention_impl="
                     f"{ai!r} on a {self.mesh.size}-device mesh is only "
                     "supported for the shard_map path (thermal_only "
-                    "trainable impls — grad-accum composes there — or "
-                    "multimodal without grad-accum; pure-DP, no mixup). "
+                    "trainable impls — grad-accum composes there when "
+                    "it divides the per-device batch — or multimodal "
+                    "without grad-accum; pure-DP, no mixup). "
                     "Train with 'auto' (XLA impls on this mesh) or on "
                     "one device.")
         module, spec, tx = self.module, self.spec, self.tx
