@@ -70,6 +70,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="persistent decode cache directory")
     p.add_argument("--mesh-data", type=int, default=-1,
                    help="DP axis size (-1 = all devices)")
+    p.add_argument("--block-impl", default="auto",
+                   help="ViT block impl (auto/flax/fused/fused_interpret)"
+                        " — 'auto' picks the fused Pallas kernels on TPU,"
+                        " incl. inside the multi-device SimCLR shard_map "
+                        "step (train/ssl.py)")
+    p.add_argument("--attention-impl", default="auto",
+                   help="attention impl (auto/xla/pallas)")
     # small-ViT overrides (tests / small-image experiments)
     p.add_argument("--vit-patch", type=int, default=16)
     p.add_argument("--vit-hidden", type=int, default=768)
@@ -116,7 +123,9 @@ def main(argv=None) -> int:
     print(f"Pretraining {trunk} trunk with {cfg.method} on "
           f"{len(dataset)} unlabeled {args.modality} images "
           f"({'+'.join(splits)} split{'s' if len(splits) > 1 else ''})")
-    trainer = SSLTrainer(trunk, cfg, modality, image_size=args.image_size)
+    trainer = SSLTrainer(trunk, cfg, modality, image_size=args.image_size,
+                         block_impl=args.block_impl,
+                         attention_impl=args.attention_impl)
     trainer.fit(dataset, args.out, resume=args.resume)
 
     # reproducibility manifest, same spirit as the trainers' run_info.json
