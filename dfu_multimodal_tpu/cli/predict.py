@@ -289,12 +289,9 @@ def main(argv=None):
             # must not die in a raw ValueError deep in the rebuild
             print(f"--token-merge skipped ({model_name} has no ViT trunk)")
         else:
-            try:
-                merge_at, keep = (int(v)
-                                  for v in args.token_merge.split(":"))
-            except ValueError:
-                raise SystemExit("--token-merge expects L:K (e.g. 4:128)")
-            from dfu_multimodal_tpu.serve.engine import tome_for_serving
+            from dfu_multimodal_tpu.serve.engine import (parse_token_merge,
+                                                         tome_for_serving)
+            merge_at, keep = parse_token_merge(args.token_merge)
             trainer, state = tome_for_serving(
                 trainer, state, merge_at, keep, image_size=args.image_size,
                 attention_impl=args.attention_impl,

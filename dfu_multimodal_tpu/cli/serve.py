@@ -200,12 +200,9 @@ def restore_trainer(ckpt: Path, model_name, args, cfg, modalities,
     if getattr(args, "token_merge", None):
         from dfu_multimodal_tpu.models.zoo import VIT_TRUNK_MODELS
         if model_name in VIT_TRUNK_MODELS:
-            from dfu_multimodal_tpu.serve.engine import tome_for_serving
-            try:
-                merge_at, keep = (int(v)
-                                  for v in args.token_merge.split(":"))
-            except ValueError:
-                raise SystemExit("--token-merge expects L:K (e.g. 4:128)")
+            from dfu_multimodal_tpu.serve.engine import (parse_token_merge,
+                                                         tome_for_serving)
+            merge_at, keep = parse_token_merge(args.token_merge)
             trainer, state = tome_for_serving(
                 trainer, state, merge_at, keep,
                 image_size=args.image_size,

@@ -29,7 +29,7 @@ import queue
 import threading
 import time
 from collections import Counter, deque
-from concurrent.futures import Future
+from concurrent.futures import Future, InvalidStateError
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -133,6 +133,17 @@ def quantize_for_serving(trainer, state, image_size: int = 224,
     qstate = qstate.replace(params=qvars["params"],
                             batch_stats=qvars.get("batch_stats", {}))
     return qtrainer, qstate
+
+
+def parse_token_merge(spec: str) -> Tuple[int, int]:
+    """Parse a CLI ``--token-merge`` value 'L:K' -> (merge_at, keep) —
+    the ONE definition of that flag's format, shared by the serve and
+    predict CLIs (both feed :func:`tome_for_serving`)."""
+    try:
+        merge_at, keep = (int(v) for v in spec.split(":"))
+    except ValueError:
+        raise SystemExit("--token-merge expects L:K (e.g. 4:128)")
+    return merge_at, keep
 
 
 def tome_for_serving(trainer, state, merge_at: int, keep: int,
@@ -277,6 +288,7 @@ class ServingEngine:
         # shadow.attach_shadow, never answers requests
         self.shadow = None
         self._stop = threading.Event()
+        self._closed = False        # stop() sets; submit() then raises
         self._thread: Optional[threading.Thread] = None
         self._lock = threading.Lock()
         self._latencies = deque(maxlen=latency_window)
@@ -305,6 +317,7 @@ class ServingEngine:
                     "previous batcher thread is still wedged in a device "
                     "call 60s after stop(); cannot safely restart")
         self._stop.clear()
+        self._closed = False
         self._thread = threading.Thread(target=self._loop,
                                         name="dfu-serve-batcher",
                                         daemon=True)
@@ -312,6 +325,11 @@ class ServingEngine:
         return self
 
     def stop(self, timeout: float = 5.0) -> None:
+        # refuse NEW work first: a submit() after stop() would enqueue
+        # into a queue no batcher will ever drain, and predict() waits
+        # on the future with no timeout — a permanent hang for direct-
+        # API callers.  start() re-opens.
+        self._closed = True
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=timeout)
@@ -329,8 +347,9 @@ class ServingEngine:
                     item = q.get_nowait()
                 except queue.Empty:
                     break
-                item[1].set_exception(
-                    RuntimeError("serving engine stopped"))
+                if not item[1].done():
+                    item[1].set_exception(
+                        RuntimeError("serving engine stopped"))
 
     def __enter__(self) -> "ServingEngine":
         return self.start()
@@ -349,6 +368,8 @@ class ServingEngine:
         sample raises to its own caller instead of blowing up inside the
         batcher's shared assembly and failing every request coalesced
         into the same batch."""
+        if self._closed:
+            raise RuntimeError("serving engine stopped")
         if not sample:
             # an empty dict would fill every modality black and return a
             # confident prediction computed on nothing (submit_explain
@@ -363,6 +384,15 @@ class ServingEngine:
                 self._rejected += 1
             raise EngineOverloaded(
                 f"request queue full ({self.max_queue} waiting); retry")
+        if self._closed and not fut.done():
+            # raced a concurrent stop() past its straggler drain: fail
+            # the future here rather than leave it parked forever (the
+            # batcher may legitimately win this race mid-drain, hence
+            # the InvalidStateError guard)
+            try:
+                fut.set_exception(RuntimeError("serving engine stopped"))
+            except InvalidStateError:
+                pass
         return fut
 
     def predict(self, samples: Sequence[Dict[str, np.ndarray]]
@@ -395,6 +425,8 @@ class ServingEngine:
         (``class_explained`` states it explicitly).
         Raises :class:`ExplainUnavailable` when the engine was built
         without an explainer (HTTP maps it to 501)."""
+        if self._closed:
+            raise RuntimeError("serving engine stopped")
         if self.explainer is None:
             raise ExplainUnavailable(
                 f"model {self.model_name!r} is served without "
@@ -454,12 +486,21 @@ class ServingEngine:
 
     def warmup(self) -> None:
         """Compile every bucket's program before taking traffic (first
-        compile is seconds; steady-state must never pay it)."""
+        compile is seconds; steady-state must never pay it).
+
+        Fail-fast contract: a bucket program that cannot compile or
+        execute must fail STARTUP here — ``_execute`` routes failures
+        into the request futures, so warmup re-raises from them instead
+        of letting a broken daemon come up 'healthy' and 500 every live
+        request mapped to that bucket."""
         zero = {m: np.zeros((self.image_size, self.image_size, 3), np.uint8)
                 for m in self.inputs}
         for bucket in self.buckets:
-            self._execute([(dict(zero), Future(), time.monotonic())
-                           for _ in range(bucket)], record=False)
+            futs = [Future() for _ in range(bucket)]
+            self._execute([(dict(zero), f, time.monotonic())
+                           for f in futs], record=False)
+            for f in futs:   # _execute is synchronous: settled either way
+                f.result(timeout=0)
         if self.explainer is not None:
             # the forward+backward explanation program compiles too —
             # a clinician's first click must not pay an XLA compile.

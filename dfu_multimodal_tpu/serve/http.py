@@ -86,6 +86,8 @@ class PredictHandler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def do_GET(self) -> None:                   # noqa: N802
+        # route on the path alone (see do_POST)
+        self.path = self.path.split("?", 1)[0]
         if self.path == "/healthz":
             health = {"status": "ok",
                       "models": {n: list(e.inputs)
@@ -186,6 +188,15 @@ class PredictHandler(BaseHTTPRequestHandler):
                 raise _BadRequest("JSON body must be an object")
             if "image" in payload and primary not in payload:
                 payload[primary] = payload.pop("image")
+            unknown = sorted(k for k in payload if k not in MODALITIES)
+            if unknown:
+                # a typo'd modality key ("termal") must 400, not silently
+                # reroute the request to a different (single-modality)
+                # model — in a clinical API a wrong-model 200 is worse
+                # than an error
+                raise _BadRequest(
+                    f"unknown field(s) {unknown}; expected fields from "
+                    f"{list(MODALITIES)}")
             raws = {}
             for m in MODALITIES:
                 if m not in payload:
@@ -203,7 +214,10 @@ class PredictHandler(BaseHTTPRequestHandler):
         raise _BadRequest(f"unsupported Content-Type {ctype!r}")
 
     def do_POST(self) -> None:                  # noqa: N802
-        parts = [p for p in self.path.split("/") if p]
+        # standard clients/load balancers append query params (trace
+        # ids, cache busters); route on the path alone
+        path = self.path.split("?", 1)[0]
+        parts = [p for p in path.split("/") if p]
         if parts[:1] == ["v1"]:
             parts = parts[1:]
         if (not parts or parts[0] not in ("predict", "explain")

@@ -102,23 +102,30 @@ def save_checkpoint(directory: Path, *, epoch: int, model_state: Dict,
                     stale.unlink()
             except OSError:
                 pass
-    tmp = directory / f".{ckpt_name}.tmp{os.getpid()}"
-    try:
-        tmp.write_bytes(serialization.msgpack_serialize(payload))
-        os.replace(tmp, path)
-    except BaseException:
-        try:
-            tmp.unlink()
-        except OSError:
-            pass
-        raise
-
+    # Stage BOTH files fully before either replace, then issue the two
+    # renames back-to-back: the crash window where the payload and its
+    # meta sidecar disagree (new weights + the previous epoch's meta —
+    # which would mislead resume_basename's epoch comparison and the
+    # model card) shrinks from "serialize + json-dump the meta" to the
+    # gap between two rename syscalls.  (True two-file atomicity would
+    # need a directory swap; not worth it for that window.)
     meta = {"epoch": epoch, "val_f1": float(val_f1), "history": history}
     if extra_meta:
         meta.update(extra_meta)
+    tmp = directory / f".{ckpt_name}.tmp{os.getpid()}"
     meta_tmp = directory / f".{meta_name}.tmp{os.getpid()}"
-    meta_tmp.write_text(json.dumps(meta, indent=2))
-    os.replace(meta_tmp, directory / meta_name)
+    try:
+        tmp.write_bytes(serialization.msgpack_serialize(payload))
+        meta_tmp.write_text(json.dumps(meta, indent=2))
+        os.replace(tmp, path)
+        os.replace(meta_tmp, directory / meta_name)
+    except BaseException:
+        for t in (tmp, meta_tmp):
+            try:
+                t.unlink()
+            except OSError:
+                pass
+        raise
     return path
 
 

@@ -443,3 +443,60 @@ def test_submit_rejects_empty_sample(served):
     engine = ServingEngine(trainer, state, image_size=SIZE, max_batch=8)
     with pytest.raises(ValueError, match="at least one modality"):
         engine.submit({})
+
+
+def test_http_path_with_query_string(served, http_url):
+    """Load balancers/clients append query params (trace ids, cache
+    busters); routing must be on the path alone, not exact-match 404."""
+    img = rand_images(1, seed=9)[0]
+    png = _encode_png(img)
+    out = _post(f"{http_url}/v1/predict?trace_id=abc", png, "image/png")
+    assert out["prediction"] in ("ulcer", "healthy")
+    with urllib.request.urlopen(f"{http_url}/healthz?probe=1",
+                                timeout=30) as r:
+        assert json.loads(r.read())["status"] == "ok"
+
+
+def test_http_unknown_json_field_is_400_not_reroute(http_url):
+    """A typo'd modality key ("termal") must 400 naming the field —
+    silently dropping it would reroute the request to a different
+    (single-modality) model and return a wrong-model 200."""
+    png = _encode_png(rand_images(1, seed=10)[0])
+    payload = json.dumps({
+        "rgb": base64.b64encode(png).decode(),
+        "termal": base64.b64encode(png).decode()}).encode()
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _post(f"{http_url}/v1/predict", payload, "application/json")
+    assert err.value.code == 400
+    assert "termal" in json.loads(err.value.read())["error"]
+
+
+def test_submit_after_stop_raises_not_hangs():
+    """submit() on a stopped engine must raise immediately — enqueueing
+    into a queue no batcher drains would park predict() forever (the
+    future has no timeout on the direct API)."""
+    trainer, state = make_serving_trainer()
+    engine = ServingEngine(trainer, state, image_size=SIZE, max_batch=4,
+                           max_wait_ms=20.0)
+    with engine:
+        (p1, _), = engine.predict([{"rgb": rand_images(1)[0]}])
+    with pytest.raises(RuntimeError, match="stopped"):
+        engine.submit({"rgb": rand_images(1)[0]})
+    # start() re-opens the engine
+    with engine:
+        (p2, _), = engine.predict([{"rgb": rand_images(1)[0]}])
+    assert p2 == pytest.approx(p1, abs=1e-6)
+
+
+def test_warmup_failfast_on_broken_program():
+    """A serving program that cannot execute must fail STARTUP in
+    warmup(), not come up 'healthy' and 500 every live request."""
+    trainer, state = make_serving_trainer()
+    engine = ServingEngine(trainer, state, image_size=SIZE, max_batch=4)
+
+    def boom(variables, batch):
+        raise RuntimeError("bucket program exploded")
+
+    engine._eval_step = boom
+    with pytest.raises(RuntimeError, match="exploded"):
+        engine.warmup()
