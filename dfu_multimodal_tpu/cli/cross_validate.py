@@ -21,6 +21,7 @@ table), not a deployable artifact.  Folds are deterministic in ``--seed``.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 from pathlib import Path
 from typing import Dict, List, Optional
 
@@ -60,9 +61,14 @@ def stratified_folds(labels: np.ndarray, k: int,
 def grouped_folds(labels: np.ndarray, groups: List[str], k: int,
                   rng: np.random.Generator) -> List[np.ndarray]:
     """Group-level K folds: every row of a group lands in the same fold
-    (no pseudo-patient straddles a train/val boundary).  Groups are dealt
-    largest-first onto the currently smallest fold — a balanced greedy
-    partition."""
+    (no pseudo-patient straddles a train/val boundary), dealt in two
+    greedy passes for CLASS balance as well as size balance: groups
+    containing the minority class go first (largest minority count onto
+    the fold with the fewest minority rows, ties by size), then the
+    remaining groups largest-first onto the smallest fold.  A fold can
+    still end up single-class when the minority class lives in fewer
+    than k groups — that is a property of the data; the caller warns."""
+    labels = np.asarray(labels)
     if k < 2:
         raise ValueError(f"need at least 2 folds, got {k}")
     by_group: Dict[str, List[int]] = {}
@@ -71,9 +77,21 @@ def grouped_folds(labels: np.ndarray, groups: List[str], k: int,
     names = sorted(by_group)
     rng.shuffle(names)
     names.sort(key=lambda g: -len(by_group[g]))   # stable: keeps shuffle ties
-    sizes = [0] * k
+    classes, counts = np.unique(labels, return_counts=True)
+    minority = classes[int(np.argmin(counts))] if len(classes) > 1 else None
+    g_min = {g: (int(np.sum(labels[by_group[g]] == minority))
+                 if minority is not None else 0) for g in names}
+    first = sorted((g for g in names if g_min[g] > 0),
+                   key=lambda g: -g_min[g])       # stable over names order
+    rest = [g for g in names if g_min[g] == 0]
+    sizes, mins = [0] * k, [0] * k
     folds: List[List[int]] = [[] for _ in range(k)]
-    for g in names:
+    for g in first:
+        j = min(range(k), key=lambda j: (mins[j], sizes[j]))
+        folds[j].extend(by_group[g])
+        sizes[j] += len(by_group[g])
+        mins[j] += g_min[g]
+    for g in rest:
         j = int(np.argmin(sizes))
         folds[j].extend(by_group[g])
         sizes[j] += len(by_group[g])
@@ -221,14 +239,34 @@ def main(argv=None) -> Dict[str, Dict]:
         print(f"\n--- Fold {i}/{args.folds}: train {len(train_ds)} / "
               f"val {len(val_ds)} "
               f"(val ulcer {int(val_ds.class_counts[1])}) ---")
-        trainer = Trainer(zoo_name, cfg, modalities,
+        if 0 in (int(val_ds.class_counts[0]), int(val_ds.class_counts[1])):
+            # possible under --group-by-patient when the minority class
+            # lives in fewer groups than folds: the fold's sens/spec/F1
+            # degenerate and drop out of the NaN-filtered summary — say
+            # so instead of silently averaging fewer folds than claimed
+            print("  WARNING: single-class val fold — sensitivity/"
+                  "specificity/F1 are degenerate here and excluded from "
+                  "the summary means")
+        # per-fold steps_per_epoch (ceil, matching run_train_epoch) so
+        # --lr-schedule cosine/--warmup-epochs work exactly as in the
+        # train CLIs (_train_common.py) instead of raising
+        fold_cfg = dataclasses.replace(
+            cfg, steps_per_epoch=max(
+                1, -(-len(train_ds) // cfg.batch_size)))
+        trainer = Trainer(zoo_name, fold_cfg, modalities,
                           class_weights=class_weights_from_labels(
                               train_ds.labels),
                           attention_impl=args.attention_impl)
         state, history, _ = trainer.fit(train_ds, val_ds,
                                         checkpoint_dir=None,
                                         image_size=args.image_size)
-        _, arrays = trainer.run_eval_epoch(state, val_ds)
+        # score the weights a deployment would serve: with --ema-decay
+        # the trainer validated (and would checkpoint) the EMA tree, so
+        # the fold metric must use it too, not the raw final params
+        eval_state = (state.replace(params=state.ema_params)
+                      if float(getattr(cfg, "ema_decay", 0.0)) > 0.0
+                      else state)
+        _, arrays = trainer.run_eval_epoch(eval_state, val_ds)
         m = metrics_mod.compute_all_metrics(arrays["y_true"],
                                             arrays["y_pred"],
                                             arrays["y_probs"])

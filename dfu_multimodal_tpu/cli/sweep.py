@@ -229,13 +229,20 @@ def _train_command(args, data_dir, params: Dict) -> str:
             "mixup_alpha": "--mixup-alpha",
             "drop_rate": None}
     parts = [f"dfu {cmd}", f"--data-dir {data_dir}"]
+    notes = []
     for k, v in sorted(params.items()):
         f = flag.get(k)
         if f:
             parts.append(f"{f} {v}")
         else:
-            parts.append(f"# ({k}={v}: no single-run flag)")
-    return " ".join(parts)
+            # collected and appended AFTER every flag: a mid-line '#'
+            # would comment out the remaining flags when the printed
+            # command is pasted into a shell
+            notes.append(f"{k}={v}: no single-run flag")
+    cmd_line = " ".join(parts)
+    if notes:
+        cmd_line += "  # (" + "; ".join(notes) + ")"
+    return cmd_line
 
 
 def main(argv=None) -> Dict:
@@ -272,7 +279,14 @@ def main(argv=None) -> Dict:
     context = {k: v for k, v in dataclasses.asdict(base_cfg).items()
                if k not in set(fields)}
     context.update(model=zoo_name, image_size=args.image_size,
-                   replicates=args.replicates, modality=args.modality)
+                   replicates=args.replicates, modality=args.modality,
+                   # everything else that shapes a trial's score: a
+                   # resumed sweep with a different dataset, pairing
+                   # strategy, or kernel impl must NOT reuse old scores
+                   data_dir=str(data_cfg.data_dir),
+                   pairing=(args.pairing
+                            if args.modality == "multimodal" else None),
+                   attention_impl=args.attention_impl)
 
     out_dir = Path(data_cfg.checkpoint_root) / f"sweep_{args.modality}"
     out_dir.mkdir(parents=True, exist_ok=True)

@@ -52,8 +52,9 @@ class SelfTrainConfig:
 def predict_pool_probs(trainer: Trainer, state, images_u8: np.ndarray,
                        modality: ModalityConfig,
                        batch_size: int = 64) -> np.ndarray:
-    """Class-1 probabilities for a uint8 image pool (fixed-shape batches,
-    pool padded with repeats and sliced back)."""
+    """(n, 2) softmax probabilities for a uint8 image pool (fixed-shape
+    batches, pool padded with repeats and sliced back) — callers derive
+    argmax/confidence over the last axis (select_confident)."""
     variables = trainer.variables(state)
     module = trainer.module
     dtype = trainer.compute_dtype
@@ -145,9 +146,13 @@ def self_train(model_name: str, st_cfg: SelfTrainConfig,
     best = (-1.0, None, None, None)      # (val_f1, round, trainer, state)
     for rnd in range(1, st_cfg.rounds + 1):
         cw = class_weights_from_labels(current.labels)
+        # ceil, matching run_train_epoch's actual step count (the
+        # codebase-wide form, cli/_train_common.py): floor would hand
+        # the cosine schedule a too-short horizon and the tail of every
+        # round would train at LR 0
         cfg = dataclasses.replace(
             train_cfg, steps_per_epoch=max(
-                1, len(current) // train_cfg.batch_size))
+                1, -(-len(current) // train_cfg.batch_size)))
         trainer = Trainer(model_name, cfg, modalities, class_weights=cw)
         rdir = checkpoint_dir / f"round_{rnd}"
         state, history, val_f1 = trainer.fit(
@@ -186,7 +191,23 @@ def self_train(model_name: str, st_cfg: SelfTrainConfig,
     # promote the winning round's checkpoint to the canonical location
     import shutil
     src = checkpoint_dir / f"round_{rnd}"
+    promoted = False
     for name in ("best_model.msgpack", "best_model.meta.json"):
         if (src / name).exists():
             shutil.copy2(src / name, checkpoint_dir / name)
+            promoted = True
+    if not promoted:
+        # a degenerate winning round (val F1 0.0 every epoch) never
+        # passed fit's best-save gate — the promised best_model.* must
+        # exist regardless, or a later `dfu predict/serve` on this
+        # directory dies with a bare FileNotFoundError
+        from dfu_multimodal_tpu.utils import checkpoint as ckpt_mod
+        ckpt_mod.save_checkpoint(
+            checkpoint_dir, epoch=train_cfg.num_epochs,
+            model_state=trainer.variables(state),
+            opt_state={}, val_f1=float(val_f1), history={},
+            extra_meta={"model": model_name, "self_train_round": rnd,
+                        "degenerate_round": True})
+        log("  (round never beat F1 0.0 — saved its final state as "
+            "best_model)")
     return trainer, state, report

@@ -136,3 +136,35 @@ def test_cross_validate_cli_multimodal_smoke(tmp_path):
     saved = load_pt(tmp_path / "logs" / "cross_validation_multimodal"
                     / "cv_results.pt")
     assert set(saved["folds"]) == {"rgb", "thermal"}
+
+
+def test_grouped_folds_spread_minority_class():
+    """Class-aware group dealing: when the minority class lives in >= k
+    groups, every fold gets minority rows (the size-only greedy could
+    pile them into one fold and leave single-class folds)."""
+    # 8 groups of 4 rows; only groups g0..g3 contain ulcers (one each)
+    labels = np.array([1, 0, 0, 0] * 4 + [0, 0, 0, 0] * 4)
+    groups = [f"g{i // 4}" for i in range(32)]
+    folds = grouped_folds(labels, groups, 4, np.random.default_rng(0))
+    for f in folds:
+        assert labels[f].sum() >= 1, "a fold got zero minority rows"
+    sizes = sorted(len(f) for f in folds)
+    assert sizes == [8, 8, 8, 8]
+
+
+def test_cross_validate_cli_cosine_schedule(tmp_path):
+    """--lr-schedule cosine must work like in the train CLIs (per-fold
+    steps_per_epoch derivation) instead of raising at fold 1."""
+    from dfu_multimodal_tpu.cli.cross_validate import main
+    from dfu_multimodal_tpu.data import make_synthetic_dataset
+
+    data = tmp_path / "data"
+    make_synthetic_dataset(data, images_per_class=8, size=32)
+    summary = main(["--data-dir", str(data),
+                    "--checkpoint-root", str(tmp_path / "logs"),
+                    "--modality", "rgb", "--model", "tiny_rgb",
+                    "--folds", "2", "--epochs", "2", "--lr", "3e-3",
+                    "--batch-size", "8", "--image-size", "32",
+                    "--compute-dtype", "float32", "--seed", "0",
+                    "--lr-schedule", "cosine", "--warmup-epochs", "1"])
+    assert 0.0 <= summary["accuracy"]["mean"] <= 1.0

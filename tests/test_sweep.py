@@ -209,3 +209,19 @@ def test_sweep_cli_replicates(tmp_path):
     assert len(best["scores"]) == 2
     assert best["best_val_f1_mean"] == pytest.approx(
         float(np.mean(best["scores"])))
+
+
+def test_train_command_notes_never_comment_out_flags():
+    """Unmappable swept params are appended AFTER every flag: a mid-line
+    '#' would comment out the remaining flags when the printed repro
+    command is pasted into a shell."""
+    import argparse
+
+    from dfu_multimodal_tpu.cli.sweep import _train_command
+
+    args = argparse.Namespace(modality="rgb")
+    cmd = _train_command(args, "data", {"drop_rate": 0.3,
+                                        "learning_rate": 3e-4})
+    assert "--lr 0.0003" in cmd
+    assert "drop_rate=0.3: no single-run flag" in cmd
+    assert cmd.index("#") > cmd.index("--lr"), cmd
